@@ -1,0 +1,98 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from peakmatch_xcorr_spark.kernels.codecs import (
+    dod_decode,
+    dod_encode,
+    gorilla_decode,
+    gorilla_encode,
+)
+
+
+def roundtrip_f(values):
+    arr = np.asarray(values, dtype=np.float64)
+    out = gorilla_decode(gorilla_encode(arr))
+    # bit-exact round-trip (NaN payloads included)
+    np.testing.assert_array_equal(arr.view(np.uint64), out.view(np.uint64))
+
+
+def roundtrip_t(values):
+    arr = np.asarray(values, dtype=np.int64)
+    np.testing.assert_array_equal(arr, dod_decode(dod_encode(arr)))
+
+
+def test_gorilla_empty_single():
+    roundtrip_f([])
+    roundtrip_f([3.14159])
+    roundtrip_f([0.0])
+
+
+def test_gorilla_constant_series():
+    roundtrip_f(np.full(1000, 42.5))
+    # constant series compresses to ~1 bit/value
+    enc = gorilla_encode(np.full(1000, 42.5))
+    assert len(enc) < 8 + 8 + 1000 // 8 + 2
+
+
+def test_gorilla_seeded_random(rng):
+    roundtrip_f(rng.normal(0, 1e6, 4096))
+    roundtrip_f(rng.normal(0, 1e-300, 512))
+
+
+def test_gorilla_adversarial():
+    roundtrip_f([1.0, -1.0, 1.0, -1.0])  # sign flips
+    roundtrip_f([5e-324, -5e-324, 0.0, -0.0])  # denormals, signed zero
+    roundtrip_f([np.inf, -np.inf, 1.0])
+    roundtrip_f([np.nan, 1.0, np.nan])
+    roundtrip_f(np.linspace(0, 1, 257))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, width=64), max_size=64))
+def test_gorilla_property(values):
+    roundtrip_f(values)
+
+
+def test_dod_empty_single():
+    roundtrip_t([])
+    roundtrip_t([1704067200_000_000])
+
+
+def test_dod_regular_cadence_compresses():
+    ts = 1704067200_000_000 + np.arange(10_000, dtype=np.int64) * 60_000_000
+    enc = dod_encode(ts)
+    roundtrip_t(ts)
+    # constant delta → dod 0 after the first: ~1 bit per point
+    assert len(enc) < 8 + 8 + 9 + 10_000 // 8 + 16
+
+
+def test_dod_gaps_and_jitter(rng):
+    base = 1704067200_000_000
+    deltas = rng.integers(1, 10_000_000, 500)
+    deltas[100] = 86_400_000_000  # one-day gap
+    ts = base + np.cumsum(deltas)
+    roundtrip_t(ts.astype(np.int64))
+
+
+def test_dod_negative_and_extremes():
+    roundtrip_t([0, -1, -2, 5, 10**17, -(10**17)])
+    roundtrip_t([np.iinfo(np.int64).min // 2, 0, np.iinfo(np.int64).max // 2])
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=64))
+def test_dod_property(values):
+    roundtrip_t(values)
+
+
+def test_bucket_boundaries():
+    # exercise every dod bucket boundary exactly
+    base = 10**12
+    deltas = [100, 100, 100 + 64, 100, 100 - 63, 100 + 256, 100 - 255,
+              100 + 2048, 100 - 2047, 100 + 5000, 100 + 10**9]
+    ts = np.cumsum([base] + deltas).astype(np.int64)
+    roundtrip_t(ts)

@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from peakmatch_xcorr_spark.config import SpectralConf
+from peakmatch_xcorr_spark.kernels.spectral import (
+    band_means,
+    dominant_frequencies,
+    frequency_from_fft_position,
+    normalise_band_means,
+    spectrogram_buckets,
+)
+from tests._java_port import loop_band_means, loop_dominant_freqs
+
+CONF = SpectralConf()
+
+
+def sine(freq_hz: float, m: int = 800, sr: int = 100, amp: float = 100.0):
+    t = np.arange(m) / sr
+    return amp * np.sin(2 * np.pi * freq_hz * t)
+
+
+def test_frequency_from_fft_position():
+    assert frequency_from_fft_position(81, 100, 8192) == pytest.approx(
+        81 * 100 / 8192
+    )
+
+
+def test_band_means_matches_literal_port(rng):
+    for _ in range(5):
+        d = rng.normal(0, 1, 700)
+        b_got, m_got = band_means(d, CONF)
+        b_exp, m_exp = loop_band_means(d, CONF)
+        np.testing.assert_allclose(b_got, b_exp, atol=0)
+        np.testing.assert_allclose(m_got, m_exp, rtol=1e-12)
+
+
+def test_band_means_integer_division_quirk():
+    # padded len 2048 for m=700; 2048 // 100 = 20 (int division), so the
+    # below-1Hz cutoff index is 20, NOT round(2048/100*1.0)=20.48→20;
+    # with sr=300: 2048//300=6 → lo=6 (not 6.83→6) — assert via port
+    conf = SpectralConf(sample_rate=300)
+    d = np.ones(700)
+    b_got, m_got = band_means(d, conf)
+    b_exp, m_exp = loop_band_means(d, conf)
+    np.testing.assert_allclose(b_got, b_exp)
+    np.testing.assert_allclose(m_got, m_exp, rtol=1e-12)
+
+
+def test_dominant_freq_finds_planted_sines(rng):
+    d = sine(3.0) + 0.5 * sine(7.0) + rng.normal(0, 0.1, 800)
+    top, mean, std, _ = dominant_frequencies(d, CONF)
+    assert abs(top[0] - 3.0) < 0.2
+    assert any(abs(f - 7.0) < 0.3 for f in top[:3])
+
+
+def test_dominant_freq_matches_literal_port(rng):
+    for _ in range(5):
+        d = rng.normal(0, 1, 777)
+        top_g, mean_g, std_g, _ = dominant_frequencies(d, CONF)
+        top_e, mean_e, std_e = loop_dominant_freqs(d, CONF)
+        np.testing.assert_allclose(top_g, top_e, atol=0)
+        assert mean_g == pytest.approx(mean_e, rel=1e-12)
+        assert std_g == pytest.approx(std_e, rel=1e-9)
+
+
+def test_dominant_freq_band_dedup_spacing():
+    conf = SpectralConf(band_width=2.0, top_freq_count=3)
+    d = sine(3.0) + 0.9 * sine(3.4)  # within one band of each other
+    top, *_ = dominant_frequencies(d, conf)
+    assert all(
+        abs(a - b) >= 2.0 for i, a in enumerate(top) for b in top[i + 1:]
+    )
+
+
+def test_mean_amplitude_bands():
+    conf = SpectralConf(mean_amplitude_bands=((1.5, 5.0), (5.0, 7.8)))
+    d = sine(3.0)
+    _, _, _, amps = dominant_frequencies(d, conf)
+    assert len(amps) == 2
+    assert amps[0] > amps[1]  # 3 Hz energy lands in the first band
+
+
+def test_normalise_band_means():
+    v = normalise_band_means(np.array([3.0, 4.0]))
+    np.testing.assert_allclose(v, [0.6, 0.8])
+
+
+def test_spectrogram_buckets():
+    conf = SpectralConf()
+    d = np.concatenate((sine(2.0, 400), sine(8.0, 400)))
+    buckets = spectrogram_buckets(d, 4.0, conf)  # 4s × 100Hz = 400-sample chunks
+    assert len(buckets) == 2
+    for bands, means in buckets:
+        assert np.sqrt((means ** 2).sum()) == pytest.approx(1.0)
+    # energy moves from low bands (bucket 0) to high bands (bucket 1)
+    b0, m0 = buckets[0]
+    b1, m1 = buckets[1]
+    assert b0[np.argmax(m0)] < b1[np.argmax(m1)]
