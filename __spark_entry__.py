@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship rollup+gap-fill pipeline at
+sf0.001.  ``queries()`` / ``oracle_sql()`` expose every SQL-expressible
+operator from SURVEY.md §2 for the DuckDB cross-check at sf0.01.
+
+Column-name contract: every computed column is aliased identically in
+the Spark plan and the oracle SQL.  Float aggregates are rounded on
+BOTH sides (2 dp for large-magnitude sums, 6 dp for unit-scale
+averages) so accumulation-order differences can't flip the value hash.
 """
 
 from __future__ import annotations
@@ -12,27 +15,402 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+
+def _utc(spark: SparkSession) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tumbling rollup cascade + LOCF gap-fill on the events
+    stream at sf0.001 (the engine's primary timeseries path)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import (
+        gap_fill_locf,
+        rollup_cascade,
+    )
+
+    events = _t(spark, "/root/testdata/sf0.001", "events")
+    tiers = rollup_cascade(events, ["user_id"], "ts", "value")
+    return gap_fill_locf(tiers["1 hour"], ["user_id"], "1 hour")
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_rollup_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+
+    rolled = tumbling_rollup(_t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 minute")
+    return rolled.select(
+        "user_id", "bucket_start", "turns",
+        F.round(F.col("vsum") + 1e-9, 2).alias("vsum"),
+        "vmin", "vmax",
+        F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+    )
+
+
+_SQL_ROLLUP_1M = """
+SELECT user_id, date_trunc('minute', ts) AS bucket_start,
+       count(*) AS turns,
+       round(sum(value) + 1e-9, 2) AS vsum,
+       min(value) AS vmin, max(value) AS vmax,
+       round(avg(value) + 1e-9, 6) AS vavg
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_rollup_1h_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tier computed FROM the 1m tier (continuous-aggregate step);
+    oracle recomputes directly from raw — parity is the point."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import rollup_cascade
+
+    tiers = rollup_cascade(_t(spark, sf_dir, "events"), ["user_id"], "ts", "value",
+                           ("1 minute", "1 hour"))
+    t = tiers["1 hour"]
+    return t.select(
+        "user_id", "bucket_start", "turns",
+        F.round(F.col("vsum") + 1e-9, 2).alias("vsum"),
+        "vmin", "vmax",
+        F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+    )
+
+
+_SQL_ROLLUP_1H = _SQL_ROLLUP_1M.replace("'minute'", "'hour'")
+
+
+def _q_rollup_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import rollup_cascade
+
+    tiers = rollup_cascade(_t(spark, sf_dir, "events"), ["user_id"], "ts", "value")
+    return tiers["1 day"].select(
+        "user_id", "bucket_start", "turns",
+        F.round(F.col("vsum") + 1e-9, 2).alias("vsum"),
+        "vmin", "vmax",
+        F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+    )
+
+
+_SQL_ROLLUP_1D = _SQL_ROLLUP_1M.replace("'minute'", "'day'")
+
+
+def _q_activity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcript-shaped activity rollup: turns per (conv, 1m bucket),
+    count-only (the curve that feeds the xcorr dedup kernels)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+
+    events = _t(spark, sf_dir, "events")
+    transcripts = events.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("ts"),
+    )
+    return tumbling_rollup(transcripts, ["conv_id"], "ts", None, "1 minute")
+
+
+_SQL_ACTIVITY = """
+SELECT cast(user_id AS varchar) AS conv_id,
+       date_trunc('minute', ts) AS bucket_start,
+       count(*) AS turns
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import gap_fill_locf, tumbling_rollup
+
+    rolled = tumbling_rollup(_t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour")
+    filled = gap_fill_locf(rolled, ["user_id"], "1 hour")
+    return filled.select(
+        "user_id", "bucket_start", "turns", "filled",
+        F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+    )
+
+
+_SQL_GAPFILL_LOCF = """
+WITH rolled AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         count(*) AS turns, avg(value) AS vavg
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM (SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+        FROM rolled GROUP BY 1)
+), j AS (
+  SELECT s.user_id, s.bucket_start, r.turns, r.vavg
+  FROM spine s LEFT JOIN rolled r USING (user_id, bucket_start)
+)
+SELECT user_id, bucket_start,
+       coalesce(turns, 0) AS turns,
+       (turns IS NULL) AS filled,
+       round(last_value(vavg IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY bucket_start
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-9, 6) AS vavg
+FROM j
+"""
+
+
+def _q_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import gap_fill_linear, tumbling_rollup
+
+    rolled = tumbling_rollup(_t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour")
+    filled = gap_fill_linear(rolled, ["user_id"], "1 hour", "vavg")
+    return filled.select(
+        "user_id", "bucket_start", "turns", "filled",
+        F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+    )
+
+
+_SQL_GAPFILL_LINEAR = """
+WITH rolled AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         count(*) AS turns, avg(value) AS vavg
+  FROM events GROUP BY 1, 2
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_start
+  FROM (SELECT user_id, min(bucket_start) AS lo, max(bucket_start) AS hi
+        FROM rolled GROUP BY 1)
+), j AS (
+  SELECT s.user_id, s.bucket_start, r.turns, r.vavg,
+         epoch(s.bucket_start) AS tsec
+  FROM spine s LEFT JOIN rolled r USING (user_id, bucket_start)
+), br AS (
+  SELECT *,
+    last_value(vavg IGNORE NULLS) OVER w_prev AS prev_v,
+    last_value(CASE WHEN vavg IS NOT NULL THEN tsec END IGNORE NULLS) OVER w_prev AS prev_t,
+    first_value(vavg IGNORE NULLS) OVER w_next AS next_v,
+    first_value(CASE WHEN vavg IS NOT NULL THEN tsec END IGNORE NULLS) OVER w_next AS next_t
+  FROM j
+  WINDOW
+    w_prev AS (PARTITION BY user_id ORDER BY bucket_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY user_id ORDER BY bucket_start
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, bucket_start,
+       coalesce(turns, 0) AS turns,
+       (turns IS NULL) AS filled,
+       round(CASE
+         WHEN vavg IS NOT NULL THEN vavg
+         WHEN prev_v IS NULL THEN next_v
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v) * (tsec - prev_t) / (next_t - prev_t)
+       END + 1e-9, 6) AS vavg
+FROM br
+"""
+
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped agg (threshold filters + grouped aggregation —
+    P8/A5/A6 analogue on the driver star schema)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity") + 1e-9, 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice") + 1e-9, 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity") + 1e-9, 6).alias("avg_qty"),
+            F.round(F.avg("l_discount") + 1e-9, 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) + 1e-9, 2) AS sum_qty,
+       round(sum(l_extendedprice) + 1e-9, 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_disc_price,
+       round(avg(l_quantity) + 1e-9, 6) AS avg_qty,
+       round(avg(l_discount) + 1e-9, 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def _q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window top-k (W2/W4 analogue): top 3 events by value per
+    event_type, ties broken by event_id."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("event_type", "event_id", "value", "rn")
+    )
+
+
+_SQL_TOPK = """
+SELECT event_type, event_id, value, rn FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+"""
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user session ids from >30-minute gaps
+    (lag + cumulative sum over the ts window)."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tsec = F.col("ts").cast("timestamp").cast("long")  # NTZ-safe epoch
+    gap = tsec - F.lag(tsec).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        events.withColumn("session_id", sess.cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                OR lag(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS bigint) AS session_id
+  FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup: md5 hash-groupBy keeping the lowest doc_id per
+    text (training-data pipeline primitive)."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("h", F.md5(F.col("text")))
+        .groupBy("h")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(text) AS h, min(doc_id) AS keep_doc_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def _q_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast equi-join (J2 analogue): orders × customer dim."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice") + 1e-9, 2).alias("revenue"),
+        )
+    )
+
+
+_SQL_JOIN_OC = """
+SELECT c_nationkey, count(*) AS n_orders,
+       round(sum(o_totalprice) + 1e-9, 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY 1
+"""
+
+
+def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-difference anti-join (J3 / AnalyseProcessor FP-FN analogue):
+    customers with no orders."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": _q_rollup_1m,
+        "rollup_1h_cascade": _q_rollup_1h_cascade,
+        "rollup_1d_cascade": _q_rollup_1d_cascade,
+        "activity_curve_1m": _q_activity_curve,
+        "gapfill_locf_1h": _q_gapfill_locf,
+        "gapfill_linear_1h": _q_gapfill_linear,
+        "tpch_q1": _q_tpch_q1,
+        "topk_per_group": _q_topk_per_group,
+        "sessionize": _q_sessionize,
+        "dedup_exact": _q_dedup_exact,
+        "join_orders_customers": _q_join_orders_customers,
+        "anti_join_no_orders": _q_anti_join,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m": _SQL_ROLLUP_1M,
+        "rollup_1h_cascade": _SQL_ROLLUP_1H,
+        "rollup_1d_cascade": _SQL_ROLLUP_1D,
+        "activity_curve_1m": _SQL_ACTIVITY,
+        "gapfill_locf_1h": _SQL_GAPFILL_LOCF,
+        "gapfill_linear_1h": _SQL_GAPFILL_LINEAR,
+        "tpch_q1": _SQL_TPCH_Q1,
+        "topk_per_group": _SQL_TOPK,
+        "sessionize": _SQL_SESSIONIZE,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "join_orders_customers": _SQL_JOIN_OC,
+        "anti_join_no_orders": _SQL_ANTI,
+    }

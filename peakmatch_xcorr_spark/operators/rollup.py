@@ -1,0 +1,256 @@
+"""Tumbling-window rollup cascade + gap-fill + retention.
+
+The engine generalization of the reference's band-mean rollup
+(Util.java:214-251: groupBy(floor(freq/width)*width).agg(mean)) and
+PLOT2D tumbling bucket slicing (Plot2DProcessor.java:39-88) to time
+buckets over keyed streams, per the north rule: continuous aggregates
+at 1m/1h/1d retention tiers, LOCF / linear-interpolation gap fill,
+Gorilla/delta-of-delta packed payloads.
+
+Scale notes (100 TB / 10^12 turns):
+- ``tumbling_rollup`` is one shuffle on (keys, bucket); Spark's
+  hash aggregate does map-side partial aggregation, so shuffle volume
+  is ~one row per (key, bucket) per input partition, not per turn.
+- the cascade computes each coarser tier FROM the previous tier
+  (sum-of-sums / min-of-mins / count-of-counts), so the 1h and 1d
+  shuffles see only rolled data (~1/60, ~1/1440 of raw).
+- gap-fill scaffolds with sequence()+explode bounded per key by that
+  key's own [min, max] bucket range; window functions partition by
+  key, so skew is bounded by the largest single conversation (salting
+  is applied upstream in the pair/featurize path where it matters).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# canonical column aliases shared with the DuckDB oracle SQL
+AGG_COLS = ("turns", "vsum", "vmin", "vmax", "vavg")
+
+
+def epoch_seconds(col):
+    """Timestamp → epoch seconds; NTZ-safe (Spark 4 forbids NTZ→long
+    directly; session TZ is pinned UTC so the hop is exact)."""
+    return F.col(col).cast("timestamp").cast("long") if isinstance(col, str) else col.cast("timestamp").cast("long")
+
+_BUCKET_SECONDS = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
+
+
+def bucket_seconds(bucket: str) -> int:
+    if bucket not in _BUCKET_SECONDS:
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    return _BUCKET_SECONDS[bucket]
+
+
+def tumbling_rollup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    bucket: str = "1 minute",
+) -> DataFrame:
+    """groupBy(keys, window(ts, bucket)) -> count/sum/min/max/avg.
+
+    One shuffle; Catalyst plans partial_count/partial_sum map-side.
+    ``value_col=None`` rolls counts only (the transcript activity
+    curve: turns per bucket).
+    """
+    win = F.window(ts_col, bucket)
+    aggs = [F.count(F.lit(1)).alias("turns")]
+    if value_col is not None:
+        aggs += [
+            F.sum(value_col).alias("vsum"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+            F.avg(value_col).alias("vavg"),
+        ]
+    return (
+        df.groupBy(*keys, win.alias("w"))
+        .agg(*aggs)
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+        .select(*keys, "bucket_start", *[a for a in AGG_COLS if value_col or a == "turns"])
+    )
+
+
+def cascade_tier(
+    finer: DataFrame, keys: list[str], bucket: str, has_values: bool = True
+) -> DataFrame:
+    """Continuous-aggregate step: compute a coarser tier FROM the finer
+    tier (never from raw).  count-of-counts / sum-of-sums / min-of-mins
+    / max-of-maxes; avg re-derived as vsum/turns-weighted.
+
+    Exact-parity with recompute-from-raw is tested in
+    tests/test_rollup.py (north rule: rolled-up points match the
+    reference at each retention tier).
+    """
+    win = F.window("bucket_start", bucket)
+    aggs = [F.sum("turns").alias("turns")]
+    if has_values:
+        aggs += [
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        ]
+    out = (
+        finer.groupBy(*keys, win.alias("w"))
+        .agg(*aggs)
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+    )
+    if has_values:
+        out = out.withColumn("vavg", F.col("vsum") / F.col("turns"))
+    cols = [a for a in AGG_COLS if has_values or a == "turns"]
+    return out.select(*keys, "bucket_start", *cols)
+
+
+def rollup_cascade(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    tiers: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
+) -> dict[str, DataFrame]:
+    """Full cascade raw -> tiers[0] -> tiers[1] -> ... (each tier from
+    the previous one).  Tier widths must be multiples of the previous."""
+    out: dict[str, DataFrame] = {}
+    prev = None
+    for t in tiers:
+        if prev is None:
+            cur = tumbling_rollup(df, keys, ts_col, value_col, t)
+        else:
+            cur = cascade_tier(prev, keys, t, has_values=value_col is not None)
+        out[t] = cur
+        prev = cur
+    return out
+
+
+def bucket_scaffold(
+    rolled: DataFrame, keys: list[str], bucket: str
+) -> DataFrame:
+    """Dense per-key bucket spine: sequence(min_bucket, max_bucket,
+    interval) + explode.  Bounded per key by that key's own span."""
+    step = bucket_seconds(bucket)
+    spine = (
+        rolled.groupBy(*keys)
+        .agg(
+            F.min("bucket_start").alias("lo"),
+            F.max("bucket_start").alias("hi"),
+        )
+        .select(
+            *keys,
+            F.explode(
+                F.sequence("lo", "hi", F.expr(f"interval {step} seconds"))
+            ).alias("bucket_start"),
+        )
+    )
+    return spine
+
+
+def gap_fill_locf(
+    rolled: DataFrame,
+    keys: list[str],
+    bucket: str,
+    fill_cols: tuple[str, ...] = ("vavg",),
+) -> DataFrame:
+    """LOCF gap fill on the dense bucket spine.
+
+    Missing buckets get turns=0, filled=true, and each ``fill_col``
+    carried forward via last(ignorenulls) over the ts-ordered window
+    (SURVEY.md §2.6: the lag/last(ignorenulls) the north rule needs).
+    """
+    spine = bucket_scaffold(rolled, keys, bucket)
+    joined = spine.join(rolled, [*keys, "bucket_start"], "left")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("bucket_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.withColumn("filled", F.col("turns").isNull())
+    for c in fill_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out.withColumn("turns", F.coalesce("turns", F.lit(0)))
+
+
+def gap_fill_linear(
+    rolled: DataFrame,
+    keys: list[str],
+    bucket: str,
+    fill_col: str = "vavg",
+) -> DataFrame:
+    """Linear-interpolation gap fill: bracket each missing bucket with
+    the previous and next non-null (value, ts) and interpolate by
+    bucket position; edges fall back to the available side (LOCF/NOCB).
+    """
+    spine = bucket_scaffold(rolled, keys, bucket)
+    joined = spine.join(rolled, [*keys, "bucket_start"], "left")
+    order = epoch_seconds("bucket_start")
+    w_prev = (
+        Window.partitionBy(*keys)
+        .orderBy(order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*keys)
+        .orderBy(order)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(fill_col)
+    t = epoch_seconds("bucket_start").cast("double")
+    has = v.isNotNull()
+    prev_v = F.last(F.when(has, v), ignorenulls=True).over(w_prev)
+    prev_t = F.last(F.when(has, t), ignorenulls=True).over(w_prev)
+    next_v = F.first(F.when(has, v), ignorenulls=True).over(w_next)
+    next_t = F.first(F.when(has, t), ignorenulls=True).over(w_next)
+    frac = (t - prev_t) / (next_t - prev_t)
+    interp = (
+        F.when(has, v)
+        .when(prev_v.isNull(), next_v)  # leading edge: NOCB
+        .when(next_v.isNull(), prev_v)  # trailing edge: LOCF
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return (
+        joined.withColumn("filled", ~has)
+        .withColumn(fill_col, interp)
+        .withColumn("turns", F.coalesce("turns", F.lit(0)))
+    )
+
+
+def retention_expire(
+    tier: DataFrame, horizon_ts, ts_col: str = "bucket_start"
+) -> DataFrame:
+    """Drop buckets older than the tier's retention horizon.  On a
+    partitioned table this is partition pruning, not a scan."""
+    return tier.filter(F.col(ts_col) >= F.lit(horizon_ts))
+
+
+def pack_tier(
+    tier: DataFrame, keys: list[str], value_col: str = "vavg"
+) -> DataFrame:
+    """Per-key Gorilla/delta-of-delta packed payload columns
+    (ts_packed, val_packed) via one applyInPandas over the key —
+    vectorized Arrow transfer, numpy bit-packing inside
+    (kernels/codecs.py), no per-row Python."""
+    import pandas as pd  # noqa: F401 — imported on executors
+
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    schema = (
+        f"{key_fields}, n_buckets long, ts_packed binary, val_packed binary"
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.codecs import dod_encode, gorilla_encode
+
+        pdf = pdf.sort_values("bucket_start")
+        ts = pdf["bucket_start"].astype("datetime64[us]").astype("int64").to_numpy()
+        vals = pdf[value_col].astype("float64").to_numpy()
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["n_buckets"] = [len(pdf)]
+        row["ts_packed"] = [dod_encode(ts)]
+        row["val_packed"] = [gorilla_encode(vals)]
+        return pd.DataFrame(row)
+
+    return tier.groupBy(*keys).applyInPandas(pack, schema=schema)

@@ -1,0 +1,187 @@
+"""Snapshot/manifest parquet warehouse.
+
+The reference engine checkpoints between phases ONLY via files on disk
+(xcorr.candidates / xcorr.postprocess / xcorr.saved + the mmap FFT
+cache — XCorrProcessor.java:36-40, MMappedFFTCache.java:36-37).  The
+engine keeps that property but expresses it as an Iceberg-style table
+layer: every append/overwrite is an immutable snapshot with a JSON
+manifest listing its data files, parent version, row counts, and
+per-partition lineage.  When a real Iceberg catalog + runtime jar is
+configured the same interface maps onto ``df.writeTo(...)`` — this
+module is the jar-less fallback with identical semantics:
+
+- append-only snapshot chain with atomic manifest commit (tmp+rename);
+- snapshot diff (files added between two versions) driving
+  incremental continuous-aggregate refresh;
+- job checkpoint manifests (which phases committed against which
+  source snapshot) so any retention-tier job is resumable mid-run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)  # atomic on POSIX
+
+
+@dataclass
+class Snapshot:
+    version: int
+    parent: int | None
+    operation: str
+    files: list[dict]  # [{path, rows}] relative to table data dir
+    job_id: str | None = None
+    metrics: dict = field(default_factory=dict)
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "operation": self.operation,
+            "files": self.files,
+            "job_id": self.job_id,
+            "metrics": self.metrics,
+        }
+
+
+class WarehouseTable:
+    """One table = data/ parquet files + snapshots/vNNNNN.json chain."""
+
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.data_dir = os.path.join(self.dir, "data")
+        self.snap_dir = os.path.join(self.dir, "snapshots")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    # ---- snapshot chain ----
+    def versions(self) -> list[int]:
+        return sorted(
+            int(f[1:6])
+            for f in os.listdir(self.snap_dir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def snapshot(self, version: int) -> Snapshot:
+        with open(os.path.join(self.snap_dir, f"v{version:05d}.json")) as f:
+            j = json.load(f)
+        return Snapshot(
+            version=j["version"],
+            parent=j["parent"],
+            operation=j["operation"],
+            files=j["files"],
+            job_id=j.get("job_id"),
+            metrics=j.get("metrics", {}),
+        )
+
+    def _commit(self, op: str, new_files: list[dict], job_id: str | None,
+                metrics: dict, keep_parent_files: bool) -> Snapshot:
+        cur = self.current_version()
+        files = []
+        if keep_parent_files and cur is not None:
+            files.extend(self.snapshot(cur).files)
+        files.extend(new_files)
+        snap = Snapshot(
+            version=(cur or 0) + 1,
+            parent=cur,
+            operation=op,
+            files=files,
+            job_id=job_id,
+            metrics=metrics,
+        )
+        _atomic_write_json(
+            os.path.join(self.snap_dir, f"v{snap.version:05d}.json"),
+            snap.to_json(),
+        )
+        return snap
+
+    # ---- writes ----
+    def _write_data(self, df: DataFrame) -> list[dict]:
+        """Write df as parquet under a fresh uuid dir; return file list
+        with row counts (the per-partition lineage record)."""
+        sub = uuid.uuid4().hex
+        out = os.path.join(self.data_dir, sub)
+        df.write.mode("overwrite").parquet(out)
+        files = []
+        for fn in sorted(os.listdir(out)):
+            if fn.endswith(".parquet"):
+                p = os.path.join(sub, fn)
+                files.append({"path": p, "bytes": os.path.getsize(os.path.join(self.data_dir, p))})
+        return files
+
+    def append(self, df: DataFrame, job_id: str | None = None, metrics: dict | None = None) -> Snapshot:
+        rows = df.count()
+        files = self._write_data(df)
+        m = {"rows_appended": rows, "committed_at": time.time(), **(metrics or {})}
+        return self._commit("append", files, job_id, m, keep_parent_files=True)
+
+    def overwrite(self, df: DataFrame, job_id: str | None = None, metrics: dict | None = None) -> Snapshot:
+        rows = df.count()
+        files = self._write_data(df)
+        m = {"rows": rows, "committed_at": time.time(), **(metrics or {})}
+        return self._commit("overwrite", files, job_id, m, keep_parent_files=False)
+
+    # ---- reads ----
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.dir} has no snapshots")
+        paths = [os.path.join(self.data_dir, f["path"]) for f in self.snapshot(v).files]
+        return spark.read.parquet(*paths)
+
+    def diff_files(self, from_version: int | None, to_version: int) -> list[str]:
+        """Files added between two snapshots — the incremental-refresh
+        input set (Iceberg snapshot-diff equivalent)."""
+        new = {f["path"] for f in self.snapshot(to_version).files}
+        old: set[str] = set()
+        if from_version is not None:
+            old = {f["path"] for f in self.snapshot(from_version).files}
+        return sorted(new - old)
+
+    def read_diff(self, spark: SparkSession, from_version: int | None, to_version: int) -> DataFrame | None:
+        added = self.diff_files(from_version, to_version)
+        if not added:
+            return None
+        return spark.read.parquet(*[os.path.join(self.data_dir, p) for p in added])
+
+
+class JobCheckpoint:
+    """Phase-level checkpoint manifest: which phases of a job committed
+    against which source snapshot version.  The engine's analogue of
+    the reference's resume-from-file (AnalyseProcessor.java:190-257
+    xcorr.saved skip-cached pattern)."""
+
+    def __init__(self, root: str, job_id: str):
+        self.path = os.path.join(root, "checkpoints", f"{job_id}.json")
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        self.state: dict = {"job_id": job_id, "phases": {}}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.state = json.load(f)
+
+    def phase_done(self, phase: str, source_version: int | None) -> bool:
+        p = self.state["phases"].get(phase)
+        return p is not None and p.get("source_version") == source_version
+
+    def mark_done(self, phase: str, source_version: int | None, metrics: dict | None = None) -> None:
+        self.state["phases"][phase] = {
+            "source_version": source_version,
+            "metrics": metrics or {},
+            "committed_at": time.time(),
+        }
+        _atomic_write_json(self.path, self.state)

@@ -1,0 +1,157 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from peakmatch_xcorr_spark.operators.rollup import (
+    cascade_tier,
+    gap_fill_linear,
+    gap_fill_locf,
+    pack_tier,
+    retention_expire,
+    rollup_cascade,
+    tumbling_rollup,
+)
+from peakmatch_xcorr_spark.synth import SynthConf, generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def transcripts(spark):
+    res = generate_transcripts(SynthConf(n_convs=12, n_dup_pairs=2))
+    sdf = spark.createDataFrame(res.transcripts)
+    sdf.cache().count()
+    return sdf
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+
+
+def test_activity_rollup_equals_pandas_oracle(spark, transcripts):
+    got = (
+        tumbling_rollup(transcripts, ["conv_id"], "ts", None, "1 minute")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pdf = transcripts.toPandas()
+    exp = (
+        pdf.assign(bucket_start=pdf.ts.dt.floor("min"))
+        .groupby(["conv_id", "bucket_start"], as_index=False)
+        .size()
+        .rename(columns={"size": "turns"})
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got.turns.to_numpy() == exp.turns.to_numpy()).all()
+    assert (
+        got.bucket_start.to_numpy() == exp.bucket_start.to_numpy()
+    ).all()
+
+
+def test_cascade_equals_recompute_from_raw(spark, events):
+    """North-rule parity: every cascaded tier equals the groupBy oracle
+    computed directly from raw, exactly."""
+    tiers = rollup_cascade(
+        events, ["user_id"], "ts", "value", ("1 minute", "1 hour", "1 day")
+    )
+    for bucket in ("1 hour", "1 day"):
+        direct = tumbling_rollup(events, ["user_id"], "ts", "value", bucket)
+        cascaded = tiers[bucket]
+        d = direct.toPandas().sort_values(["user_id", "bucket_start"]).reset_index(drop=True)
+        c = cascaded.toPandas().sort_values(["user_id", "bucket_start"]).reset_index(drop=True)
+        assert len(d) == len(c)
+        assert (d.turns.to_numpy() == c.turns.to_numpy()).all()
+        np.testing.assert_allclose(d.vsum.to_numpy(), c.vsum.to_numpy(), rtol=1e-12)
+        np.testing.assert_array_equal(d.vmin.to_numpy(), c.vmin.to_numpy())
+        np.testing.assert_array_equal(d.vmax.to_numpy(), c.vmax.to_numpy())
+        np.testing.assert_allclose(d.vavg.to_numpy(), c.vavg.to_numpy(), rtol=1e-12)
+
+
+def test_gap_fill_locf(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 3 + ["b"] * 2,
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:30",
+                    "2024-01-01 00:03:10",  # 2-minute gap for a
+                    "2024-01-01 00:04:50",
+                    "2024-01-01 00:00:10",
+                    "2024-01-01 00:02:10",  # 1-minute gap for b
+                ]
+            ).astype("datetime64[us]"),
+            "value": [10.0, 40.0, 50.0, 1.0, 3.0],
+        }
+    )
+    rolled = tumbling_rollup(
+        spark.createDataFrame(pdf), ["k"], "ts", "value", "1 minute"
+    )
+    filled = (
+        gap_fill_locf(rolled, ["k"], "1 minute")
+        .toPandas()
+        .sort_values(["k", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    a = filled[filled.k == "a"]
+    assert list(a.turns) == [1, 0, 0, 1, 1]
+    assert list(a.filled) == [False, True, True, False, False]
+    assert list(a.vavg) == [10.0, 10.0, 10.0, 40.0, 50.0]
+    b = filled[filled.k == "b"]
+    assert list(b.vavg) == [1.0, 1.0, 3.0]
+    assert list(b.filled) == [False, True, False]
+
+
+def test_gap_fill_linear(spark):
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 2,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:30", "2024-01-01 00:03:30"]
+            ).astype("datetime64[us]"),
+            "value": [10.0, 40.0],
+        }
+    )
+    rolled = tumbling_rollup(
+        spark.createDataFrame(pdf), ["k"], "ts", "value", "1 minute"
+    )
+    filled = (
+        gap_fill_linear(rolled, ["k"], "1 minute")
+        .toPandas()
+        .sort_values("bucket_start")
+        .reset_index(drop=True)
+    )
+    # buckets 00:00->10, 00:01->20 (interp), 00:02->30 (interp), 00:03->40
+    np.testing.assert_allclose(filled.vavg.to_numpy(), [10.0, 20.0, 30.0, 40.0])
+    assert list(filled.filled) == [False, True, True, False]
+
+
+def test_retention_expire(spark, events):
+    rolled = tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour")
+    horizon = "2024-01-03 00:00:00"
+    kept = retention_expire(rolled, horizon).toPandas()
+    assert (kept.bucket_start >= pd.Timestamp(horizon)).all()
+    assert len(kept) < rolled.count()
+
+
+def test_pack_tier_roundtrip(spark, events):
+    from peakmatch_xcorr_spark.kernels.codecs import dod_decode, gorilla_decode
+
+    rolled = tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour")
+    packed = pack_tier(
+        rolled.withColumn("user_id", rolled.user_id.cast("string")),
+        ["user_id"],
+    ).toPandas()
+    oracle = rolled.toPandas()
+    oracle["user_id"] = oracle.user_id.astype(str)
+    for _, row in packed.iterrows():
+        g = oracle[oracle.user_id == row.user_id].sort_values("bucket_start")
+        ts = g.bucket_start.astype("datetime64[us]").astype("int64").to_numpy()
+        np.testing.assert_array_equal(dod_decode(bytes(row.ts_packed)), ts)
+        np.testing.assert_array_equal(
+            gorilla_decode(bytes(row.val_packed)), g.vavg.to_numpy()
+        )
+        assert row.n_buckets == len(g)

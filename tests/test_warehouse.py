@@ -1,0 +1,129 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from peakmatch_xcorr_spark.operators.refresh import ContinuousAggregate
+from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+from peakmatch_xcorr_spark.sources.warehouse import JobCheckpoint, WarehouseTable
+from peakmatch_xcorr_spark.synth import SynthConf, generate_transcripts
+
+
+@pytest.fixture()
+def wh(tmp_path):
+    return str(tmp_path / "warehouse")
+
+
+def _split_df(spark, n_head: int):
+    res = generate_transcripts(SynthConf(n_convs=10, n_dup_pairs=0, giant_conv=False))
+    pdf = res.transcripts.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    return (
+        spark.createDataFrame(pdf.iloc[:n_head]),
+        spark.createDataFrame(pdf.iloc[n_head:]),
+        spark.createDataFrame(pdf),
+    )
+
+
+def test_snapshot_append_and_diff(spark, wh):
+    t = WarehouseTable(wh, "transcripts")
+    d1, d2, full = _split_df(spark, 1500)
+    s1 = t.append(d1)
+    s2 = t.append(d2)
+    assert s1.version == 1 and s2.version == 2 and s2.parent == 1
+    assert t.read(spark).count() == full.count()
+    assert t.read(spark, version=1).count() == d1.count()
+    diff = t.read_diff(spark, 1, 2)
+    assert diff.count() == d2.count()
+    assert t.diff_files(None, 1) == [f["path"] for f in t.snapshot(1).files]
+
+
+def test_overwrite_replaces(spark, wh):
+    t = WarehouseTable(wh, "x")
+    d1, d2, _ = _split_df(spark, 1000)
+    t.append(d1)
+    t.overwrite(d2)
+    assert t.read(spark).count() == d2.count()
+
+
+def test_checkpoint_manifest(wh):
+    c = JobCheckpoint(wh, "job1")
+    assert not c.phase_done("1m", 3)
+    c.mark_done("1m", 3, {"rows": 10})
+    assert c.phase_done("1m", 3)
+    assert not c.phase_done("1m", 4)  # new source version → re-run
+    c2 = JobCheckpoint(wh, "job1")  # reloaded from disk
+    assert c2.phase_done("1m", 3)
+
+
+def _tiers_as_pandas(spark, agg):
+    out = {}
+    for tn, t in agg.tier_tables.items():
+        out[tn] = (
+            t.read(spark)
+            .toPandas()
+            .sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+    return out
+
+
+def test_incremental_refresh_matches_full_recompute(spark, wh):
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+
+    src.append(d1)
+    m1 = agg.refresh(spark)
+    assert m1["status"] == "refreshed"
+    src.append(d2)
+    m2 = agg.refresh(spark)
+    assert m2["status"] == "refreshed"
+    got = _tiers_as_pandas(spark, agg)
+
+    # oracle: recompute every tier from the full raw table directly
+    for tn, bucket in zip(("1m", "1h", "1d"), ("1 minute", "1 hour", "1 day")):
+        exp = (
+            tumbling_rollup(full, ["conv_id"], "ts", None, bucket)
+            .toPandas()
+            .sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        g = got[tn]
+        assert len(g) == len(exp), tn
+        assert (g.turns.to_numpy() == exp.turns.to_numpy()).all(), tn
+        assert (g.bucket_start.to_numpy() == exp.bucket_start.to_numpy()).all(), tn
+
+    # idempotent re-refresh
+    m3 = agg.refresh(spark)
+    assert m3["status"] == "up-to-date"
+
+
+def test_resume_after_mid_cascade_kill(spark, wh):
+    """Kill the cascade after the 1h phase commits; restart must skip
+    committed phases and produce tiers identical to an uninterrupted
+    run (byte-identical row sets)."""
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    src.append(full)
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        agg.refresh(spark, fail_after_phase="1h")
+    # 1m and 1h committed, 1d missing
+    assert agg.tier_tables["1m"].current_version() is not None
+    assert agg.tier_tables["1d"].current_version() is None
+
+    m = agg.refresh(spark)  # resume
+    assert m["status"] == "refreshed"
+    assert "1m" not in m  # phase was skipped, not recomputed
+
+    got = _tiers_as_pandas(spark, agg)
+    for tn, bucket in zip(("1m", "1h", "1d"), ("1 minute", "1 hour", "1 day")):
+        exp = (
+            tumbling_rollup(full, ["conv_id"], "ts", None, bucket)
+            .toPandas()
+            .sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[tn], exp[got[tn].columns], check_dtype=False)
