@@ -1,0 +1,245 @@
+"""Deduplication operators.
+
+- ``connected_components``: deterministic min-label propagation over a
+  DataFrame edge list (the reference's jgrapht ConnectivityInspector,
+  ClusteringProcessor.java:256-258, without GraphFrames) — the
+  dedup-group former for near-duplicate conversations.
+- ``dedup_transcripts``: xcorr-match edges → components → keep the
+  lexicographically-smallest conv per component; survivors' rows are
+  untouched (per-row text-equality invariant, BASELINE.json).
+- Training-data text dedup family over ``documents``:
+  exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash — each
+  returning keep/duplicate decisions; embedding cosine near-dup lives
+  in operators/similarity.py.
+
+Scale notes: label propagation is iterative joins on the edge list —
+each round is one shuffle of (edges ⋈ labels); rounds ≈ graph
+diameter (match components are near-cliques, so 2-4 rounds).  MinHash
+banding turns all-pairs O(N²) into per-bucket candidate joins; band
+buckets are salted by construction (hash prefixes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Deterministic connected components: every vertex converges to
+    the minimum vertex id reachable from it.  Returns (id, component).
+
+    Implementation: large-star/small-star-style min-label propagation
+    with plain DataFrame joins; caches each round and checks
+    convergence via a changed-labels count (bounded by ``max_iter``,
+    raises if not converged — determinism over silent wrong answers).
+    """
+    spark = edges.sparkSession
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        # candidate label for each vertex: min over neighbours' labels
+        neigh = (
+            sym.join(labels, sym.v == labels.id)
+            .select(F.col("u").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .union(neigh)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
+    sym.unpersist()
+    return labels
+
+
+def dedup_keepers(matches: DataFrame) -> DataFrame:
+    """From verified match pairs, compute the set of conv_ids to DROP
+    (everything in a component except its minimum id)."""
+    comps = connected_components(matches)
+    return comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("drop_id")
+    )
+
+
+def dedup_transcripts(transcripts: DataFrame, matches: DataFrame) -> DataFrame:
+    """Remove near-duplicate conversations, keeping the canonical
+    (minimum) conv_id per match component.  Anti-join leaves surviving
+    rows byte-identical (per-row invariant tested)."""
+    drops = dedup_keepers(matches)
+    return transcripts.join(
+        F.broadcast(drops),
+        transcripts.conv_id == drops.drop_id,
+        "left_anti",
+    )
+
+
+# ------------------------------------------------------------------ text dedup
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash groupBy: one row per distinct text with the
+    minimum id kept and the duplicate count."""
+    return (
+        docs.withColumn("h", F.md5(F.col(text_col)))
+        .groupBy("h")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+def _shingles(text_col: str, k: int = 5):
+    """Character k-shingle array (lowercased, whitespace-collapsed) —
+    JVM-side: regexp + sequence/transform, no UDF."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float = 0.7,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity on candidate pairs that share at
+    least one shingle (inverted-index join), filtered to >= threshold.
+    Quadratic only within shingle buckets — the relational form of the
+    reference's 'prune then verify' design."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    pairs = (
+        inv.alias("a")
+        .join(inv.alias("b"), "g")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return pairs
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash + LSH banding: shingle → num_hashes minhashes (xxhash64
+    with per-hash seeds, all JVM-side) → band signatures → bucket join.
+    Returns candidate pairs (id_a, id_b) — verify with
+    ``ngram_jaccard_pairs`` semantics or accept at banding precision."""
+    rows_per_band = num_hashes // bands
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(_shingles(text_col, k)).alias("g")
+    )
+    # minhash_i = min over shingles of xxhash64(shingle, seed=i)
+    mh = sh.groupBy("id").agg(
+        *[
+            F.min(F.xxhash64(F.col("g"), F.lit(i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.hash(*cols).alias("sig"))
+        )
+    buckets = mh.select("id", F.explode(F.array(*band_cols)).alias("bk")).select(
+        "id", F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig")
+    )
+    return (
+        buckets.alias("a")
+        .join(buckets.alias("b"), ["band", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """SimHash fingerprint per document + a prefix bucket for blocked
+    near-dup search.  Token-weighted bit votes, all JVM-side:
+    tokens → xxhash64 → per-bit +1/-1 votes → sign.
+
+    Returns (id, simhash, bucket).  Pairs within a bucket are
+    Hamming-near candidates (prefix LSH)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+")
+        ).alias("t"),
+    ).filter(F.length("t") > 0)
+    h = toks.withColumn("hv", F.xxhash64("t"))
+    votes = h.select(
+        "id",
+        *[
+            F.when(F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(bits)
+        ],
+    ).groupBy("id").agg(*[F.sum(f"b{i}").alias(f"b{i}") for i in range(bits)])
+    sim = votes.select(
+        "id",
+        sum(
+            (F.when(F.col(f"b{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63)))
+            for i in range(bits)
+        ).alias("simhash"),
+    )
+    return sim.withColumn(
+        "bucket", F.shiftrightunsigned(F.col("simhash"), bits - prefix_bits)
+    )

@@ -1,0 +1,169 @@
+"""Conversation activity curves + event featurization (Spark side of
+P1-P7 and S9: the reference's BasicEvent construction and FFT
+precache, re-expressed over tables).
+
+Dense curve assembly is pure Catalyst (map_from_entries + transform
+over sequence — no Python), so whole-stage codegen covers everything
+up to the numeric featurization, which is one Arrow-batched
+mapInPandas calling the numpy kernels.
+
+Scale notes: curves are one row per conversation (10^12 turns →
+~10^8-10^9 convs); the rollup shuffle is the only wide stage; the
+featurize map is embarrassingly parallel.  Salting is unnecessary
+here because the activity rollup output is already one row per
+(conv, bucket) — the giant-conversation skew collapses at that
+aggregation (bounded by curve_len rows per conv).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from peakmatch_xcorr_spark.config import PeakmatchConf
+from peakmatch_xcorr_spark.operators.rollup import (
+    bucket_seconds,
+    epoch_seconds,
+    tumbling_rollup,
+)
+
+FEATURE_SCHEMA = (
+    "conv_id string, series array<double>, max_peaks array<int>, "
+    "min_peaks array<int>, above_idx array<int>, peak_amp double, "
+    "n_peaks int, ok boolean"
+)
+
+FFT_SCHEMA = (
+    "conv_id string, fwd_re array<double>, fwd_im array<double>, "
+    "rev_re array<double>, rev_im array<double>, padded_len int"
+)
+
+
+def activity_curves(
+    transcripts: DataFrame,
+    bucket: str = "1 minute",
+    curve_len: int = 256,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-conversation fixed-length activity curve: turns per tumbling
+    bucket, indexed relative to the conversation's first bucket,
+    truncated to ``curve_len`` (reference: fixed expected-file-line-count,
+    BasicEvent.java:40-56 — truncate/zero-pad semantics).
+
+    Entirely JVM-side: rollup + window-min + map/sequence transform.
+    """
+    step = bucket_seconds(bucket)
+    rolled = tumbling_rollup(transcripts, [conv_col], ts_col, None, bucket)
+    w = Window.partitionBy(conv_col)
+    idx = (
+        (epoch_seconds("bucket_start") - F.min(epoch_seconds("bucket_start")).over(w))
+        / step
+    ).cast("int")
+    dense = (
+        rolled.withColumn("idx", idx)
+        .filter(F.col("idx") < curve_len)  # truncate, as the reference does
+        .groupBy(conv_col)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("idx", "turns"))
+            ).alias("m")
+        )
+        .select(
+            conv_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(curve_len - 1)),
+                lambda i: F.coalesce(
+                    F.element_at(F.col("m"), i).cast("double"), F.lit(0.0)
+                ),
+            ).alias("curve"),
+        )
+    )
+    return dense
+
+
+def featurize_curves(curves: DataFrame, conf: PeakmatchConf) -> DataFrame:
+    """numpy featurization kernel over Arrow batches (mapInPandas).
+    Convs with too few peaks get ok=false (the reference's
+    continue-on-error policy, Util.java:176-177)."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.signal import featurize
+
+        for pdf in batches:
+            out = {
+                "conv_id": [], "series": [], "max_peaks": [],
+                "min_peaks": [], "above_idx": [], "peak_amp": [],
+                "n_peaks": [], "ok": [],
+            }
+            for conv, curve in zip(pdf["conv_id"], pdf["curve"]):
+                arr = np.asarray(curve, dtype=np.float64)
+                try:
+                    f = featurize(arr, conf, pre_ingested=not conf.int_cast_ingest)
+                    out["series"].append(f.series)
+                    out["max_peaks"].append(f.max_peaks)
+                    out["min_peaks"].append(f.min_peaks)
+                    out["above_idx"].append(f.above_idx)
+                    out["peak_amp"].append(f.peak_amp)
+                    out["n_peaks"].append(f.n_peaks)
+                    out["ok"].append(True)
+                except ValueError:
+                    out["series"].append(np.zeros(0))
+                    out["max_peaks"].append(np.zeros(0, np.int32))
+                    out["min_peaks"].append(np.zeros(0, np.int32))
+                    out["above_idx"].append(np.zeros(0, np.int32))
+                    out["peak_amp"].append(float("nan"))
+                    out["n_peaks"].append(0)
+                    out["ok"].append(False)
+                out["conv_id"].append(conv)
+            yield pd.DataFrame(out)
+
+    return curves.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def conversation_features(
+    transcripts: DataFrame,
+    conf: PeakmatchConf,
+    bucket: str = "1 minute",
+    curve_len: int = 256,
+) -> DataFrame:
+    """transcripts → featurized activity curves (ok rows only)."""
+    return featurize_curves(
+        activity_curves(transcripts, bucket, curve_len), conf
+    ).filter(F.col("ok"))
+
+
+def fft_precache(features: DataFrame) -> DataFrame:
+    """Materializable event_fft table: forward rfft of the padded
+    series + rfft of the reversed series (FFTPreprocessedEvent.java:
+    22-38, FFTPrecacheProcessor.java:26-56).  Batched numpy rfft over
+    Arrow batches — compute once, reuse across verify joins."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.xcorr import next_power_of_two
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            series = np.stack([np.asarray(s, dtype=np.float64) for s in pdf["series"]])
+            n = next_power_of_two(2 * series.shape[1])
+            fwd = np.fft.rfft(series, n, axis=1)
+            rev = np.fft.rfft(series[:, ::-1], n, axis=1)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "fwd_re": list(np.real(fwd)),
+                    "fwd_im": list(np.imag(fwd)),
+                    "rev_re": list(np.real(rev)),
+                    "rev_im": list(np.imag(rev)),
+                    "padded_len": n,
+                }
+            )
+
+    return features.select("conv_id", "series").mapInPandas(run, schema=FFT_SCHEMA)

@@ -1,0 +1,233 @@
+"""Pair generation + peakmatch pruning + FFT verification.
+
+The reference's J1 upper-triangular self cross-join
+(PeakMatchRunner.java:23-48) fanned one thread per outer event; at
+10^8+ conversations the N²/2 pair space must be BLOCKED: every event
+is hashed into one of B blocks, each unordered block pair (bi ≤ bj)
+becomes one cogroup task, and the peakmatch kernel (K1) runs inside
+the task over that block pair's events.  Full coverage: every event
+pair lands in exactly one block pair; no pairs are lost (tested
+against the literal O(N²) loop).  Parallelism = B·(B+1)/2 tasks;
+per-task memory = 2 blocks of features.  Skew of the triangular
+workload (the reference's task i has N-i pairs) disappears because
+hash blocks are uniform.
+
+PEAKMATCH → candidates (score > candidate-threshold,
+PeakMatchRunner.java:39); POSTPROCESS → equi-join candidates to the
+persisted FFT table (S10/J2, PostProcessProcessor.java:45-94) and
+batch-verify with one vectorized irfft over all pairs in an Arrow
+batch (K3, Util.java:92-110); BRUTEFORCE → same join topology with
+the exact kernel over all pairs (BruteForceProcessor.java:51-88).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from peakmatch_xcorr_spark.config import PeakmatchConf
+
+PAIR_SCORE_SCHEMA = "id_a string, id_b string, score double"
+
+
+def _with_block(features: DataFrame, n_blocks: int) -> DataFrame:
+    """Deterministic hash block per event — no global sort, no skew
+    (vs. rank-based blocking which would need a total order)."""
+    return features.withColumn(
+        "block", F.pmod(F.xxhash64("conv_id"), F.lit(n_blocks)).cast("int")
+    )
+
+
+def _replicated_sides(features: DataFrame, n_blocks: int) -> tuple[DataFrame, DataFrame]:
+    """Left side: event of block b participates in block pairs (b, bj)
+    for all bj >= b.  Right side: (bi, b) for all bi <= b.  Every
+    unordered block pair is covered exactly once."""
+    fb = _with_block(features, n_blocks)
+    blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
+    left = fb.withColumn(
+        "bj", F.explode(F.filter(blocks, lambda x: x >= F.col("block")))
+    ).withColumnRenamed("block", "bi")
+    right = fb.withColumn(
+        "bi", F.explode(F.filter(blocks, lambda x: x <= F.col("block")))
+    ).withColumnRenamed("block", "bj")
+    return left, right
+
+
+def peakmatch_scores(
+    features: DataFrame,
+    conf: PeakmatchConf,
+    n_blocks: int = 16,
+    exact: bool = False,
+) -> DataFrame:
+    """All-pairs scores over the blocked self-join.
+
+    ``exact=False``: K1 peakmatch approximation (the cheap prune).
+    ``exact=True``: K3 FFT xcorr on every pair (BRUTEFORCE mode) —
+    the in-plan oracle for ANALYSE-style FP/FN accounting.
+    """
+    left, right = _replicated_sides(features, n_blocks)
+    stride = conf.sampling_stride
+
+    def compute(key, lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.xcorr import (
+            fft_xcorr_best,
+            peakmatch_best,
+        )
+
+        bi, bj = key
+        same = bi == bj
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="object"),
+                              "id_b": pd.Series(dtype="object"),
+                              "score": pd.Series(dtype="float64")})
+        # an absent cogroup side arrives as a zero-column frame
+        if len(lpdf) == 0 or (not same and len(rpdf) == 0):
+            return empty
+        if "p" not in lpdf.columns or (not same and "p" not in rpdf.columns):
+            # guard: Spark 4.1's ColumnPruning can strip non-grouping
+            # child columns of a cogroup; the single-struct payload
+            # survives it (see tests) — fail loudly if that changes
+            raise RuntimeError("cogroup payload pruned by optimizer")
+
+        def unpack(pdf):
+            p = list(pdf["p"])
+            return (
+                np.array([r["conv_id"] for r in p]),
+                [np.asarray(r["series"], dtype=np.float64) for r in p],
+                [np.asarray(r["max_peaks"]) for r in p],
+                [np.asarray(r["min_peaks"]) for r in p],
+                [np.asarray(r["above_idx"]) for r in p],
+            )
+
+        l_ids, l_series, l_max, l_min, l_above = unpack(lpdf)
+        order = np.argsort(l_ids, kind="stable")
+        l_ids = l_ids[order]
+        l_series = [l_series[i] for i in order]
+        l_max = [l_max[i] for i in order]
+        l_min = [l_min[i] for i in order]
+        l_above = [l_above[i] for i in order]
+        if same:
+            r_ids, r_series, r_max, r_min, r_above = (
+                l_ids, l_series, l_max, l_min, l_above
+            )
+        else:
+            r_ids, r_series, r_max, r_min, r_above = unpack(rpdf)
+            order = np.argsort(r_ids, kind="stable")
+            r_ids = r_ids[order]
+            r_series = [r_series[i] for i in order]
+            r_max = [r_max[i] for i in order]
+            r_min = [r_min[i] for i in order]
+            r_above = [r_above[i] for i in order]
+        out_a, out_b, out_s = [], [], []
+        for i in range(len(l_ids)):
+            j_start = i + 1 if same else 0
+            for j in range(j_start, len(r_ids)):
+                a, b = l_ids[i], r_ids[j]
+                if a == b:
+                    continue  # EventPair rejects self-pairs (EventPair.java:10-11)
+                # canonical pair order by name (EventPair.java:13-22).
+                # peakmatch is asymmetric (a shifted over b's sparse
+                # indexes); the reference scores in arbitrary directory
+                # order — we fix the deterministic choice: lexicographic
+                # min is always the 'a' side.
+                if a < b:
+                    ai, bj_ = i, j
+                    a_side, b_side = (l_series, l_max, l_min), (r_series, r_max, r_min, r_above)
+                    ka, kb = a, b
+                else:
+                    ai, bj_ = j, i
+                    a_side, b_side = (r_series, r_max, r_min), (l_series, l_max, l_min, l_above)
+                    ka, kb = b, a
+                if exact:
+                    s = fft_xcorr_best(a_side[0][ai], b_side[0][bj_])
+                else:
+                    s = peakmatch_best(
+                        stride, a_side[0][ai], b_side[0][bj_],
+                        a_side[1][ai], a_side[2][ai],
+                        b_side[1][bj_], b_side[2][bj_], b_side[3][bj_],
+                    )
+                out_a.append(ka)
+                out_b.append(kb)
+                out_s.append(float(s))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "score": out_s})
+
+    cols = ["conv_id", "series", "max_peaks", "min_peaks", "above_idx"]
+    payload = F.struct(*cols).alias("p")
+    lg = left.select("bi", "bj", payload).groupBy("bi", "bj")
+    rg = right.select("bi", "bj", payload).groupBy("bi", "bj")
+    return lg.cogroup(rg).applyInPandas(compute, schema=PAIR_SCORE_SCHEMA)
+
+
+def peakmatch_candidates(
+    features: DataFrame, conf: PeakmatchConf, n_blocks: int = 16
+) -> DataFrame:
+    """PEAKMATCH phase: candidate pairs above candidate-threshold."""
+    scores = peakmatch_scores(features, conf, n_blocks)
+    return scores.filter(F.col("score") > conf.candidate_threshold)
+
+
+def postprocess_verify(
+    candidates: DataFrame,
+    ffts: DataFrame,
+    conf: PeakmatchConf,
+    broadcast_ffts: bool = False,
+) -> DataFrame:
+    """POSTPROCESS phase: exact FFT xcorr on candidate pairs only.
+
+    Two equi-joins against the persisted event_fft table (the S9/S10
+    precompute-once pattern), then ONE batched irfft per Arrow batch —
+    all pairs in the batch verified with a single vectorized FFT call.
+    Returns (id_a, id_b, xcorr) above final-threshold.
+    """
+    f = F.broadcast(ffts) if broadcast_ffts else ffts
+    a = f.select(
+        F.col("conv_id").alias("id_a"),
+        F.col("fwd_re").alias("a_re"),
+        F.col("fwd_im").alias("a_im"),
+    )
+    b = f.select(
+        F.col("conv_id").alias("id_b"),
+        F.col("rev_re").alias("b_re"),
+        F.col("rev_im").alias("b_im"),
+        "padded_len",
+    )
+    joined = candidates.join(a, "id_a").join(b, "id_b")
+
+    def verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.xcorr import JAVA_DOUBLE_MIN_VALUE
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            n = int(pdf["padded_len"].iloc[0])
+            fa = np.stack(pdf["a_re"].to_numpy()) + 1j * np.stack(pdf["a_im"].to_numpy())
+            fb = np.stack(pdf["b_re"].to_numpy()) + 1j * np.stack(pdf["b_im"].to_numpy())
+            xc = np.fft.irfft(fa * fb, n, axis=1)
+            best = np.maximum(xc.max(axis=1), JAVA_DOUBLE_MIN_VALUE)
+            yield pd.DataFrame(
+                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "xcorr": best}
+            )
+
+    verified = joined.mapInPandas(
+        verify, schema="id_a string, id_b string, xcorr double"
+    )
+    return verified.filter(F.col("xcorr") > conf.final_threshold)
+
+
+def analyse_fp_fn(
+    candidates: DataFrame, truth: DataFrame
+) -> dict[str, DataFrame]:
+    """ANALYSE accuracy pass (AnalyseProcessor.java:66-87): set
+    differences between the approximation's candidates and exact
+    truth.  FPs are discarded later and cheap; FNs are permanent loss."""
+    key = ["id_a", "id_b"]
+    return {
+        "false_positives": candidates.join(truth, key, "left_anti"),
+        "false_negatives": truth.join(candidates, key, "left_anti"),
+        "true_positives": candidates.join(truth, key, "left_semi"),
+    }

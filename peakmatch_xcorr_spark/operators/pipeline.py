@@ -1,0 +1,56 @@
+"""End-to-end engine pipelines: the reference's mode sequence
+(PEAKMATCH → POSTPROCESS → dedup → rollup) as one declarative flow.
+
+``dedup_then_rollup`` is the north-star path: near-duplicate
+conversation-activity detection feeding dedup BEFORE rollup, then the
+retention cascade over the surviving rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from peakmatch_xcorr_spark.config import EngineConf
+from peakmatch_xcorr_spark.operators.dedup import dedup_transcripts
+from peakmatch_xcorr_spark.operators.features import (
+    conversation_features,
+    fft_precache,
+)
+from peakmatch_xcorr_spark.operators.pairs import (
+    peakmatch_candidates,
+    postprocess_verify,
+)
+from peakmatch_xcorr_spark.operators.rollup import rollup_cascade
+
+
+def find_duplicate_conversations(
+    transcripts: DataFrame,
+    conf: EngineConf,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """transcripts → activity curves → featurize → peakmatch prune →
+    FFT verify.  Returns matches (id_a, id_b, xcorr > final-threshold)."""
+    feats = conversation_features(
+        transcripts,
+        conf.peakmatch,
+        bucket=conf.rollup.activity_bucket,
+        curve_len=conf.rollup.activity_curve_len,
+    ).cache()
+    cands = peakmatch_candidates(feats, conf.peakmatch, n_blocks)
+    ffts = fft_precache(feats)
+    return postprocess_verify(cands, ffts, conf.peakmatch)
+
+
+def dedup_then_rollup(
+    transcripts: DataFrame,
+    conf: EngineConf,
+    n_blocks: int = 8,
+) -> tuple[DataFrame, dict[str, DataFrame]]:
+    """The flagship flow: dedup near-duplicate conversations, then the
+    full retention cascade over survivors.  Returns (deduped, tiers)."""
+    matches = find_duplicate_conversations(transcripts, conf, n_blocks)
+    deduped = dedup_transcripts(transcripts, matches)
+    tiers = rollup_cascade(
+        deduped, ["conv_id"], "ts", None, conf.rollup.tiers
+    )
+    return deduped, tiers

@@ -1,0 +1,242 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+from peakmatch_xcorr_spark.kernels.signal import featurize
+from peakmatch_xcorr_spark.kernels.xcorr import fft_xcorr_best, peakmatch_best
+from peakmatch_xcorr_spark.operators.dedup import (
+    connected_components,
+    dedup_transcripts,
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash_buckets,
+)
+from peakmatch_xcorr_spark.operators.features import (
+    activity_curves,
+    conversation_features,
+    fft_precache,
+)
+from peakmatch_xcorr_spark.operators.pairs import (
+    analyse_fp_fn,
+    peakmatch_candidates,
+    peakmatch_scores,
+    postprocess_verify,
+)
+from peakmatch_xcorr_spark.operators.pipeline import (
+    dedup_then_rollup,
+    find_duplicate_conversations,
+)
+from peakmatch_xcorr_spark.synth import SynthConf, generate_transcripts
+
+CONF = EngineConf(
+    peakmatch=PeakmatchConf(expected_len=256),
+    rollup=RollupConf(activity_curve_len=256),
+)
+
+
+@pytest.fixture(scope="module")
+def synth():
+    return generate_transcripts(SynthConf(n_convs=16, n_dup_pairs=3))
+
+
+@pytest.fixture(scope="module")
+def tdf(spark, synth):
+    df = spark.createDataFrame(synth.transcripts)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def feats(spark, tdf):
+    f = conversation_features(tdf, CONF.peakmatch, "1 minute", 256)
+    f.cache().count()
+    return f
+
+
+def test_activity_curves_match_synth_ground_truth(spark, tdf, synth):
+    curves = activity_curves(tdf, "1 minute", 256).toPandas()
+    got = {r.conv_id: np.asarray(r.curve) for r in curves.itertuples()}
+    for conv, true_curve in synth.curves.items():
+        if conv not in got:
+            continue
+        # synth curves start at the global epoch; activity_curves are
+        # relative to the conv's first active bucket
+        nz = np.nonzero(true_curve)[0]
+        expect = true_curve[nz[0]:][:256].astype(float)
+        g = got[conv][: len(expect)]
+        np.testing.assert_array_equal(g, expect)
+
+
+def test_features_match_kernel_directly(spark, feats, synth):
+    fpdf = feats.toPandas().set_index("conv_id")
+    checked = 0
+    for conv, curve in synth.curves.items():
+        if conv not in fpdf.index:
+            continue
+        nz = np.nonzero(curve)[0]
+        rel = curve[nz[0]:]
+        dense = np.zeros(256)
+        n = min(256, len(rel))
+        dense[:n] = rel[:n]
+        exp = featurize(dense, CONF.peakmatch)
+        row = fpdf.loc[conv]
+        np.testing.assert_allclose(np.asarray(row.series), exp.series, rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(row.max_peaks), exp.max_peaks)
+        np.testing.assert_array_equal(np.asarray(row.above_idx), exp.above_idx)
+        checked += 1
+    assert checked >= 10
+
+
+def test_blocked_pairs_cover_all_pairs_exactly_once(spark, feats):
+    """The blocked self-join must enumerate every unordered pair
+    exactly once, for several block counts (including B > N edge)."""
+    n = feats.count()
+    for nb in (1, 3, 8, 64):
+        scores = peakmatch_scores(feats, CONF.peakmatch, n_blocks=nb).toPandas()
+        assert len(scores) == n * (n - 1) // 2, f"n_blocks={nb}"
+        keys = set(zip(scores.id_a, scores.id_b))
+        assert len(keys) == len(scores)
+        assert all(a < b for a, b in keys)
+
+
+def test_blocked_scores_match_local_kernel(spark, feats):
+    """Spark-side blocked scores == driver-side loop over the same
+    features (the distributed plan changes nothing numerically)."""
+    fpdf = feats.toPandas().sort_values("conv_id").reset_index(drop=True)
+    local = {}
+    for i in range(len(fpdf)):
+        for j in range(i + 1, len(fpdf)):
+            a, b = fpdf.iloc[i], fpdf.iloc[j]
+            s = peakmatch_best(
+                CONF.peakmatch.sampling_stride,
+                np.asarray(a.series), np.asarray(b.series),
+                np.asarray(a.max_peaks), np.asarray(a.min_peaks),
+                np.asarray(b.max_peaks), np.asarray(b.min_peaks),
+                np.asarray(b.above_idx),
+            )
+            local[(a.conv_id, b.conv_id)] = s
+    got = peakmatch_scores(feats, CONF.peakmatch, n_blocks=4).toPandas()
+    assert len(got) == len(local)
+    for r in got.itertuples():
+        assert local[(r.id_a, r.id_b)] == pytest.approx(r.score, rel=1e-12)
+
+
+def test_postprocess_matches_exact_kernel(spark, feats):
+    cands = peakmatch_candidates(feats, CONF.peakmatch, n_blocks=4)
+    ffts = fft_precache(feats)
+    verified = postprocess_verify(cands, ffts, CONF.peakmatch).toPandas()
+    fpdf = feats.toPandas().set_index("conv_id")
+    for r in verified.itertuples():
+        exact = fft_xcorr_best(
+            np.asarray(fpdf.loc[r.id_a].series),
+            np.asarray(fpdf.loc[r.id_b].series),
+        )
+        assert r.xcorr == pytest.approx(exact, abs=1e-9)
+        assert r.xcorr > CONF.peakmatch.final_threshold
+
+
+def test_planted_dups_survive_pipeline(spark, tdf, synth):
+    """ANALYSE-style end-to-end: every planted near-duplicate pair must
+    be found (FN rate 0 on planted pairs at reference thresholds)."""
+    matches = find_duplicate_conversations(tdf, CONF, n_blocks=4).toPandas()
+    found = set(zip(matches.id_a, matches.id_b))
+    for pair in synth.dup_pairs:
+        assert pair in found, f"planted pair {pair} lost"
+
+
+def test_analyse_fp_fn_sets(spark, feats):
+    cands = peakmatch_candidates(feats, CONF.peakmatch, n_blocks=4)
+    truth = (
+        peakmatch_scores(feats, CONF.peakmatch, n_blocks=4, exact=True)
+        .filter(f"score > {CONF.peakmatch.final_threshold}")
+        .select("id_a", "id_b")
+    )
+    r = analyse_fp_fn(cands.select("id_a", "id_b"), truth)
+    fn = r["false_negatives"].count()
+    tp = r["true_positives"].count()
+    assert fn == 0  # FNs are permanent loss (README.md:22)
+    assert tp == truth.count()
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": ["a", "b", "x", "y", "p"],
+                "id_b": ["b", "c", "y", "z", "q"],
+            }
+        )
+    )
+    comps = connected_components(edges).toPandas().set_index("id")["component"]
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["x"] == comps["y"] == comps["z"] == "x"
+    assert comps["p"] == comps["q"] == "p"
+
+
+def test_dedup_preserves_survivor_rows_exactly(spark, tdf, synth):
+    """Per-row invariant (BASELINE.json input_hint): per-turn text
+    equality under stable (conv_id, turn_idx) ordering for all
+    surviving conversations."""
+    deduped, tiers = dedup_then_rollup(tdf, CONF, n_blocks=4)
+    ded = deduped.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    src = tdf.toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    survivors = set(ded.conv_id)
+    src_kept = src[src.conv_id.isin(survivors)].reset_index(drop=True)
+    pd.testing.assert_frame_equal(ded, src_kept)
+    # all planted duplicate partners reduced to one survivor each
+    for a, b in synth.dup_pairs:
+        assert (a in survivors) != (b in survivors) or a not in survivors
+    # tiers exist and roll the deduped rows
+    assert tiers["1 minute"].count() > 0
+
+
+def test_exact_dedup_spark(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4], "text": ["aa", "bb", "aa", "aa"]}
+        )
+    )
+    out = exact_dedup(docs).toPandas().sort_values("keep_id").reset_index(drop=True)
+    assert list(out.keep_id) == [1, 2]
+    assert list(out.dup_count) == [3, 1]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+
+def test_ngram_jaccard_and_minhash_agree(spark, docs):
+    """MinHash-LSH candidates must cover the high-Jaccard truth pairs
+    (recall at these banding parameters)."""
+    truth = ngram_jaccard_pairs(docs, threshold=0.8).toPandas()
+    cand = minhash_lsh_candidates(docs, num_hashes=32, bands=16).toPandas()
+    cand_set = set(zip(cand.id_a, cand.id_b))
+    missed = [
+        (r.id_a, r.id_b) for r in truth.itertuples()
+        if (r.id_a, r.id_b) not in cand_set
+    ]
+    assert not missed, f"LSH missed high-sim pairs: {missed[:5]}"
+
+
+def test_simhash_duplicates_same_bucket(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the quick brown fox jumps over the lazy dog",
+                    "the quick brown fox jumps over the lazy dog",
+                    "completely different content about spark engines",
+                ],
+            }
+        )
+    )
+    out = simhash_buckets(docs).toPandas().set_index("id")
+    assert out.loc[1].simhash == out.loc[2].simhash
+    assert out.loc[1].bucket == out.loc[2].bucket
+    assert out.loc[1].simhash != out.loc[3].simhash
