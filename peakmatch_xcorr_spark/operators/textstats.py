@@ -1,0 +1,134 @@
+"""Text analysis operators for the training-data pipeline, over the
+``documents`` table.  Everything is built-in pyspark.sql expressions
+(whole-stage codegen); no Python in the hot path.
+
+- language-ID: stopword-hit n-gram heuristic across a small built-in
+  profile set (deterministic, no external models)
+- quality scoring: length / punctuation / stopword / repetition ratios
+- token counting: whitespace tokens + a BPE-ish subword regex count
+- document fingerprinting: polynomial rolling hash of normalized text
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# minimal public stopword profiles (top function words per language)
+_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "von", "mit", "den", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "un", "por", "con"],
+}
+
+
+def _tokens(text_col: str):
+    return F.filter(
+        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s']", " ")), r"\s+"),
+        lambda t: F.length(t) > 0,
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: fraction of tokens hitting each language's
+    stopword profile; argmax wins, 'und' (undetermined) when no profile
+    scores above a floor.  Pure array expressions."""
+    toks = _tokens(text_col)
+    d = docs.withColumn("_toks", toks).withColumn(
+        "_n", F.greatest(F.size("_toks"), F.lit(1))
+    )
+    scores = []
+    for lang, words in _PROFILES.items():
+        hit = F.size(
+            F.filter("_toks", lambda t: t.isin(words))
+        ) / F.col("_n")
+        scores.append(F.struct(hit.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return (
+        d.withColumn(
+            "lang_pred",
+            F.when(best["score"] >= 0.05, best["lang"]).otherwise(F.lit("und")),
+        )
+        .withColumn("lang_score", F.round(best["score"], 6))
+        .drop("_toks", "_n")
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + a composite score in [0,1]:
+    length band, alpha ratio, punctuation ratio, stopword ratio,
+    mean word length band, repetition (distinct/total tokens)."""
+    t = F.col(text_col)
+    toks = _tokens(text_col)
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
+    d = (
+        docs.withColumn("_toks", toks)
+        .withColumn("n_tokens", F.size("_toks"))
+        .withColumn("n_distinct_tokens", F.size(F.array_distinct("_toks")))
+        .withColumn("alpha_ratio", n_alpha / F.greatest(n_chars, F.lit(1)))
+        .withColumn("punct_ratio", n_punct / F.greatest(n_chars, F.lit(1)))
+        .withColumn(
+            "stopword_ratio",
+            F.size(F.filter("_toks", lambda x: x.isin(_PROFILES["en"])))
+            / F.greatest(F.size("_toks"), F.lit(1)),
+        )
+        .withColumn(
+            "repetition_ratio",
+            1 - F.col("n_distinct_tokens") / F.greatest(F.col("n_tokens"), F.lit(1)),
+        )
+        .withColumn(
+            "mean_word_len",
+            F.aggregate("_toks", F.lit(0), lambda a, x: a + F.length(x))
+            / F.greatest(F.size("_toks"), F.lit(1)),
+        )
+    )
+    length_band = (
+        F.when(F.col("n_tokens") < 5, 0.2)
+        .when(F.col("n_tokens") < 20, 0.7)
+        .when(F.col("n_tokens") <= 2000, 1.0)
+        .otherwise(0.8)
+    )
+    wl_band = (
+        F.when((F.col("mean_word_len") >= 3) & (F.col("mean_word_len") <= 10), 1.0)
+        .otherwise(0.5)
+    )
+    composite = (
+        0.3 * length_band
+        + 0.2 * F.col("alpha_ratio")
+        + 0.2 * (1 - F.least(F.col("punct_ratio") * 5, F.lit(1.0)))
+        + 0.15 * (1 - F.col("repetition_ratio"))
+        + 0.15 * wl_band
+    )
+    return d.withColumn("quality", F.round(composite, 6)).drop("_toks")
+
+
+def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count (the regex
+    families GPT-style tokenizers use: word pieces, numbers, punct
+    runs) + a chars/4 heuristic."""
+    t = F.col(text_col)
+    ws = F.size(_tokens(text_col))
+    bpe_ish = F.size(
+        F.filter(
+            F.split(t, r"(?=\s)|(?<=\s)|(?=[^\w\s])|(?<=[^\w\s])"),
+            lambda x: F.length(F.trim(x)) > 0,
+        )
+    )
+    return (
+        docs.withColumn("ws_tokens", ws)
+        .withColumn("subword_pieces", bpe_ish)
+        .withColumn("approx_gpt_tokens", F.ceil(F.length(t) / 4))
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic 64-bit document fingerprint: xxhash64 of the
+    whitespace/case-normalized text (content identity), plus a
+    locality-sensitive prefix fingerprint of the first 256 chars."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return docs.withColumn("fp64", F.xxhash64(norm)).withColumn(
+        "fp_prefix", F.xxhash64(F.substring(norm, 1, 256))
+    )

@@ -1,0 +1,313 @@
+"""Tests for similarity, textstats, multimodal, clustering,
+spectral ops, and the reference event-dir source."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from peakmatch_xcorr_spark.config import ClusterConf, PeakmatchConf, SpectralConf
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+
+# ------------------------------------------------------------- similarity
+
+def test_cosine_topk_matches_numpy(spark, embeddings):
+    from peakmatch_xcorr_spark.operators.similarity import cosine_topk
+
+    queries = embeddings.limit(5)
+    got = cosine_topk(embeddings, queries, k=3).toPandas()
+    pdf = embeddings.toPandas()
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    qpdf = queries.toPandas()
+    for qid in qpdf.vec_id:
+        qi = np.where(ids == qid)[0][0]
+        cos = vecs @ vecs[qi]
+        cos[qi] = -np.inf  # exclude self
+        order = np.lexsort((ids, -cos))[:3]
+        exp_ids = ids[order]
+        g = got[got.query_id == qid].sort_values("rank")
+        np.testing.assert_array_equal(g.item_id.to_numpy(), exp_ids)
+        np.testing.assert_allclose(
+            g.cosine.to_numpy(), cos[order], rtol=1e-9
+        )
+
+
+def test_lsh_near_dups_cover_exact_high_cosine(spark, embeddings):
+    from peakmatch_xcorr_spark.operators.similarity import embedding_near_dups
+
+    pdf = embeddings.toPandas()
+    vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf.embedding])
+    vecs = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    sims = vecs @ vecs.T
+    iu = np.triu_indices(len(ids), 1)
+    truth = {
+        (int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+        for i, j in zip(*iu)
+        if sims[i, j] >= 0.95
+    }
+    dim = len(pdf.embedding.iloc[0])
+    got = embedding_near_dups(embeddings, dim=dim, threshold=0.95,
+                              n_planes=16, bands=8).toPandas()
+    got_set = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    # every reported pair is exact-verified; recall of truth is high
+    assert got_set <= {(a, b) for a, b in truth} | got_set  # sanity
+    for a, b in got_set:
+        assert (a, b) in truth
+    if truth:
+        assert len(got_set & truth) / len(truth) >= 0.9
+
+
+# ------------------------------------------------------------- textstats
+
+def test_language_id(spark):
+    from peakmatch_xcorr_spark.operators.textstats import language_id
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "the cat sat on the mat and it was happy for a while",
+                    "der hund ist nicht mit der katze und das ist gut",
+                    "zzz qqq xxx",
+                ],
+            }
+        )
+    )
+    out = language_id(docs).toPandas().set_index("doc_id")
+    assert out.loc[1].lang_pred == "en"
+    assert out.loc[2].lang_pred == "de"
+    assert out.loc[3].lang_pred == "und"
+
+
+def test_quality_score_ranges(spark, docs):
+    from peakmatch_xcorr_spark.operators.textstats import quality_score
+
+    out = quality_score(docs).toPandas()
+    assert ((out.quality >= 0) & (out.quality <= 1)).all()
+    assert (out.n_tokens >= 0).all()
+    # a long clean doc scores above a degenerate one
+    probe = quality_score(
+        docs.sparkSession.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2],
+                    "text": [
+                        "A well formed paragraph with reasonable words and structure. "
+                        "It continues for a while and has normal punctuation.",
+                        "!!! ??? ... ,,, ;;;",
+                    ],
+                }
+            )
+        )
+    ).toPandas().set_index("doc_id")
+    assert probe.loc[1].quality > probe.loc[2].quality
+
+
+def test_token_counts(spark):
+    from peakmatch_xcorr_spark.operators.textstats import token_counts
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["Hello, world! 123 test."]})
+    )
+    out = token_counts(df).toPandas().iloc[0]
+    assert out.ws_tokens == 4
+    assert out.subword_pieces >= 6  # words + punctuation pieces
+    assert out.approx_gpt_tokens == int(np.ceil(len("Hello, world! 123 test.") / 4))
+
+
+def test_fingerprint_normalization(spark):
+    from peakmatch_xcorr_spark.operators.textstats import fingerprint
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "text": ["Hello   World", "hello world", "different"]}
+        )
+    )
+    out = fingerprint(df).toPandas().set_index("doc_id")
+    assert out.loc[1].fp64 == out.loc[2].fp64  # case/space-insensitive
+    assert out.loc[1].fp64 != out.loc[3].fp64
+
+
+# ------------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing(spark):
+    from peakmatch_xcorr_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=24).cache()
+    img = image_features(media).toPandas()
+    assert len(img) == 8
+    assert all(len(f) == 16 for f in img.feature)
+    assert ((img.mean_intensity >= 0) & (img.mean_intensity <= 255)).all()
+
+    aud = audio_features(media).toPandas()
+    assert len(aud) == 8
+    assert (aud.duration_s == 0.5).all()  # 4000 samples @ 8 kHz
+    assert (aud.rms > 0).all()
+
+    fr = sample_frames(media, every_n=10).toPandas()
+    assert len(fr) == 8 * 3  # 30 frames, every 10th → 3 per video
+    assert set(fr.frame_idx) == {0, 10, 20}
+
+
+def test_multimodal_strict_mode_raises(spark):
+    from peakmatch_xcorr_spark.operators.multimodal import (
+        image_features,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        image_features(media, strict=True).toPandas()
+
+
+# ------------------------------------------------------------- clustering
+
+@pytest.fixture(scope="module")
+def cluster_feats(spark):
+    """Three tight sine-family groups + one outlier."""
+    from peakmatch_xcorr_spark.operators.clustering import band_features
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for g, freq in enumerate([2.0, 5.0, 9.0]):
+        for i in range(4):
+            t = np.arange(400)
+            s = np.sin(2 * np.pi * freq * t / 100.0) + rng.normal(0, 0.05, 400)
+            rows.append({"conv_id": f"g{g}e{i}", "series": s})
+    rows.append({"conv_id": "outlier", "series": rng.normal(0, 1, 400)})
+    pdf = pd.DataFrame(rows)
+    df = spark.createDataFrame(pdf)
+    return band_features(df, SpectralConf()).cache()
+
+
+def test_band_features_match_kernel(spark, cluster_feats):
+    from peakmatch_xcorr_spark.kernels.spectral import band_means, normalise_band_means
+
+    row = cluster_feats.filter("id = 'g0e0'").toPandas().iloc[0]
+    # re-derive through the kernel requires the original series; instead
+    # assert unit norm and band axis consistency
+    v = np.asarray(row.vec)
+    assert np.sqrt((v ** 2).sum()) == pytest.approx(1.0)
+    assert len(row.bands) == len(v)
+
+
+def test_knn_clustering_groups_sine_families(spark, cluster_feats):
+    from peakmatch_xcorr_spark.operators.clustering import (
+        cluster_members,
+        knn_edges,
+        pair_distances,
+    )
+
+    conf = ClusterConf(k=3, eta=0.4)
+    dists = pair_distances(cluster_feats, "euclidean", n_blocks=3).cache()
+    n = cluster_feats.count()
+    assert dists.count() == n * (n - 1) // 2
+    edges = knn_edges(dists, conf)
+    clusters = cluster_members(edges, conf).toPandas()
+    groups = {tuple(sorted(m)) for m in clusters.members}
+    assert ("g0e0", "g0e1", "g0e2", "g0e3") in groups
+    assert ("g1e0", "g1e1", "g1e2", "g1e3") in groups
+    assert ("g2e0", "g2e1", "g2e2", "g2e3") in groups
+    assert not any("outlier" in g for g in groups)
+
+
+def test_pair_distances_match_numpy(spark, cluster_feats):
+    from peakmatch_xcorr_spark.operators.clustering import pair_distances
+
+    fpdf = cluster_feats.toPandas().sort_values("id").reset_index(drop=True)
+    vecs = np.stack([np.asarray(v) for v in fpdf.vec])
+    ids = fpdf.id.to_numpy()
+    got = pair_distances(cluster_feats, "euclidean", n_blocks=2).toPandas()
+    lookup = {(r.id_a, r.id_b): r.dist for r in got.itertuples()}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            exp = float(np.sqrt(((vecs[i] - vecs[j]) ** 2).sum()))
+            assert lookup[(ids[i], ids[j])] == pytest.approx(exp, abs=1e-12)
+
+
+def test_centre_mode(spark, cluster_feats):
+    from peakmatch_xcorr_spark.operators.clustering import centre_distances
+
+    conf = ClusterConf(centre_threshold=0.4)
+    out = centre_distances(cluster_feats, ["g0e0"], conf).toPandas()
+    assert set(out.id) == {"g0e1", "g0e2", "g0e3"}
+    assert (out.dist.to_numpy() == np.sort(out.dist.to_numpy())).all()
+
+
+# ------------------------------------------------------------- spectral ops
+
+def test_dominant_freq_table(spark):
+    from peakmatch_xcorr_spark.operators.spectral_ops import dominant_freq_table
+
+    t = np.arange(800)
+    rows = [
+        {"conv_id": "a", "series": np.sin(2 * np.pi * 3.0 * t / 100), "peak_amp": 1.0},
+        {"conv_id": "b", "series": np.sin(2 * np.pi * 7.0 * t / 100), "peak_amp": 2.0},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    conf = SpectralConf(mean_amplitude_bands=((1.5, 5.0), (5.0, 7.8)))
+    out = dominant_freq_table(df, conf).toPandas().set_index("id")
+    assert abs(out.loc["a"].top_freqs[0] - 3.0) < 0.2
+    assert abs(out.loc["b"].top_freqs[0] - 7.0) < 0.2
+    assert len(out.loc["a"].band_mean_amps) == 2
+    assert out.loc["a"].band_mean_amps[0] > out.loc["a"].band_mean_amps[1]
+
+
+def test_band_mean_table_matches_kernel(spark):
+    from peakmatch_xcorr_spark.kernels.spectral import band_means
+    from peakmatch_xcorr_spark.operators.spectral_ops import band_mean_table
+
+    rng = np.random.default_rng(3)
+    s = rng.normal(0, 1, 500)
+    df = spark.createDataFrame(pd.DataFrame([{"conv_id": "x", "series": s}]))
+    out = band_mean_table(df, SpectralConf()).toPandas().sort_values("band")
+    b, m = band_means(s, SpectralConf())
+    np.testing.assert_allclose(out.band.to_numpy(), b)
+    np.testing.assert_allclose(out.mean_mag.to_numpy(), m, rtol=1e-12)
+
+
+# ------------------------------------------------------------- event dir
+
+def test_read_event_dir_reference_format(spark, tmp_path):
+    from peakmatch_xcorr_spark.kernels.signal import featurize
+    from peakmatch_xcorr_spark.sources.eventdir import read_event_dir
+
+    rng = np.random.default_rng(11)
+    conf = PeakmatchConf(expected_len=100)
+    raws = {}
+    d = tmp_path / "events"
+    d.mkdir()
+    for i in range(4):
+        vals = np.round(rng.normal(0, 500, 90 if i == 0 else 100))  # one short file
+        raws[f"ev{i}.dat"] = vals
+        (d / f"ev{i}.dat").write_text("\n".join(f"{v:.1f}" for v in vals))
+    out = read_event_dir(spark, str(d), conf).toPandas().set_index("conv_id")
+    assert len(out) == 4
+    for name, vals in raws.items():
+        exp = featurize(vals, conf)
+        row = out.loc[name]
+        assert row.ok
+        np.testing.assert_allclose(np.asarray(row.series), exp.series, rtol=1e-12)
+        np.testing.assert_array_equal(np.asarray(row.max_peaks), exp.max_peaks)
+        assert row.peak_amp == pytest.approx(exp.peak_amp, rel=1e-12)
