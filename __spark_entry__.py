@@ -414,3 +414,378 @@ def oracle_sql() -> dict[str, str]:
         "join_orders_customers": _SQL_JOIN_OC,
         "anti_join_no_orders": _SQL_ANTI,
     }
+
+
+# ------------------------------------------------- wider operator coverage
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding cosine-similarity pairs >= 0.8 (brute-force exactness
+    baseline for ANN; operators/similarity.py)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.similarity import _dot, with_unit_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    u = with_unit_vectors(emb).select(
+        F.col("vec_id").alias("id"), F.col("unit")
+    )
+    a, b = u.alias("a"), u.alias("b")
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn("cosine", F.round(_dot(F.col("a.unit"), F.col("b.unit")) + 1e-9, 6))
+        .filter(F.col("cosine") >= 0.8)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "cosine")
+    )
+    return pairs
+
+
+_SQL_COSINE_PAIRS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) + 1e-9, 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) + 1e-9, 6) >= 0.8
+"""
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-5-gram Jaccard pairs >= 0.5 (operators/dedup.py)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.5, k=5)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard")
+    )
+
+
+_SQL_NGRAM_JACCARD = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 5)
+                        for i in range(1, greatest(length(t)-4, 1)+1)]) AS gs
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM documents)
+), inv AS (
+  SELECT doc_id, len(gs) AS n_sh, unnest(gs) AS g FROM sh
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (na + nb - inter) + 1e-9, 6) AS jaccard
+FROM pairs
+WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
+"""
+
+
+def _q_doc_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over high-Jaccard edges (the dedup-group
+    former, operators/dedup.connected_components) vs a recursive-CTE
+    transitive-closure oracle."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5, k=5).select("id_a", "id_b")
+    return connected_components(edges).select(
+        F.col("id").cast("long").alias("id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+_SQL_DOC_COMPONENTS = """
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 5)
+                        for i in range(1, greatest(length(t)-4, 1)+1)]) AS gs
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM documents)
+), inv AS (
+  SELECT doc_id, len(gs) AS n_sh, unnest(gs) AS g FROM sh
+), e AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, a.n_sh, b.n_sh
+  HAVING count(*)::DOUBLE / (a.n_sh + b.n_sh - count(*)) >= 0.5
+), sym AS (
+  SELECT u, v FROM e UNION SELECT v, u FROM e
+), reach(id, comp) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.u, r.comp FROM sym s JOIN reach r ON s.v = r.id
+)
+SELECT id, min(comp) AS component FROM reach GROUP BY id
+"""
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.textstats import token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_counts(docs).select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        F.col("approx_gpt_tokens").cast("long").alias("approx_gpt_tokens"),
+    )
+
+
+_SQL_TOKEN_COUNTS = """
+SELECT doc_id,
+       len(list_filter(
+         regexp_split_to_array(
+           lower(regexp_replace(text, '[^\\w\\s'']', ' ', 'g')), '\\s+'),
+         x -> length(x) > 0))::BIGINT AS ws_tokens,
+       ceil(length(text) / 4.0)::BIGINT AS approx_gpt_tokens
+FROM documents
+"""
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint groups (md5 variant so the
+    oracle hash matches; the engine operator also provides xxhash64)."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.col("text"), r"\s+", " "))
+    return (
+        docs.withColumn("fp", F.md5(norm))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SQL_FINGERPRINT = """
+SELECT md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_doc_id, count(*) AS n
+FROM documents GROUP BY 1
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.textstats import language_id
+
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select(
+        "doc_id", "lang_pred", F.round(F.col("lang_score") + 1e-9, 6).alias("lang_score")
+    )
+
+
+_SQL_LANG_ID = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(
+             lower(regexp_replace(text, '[^\\w\\s'']', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0) AS ts
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+    greatest(len(ts), 1) AS n,
+    len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / greatest(len(ts),1) AS s_en,
+    len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','von','mit','den','ein')))::DOUBLE / greatest(len(ts),1) AS s_de,
+    len(list_filter(ts, x -> x IN ('le','la','les','et','des','est','dans','que','une','pour')))::DOUBLE / greatest(len(ts),1) AS s_fr,
+    len(list_filter(ts, x -> x IN ('el','la','los','de','que','y','en','un','por','con')))::DOUBLE / greatest(len(ts),1) AS s_es
+  FROM toks
+)
+SELECT doc_id,
+  CASE WHEN greatest(s_en,s_de,s_fr,s_es) < 0.05 THEN 'und'
+       WHEN s_fr = greatest(s_en,s_de,s_fr,s_es) THEN 'fr'
+       WHEN s_es = greatest(s_en,s_de,s_fr,s_es) THEN 'es'
+       WHEN s_en = greatest(s_en,s_de,s_fr,s_es) THEN 'en'
+       ELSE 'de' END AS lang_pred,
+  round(greatest(s_en,s_de,s_fr,s_es) + 1e-9, 6) AS lang_score
+FROM scored
+"""
+
+
+def _q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (free from Catalyst; SURVEY §2.5 note)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity") + 1e-9, 2).alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_SQL_CUBE_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity) + 1e-9, 2) AS sum_qty, count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def _q_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    events = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+_SQL_PIVOT = """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click') AS click,
+       count(*) FILTER (WHERE event_type = 'error') AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+       count(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY user_id
+"""
+
+
+def _q_retention_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import (
+        retention_expire,
+        tumbling_rollup,
+    )
+
+    rolled = tumbling_rollup(_t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour")
+    kept = retention_expire(rolled, "2024-01-03 00:00:00")
+    return kept.select(
+        "user_id", "bucket_start", "turns",
+        F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+    )
+
+
+_SQL_RETENTION_1H = """
+SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+       count(*) AS turns, round(avg(value) + 1e-9, 6) AS vavg
+FROM events GROUP BY 1, 2
+HAVING date_trunc('hour', ts) >= TIMESTAMP '2024-01-03 00:00:00'
+"""
+
+
+# -------------------------------------------- rows-only (non-SQL) queries
+
+def _q_dedup_xcorr_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full peakmatch→FFT near-dup pipeline on transcript-shaped data
+    derived from events (non-SQL: FFT kernels)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+    from peakmatch_xcorr_spark.operators.pipeline import find_duplicate_conversations
+
+    events = _t(spark, sf_dir, "events")
+    transcripts = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
+    )
+    conf = EngineConf(
+        peakmatch=PeakmatchConf(expected_len=256),
+        rollup=RollupConf(activity_curve_len=256),
+    )
+    return find_duplicate_conversations(transcripts, conf, n_blocks=4)
+
+
+def _q_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla/delta-of-delta packed 1h tier + in-plan decode check
+    (non-SQL: bit-packing codecs)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import pack_tier, tumbling_rollup
+
+    rolled = tumbling_rollup(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour"
+    ).withColumn("user_id", F.col("user_id").cast("string"))
+    packed = pack_tier(rolled, ["user_id"])
+
+    def check(batches):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.codecs import dod_decode, gorilla_decode
+
+        for pdf in batches:
+            ok = []
+            for r in pdf.itertuples(index=False):
+                ts = dod_decode(bytes(r.ts_packed))
+                vals = gorilla_decode(bytes(r.val_packed))
+                ok.append(
+                    len(ts) == r.n_buckets
+                    and len(vals) == r.n_buckets
+                    and bool(np.all(np.diff(ts) > 0))
+                )
+            yield pd.DataFrame(
+                {"user_id": pdf["user_id"], "n_buckets": pdf["n_buckets"],
+                 "roundtrip_ok": ok}
+            )
+
+    return packed.mapInPandas(
+        check, schema="user_id string, n_buckets long, roundtrip_ok boolean"
+    )
+
+
+def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH banding candidates (hash-algorithm-specific; the
+    Jaccard truth it approximates is oracle-checked separately)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.dedup import minhash_lsh_candidates
+
+    return minhash_lsh_candidates(_t(spark, sf_dir, "documents"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.dedup import simhash_buckets
+
+    return simhash_buckets(_t(spark, sf_dir, "documents"))
+
+
+def _q_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFTDOMINANTFREQ over conversation activity curves (non-SQL:
+    FFT)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.config import PeakmatchConf, SpectralConf
+    from peakmatch_xcorr_spark.operators.features import conversation_features
+    from peakmatch_xcorr_spark.operators.spectral_ops import dominant_freq_table
+
+    events = _t(spark, sf_dir, "events")
+    transcripts = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
+    )
+    feats = conversation_features(
+        transcripts, PeakmatchConf(expected_len=256), "1 minute", 256
+    )
+    return dominant_freq_table(feats, SpectralConf(sample_rate=100))
+
+
+_WIDE_QUERIES = {
+    "cosine_pairs": (_q_cosine_pairs, _SQL_COSINE_PAIRS),
+    "ngram_jaccard": (_q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    "doc_components": (_q_doc_components, _SQL_DOC_COMPONENTS),
+    "token_counts": (_q_token_counts, _SQL_TOKEN_COUNTS),
+    "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
+    "lang_id": (_q_lang_id, _SQL_LANG_ID),
+    "cube_agg": (_q_cube_agg, _SQL_CUBE_AGG),
+    "pivot_event_types": (_q_pivot_event_types, _SQL_PIVOT),
+    "retention_1h": (_q_retention_1h, _SQL_RETENTION_1H),
+    "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
+    "pack_roundtrip": (_q_pack_roundtrip, None),
+    "minhash_candidates": (_q_minhash_candidates, None),
+    "simhash_fingerprints": (_q_simhash, None),
+    "dominant_freq": (_q_dominant_freq, None),
+}
+
+_BASE_QUERIES = queries
+_BASE_ORACLES = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _BASE_QUERIES()
+    out.update({k: v[0] for k, v in _WIDE_QUERIES.items()})
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _BASE_ORACLES()
+    out.update({k: v[1] for k, v in _WIDE_QUERIES.items() if v[1] is not None})
+    return out

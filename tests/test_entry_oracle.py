@@ -47,10 +47,13 @@ def _normalize(pdf: pd.DataFrame) -> pd.DataFrame:
 def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
-    got = _normalize(q(spark, SF_DIR).toPandas())
     if sql is None:
-        assert len(got) >= 0  # rows-only check for non-SQL ops
+        # rows-only check for non-SQL ops (array cols aren't sortable)
+        df = q(spark, SF_DIR)
+        assert df.count() >= 0
+        assert len(df.schema) > 0
         return
+    got = _normalize(q(spark, SF_DIR).toPandas())
     exp = _normalize(duck.sql(sql).df())
     assert list(got.columns) == list(exp.columns), (
         f"{name}: column mismatch {got.columns} vs {exp.columns}"
