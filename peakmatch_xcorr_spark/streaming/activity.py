@@ -1,0 +1,105 @@
+"""Streaming activity rollup: readStream → watermark → tumbling
+window count/stats → sink.
+
+Late data policy: rows later than the watermark are dropped by Spark;
+buckets finalize (append mode) once the watermark passes their end —
+the streaming mirror of the batch engine's re-roll-affected-buckets
+policy (operators/refresh.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRANSCRIPT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, "
+    "tool string, ts timestamp"
+)
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, schema: str = TRANSCRIPT_SCHEMA
+) -> DataFrame:
+    """File-source stream over a directory of transcript parquet files
+    (one file per micro-batch in tests; kafka/etc. in production is
+    the same downstream plan)."""
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(path)
+    )
+
+
+def streaming_activity_rollup(
+    stream: DataFrame,
+    bucket: str = "1 minute",
+    watermark: str = "5 minutes",
+    value_col: str | None = None,
+) -> DataFrame:
+    """Watermarked tumbling rollup; append-mode-compatible (aggregation
+    keyed on the event-time window)."""
+    aggs = [F.count(F.lit(1)).alias("turns")]
+    if value_col:
+        aggs += [
+            F.sum(value_col).alias("vsum"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+            F.avg(value_col).alias("vavg"),
+        ]
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.window("ts", bucket).alias("w"))
+        .agg(*aggs)
+        .select("conv_id", F.col("w.start").alias("bucket_start"),
+                *[c for c in ("turns", "vsum", "vmin", "vmax", "vavg")
+                  if value_col or c == "turns"])
+    )
+
+
+def run_stream_to_memory(
+    rollup: DataFrame, name: str = "stream_out", mode: str = "append"
+):
+    """Drive a bounded file-source stream to completion synchronously
+    (test harness; pyspark_guide.md streaming pattern)."""
+    q = (
+        rollup.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return name
+
+
+def stateful_conv_totals(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: running per-conversation turn totals
+    + last-seen timestamp via applyInPandasWithState (the engine's
+    streaming extension point, SURVEY.md §2.11)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "conv_id string, total_turns long, last_ts timestamp"
+    state_schema = "total_turns long"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        total = state.get[0] if state.exists else 0
+        last_ts = None
+        for pdf in pdfs:
+            total += len(pdf)
+            if len(pdf):
+                m = pdf["ts"].max()
+                last_ts = m if last_ts is None else max(last_ts, m)
+        state.update((total,))
+        yield pd.DataFrame(
+            {"conv_id": [key[0]], "total_turns": [total], "last_ts": [last_ts]}
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

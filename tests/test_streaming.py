@@ -1,0 +1,71 @@
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+from peakmatch_xcorr_spark.streaming.activity import (
+    read_transcript_stream,
+    run_stream_to_memory,
+    stateful_conv_totals,
+    streaming_activity_rollup,
+)
+from peakmatch_xcorr_spark.synth import SynthConf, generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    """Transcripts split into 3 parquet files = 3 micro-batches."""
+    d = tmp_path_factory.mktemp("stream")
+    res = generate_transcripts(SynthConf(n_convs=8, n_dup_pairs=0, giant_conv=False))
+    pdf = res.transcripts.sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    for i in range(3):
+        pdf.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(
+            d / f"part{i}.parquet", index=False
+        )
+    return str(d), pdf
+
+
+def test_streaming_rollup_matches_batch(spark, stream_dir):
+    path, pdf = stream_dir
+    stream = read_transcript_stream(spark, path)
+    rollup = streaming_activity_rollup(stream, "1 minute", "5 minutes")
+    run_stream_to_memory(rollup, "s_rollup", mode="append")
+    got = (
+        spark.sql("SELECT * FROM s_rollup")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        tumbling_rollup(
+            spark.createDataFrame(pdf), ["conv_id"], "ts", None, "1 minute"
+        )
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    # append mode only emits buckets sealed by the watermark; the final
+    # watermark leaves the last open buckets unemitted — every emitted
+    # bucket must match the batch oracle exactly
+    merged = got.merge(
+        batch, on=["conv_id", "bucket_start"], suffixes=("_s", "_b"), how="left"
+    )
+    assert len(got) > 0
+    assert (merged.turns_s == merged.turns_b).all()
+    assert len(got) <= len(batch)
+
+
+def test_stateful_conv_totals(spark, stream_dir):
+    path, pdf = stream_dir
+    stream = read_transcript_stream(spark, path)
+    totals = stateful_conv_totals(stream)
+    run_stream_to_memory(totals, "s_totals", mode="update")
+    got = spark.sql(
+        "SELECT conv_id, max(total_turns) AS total FROM s_totals GROUP BY conv_id"
+    ).toPandas().set_index("conv_id")["total"]
+    exp = pdf.groupby("conv_id").size()
+    for conv, n in exp.items():
+        assert got[conv] == n, conv
