@@ -1,0 +1,100 @@
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+from peakmatch_xcorr_spark.operators.analyse import (
+    analyse_accuracy,
+    refresh_saved_xcorr,
+)
+from peakmatch_xcorr_spark.operators.features import conversation_features
+from peakmatch_xcorr_spark.operators.partitioning import (
+    repartition_by_ts_range,
+    salted_two_phase_rollup,
+)
+from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+from peakmatch_xcorr_spark.synth import SynthConf, generate_transcripts
+
+CONF = EngineConf(
+    peakmatch=PeakmatchConf(expected_len=256),
+    rollup=RollupConf(activity_curve_len=256),
+)
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    res = generate_transcripts(SynthConf(n_convs=10, n_dup_pairs=2))
+    df = spark.createDataFrame(res.transcripts)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def feats(spark, tdf):
+    f = conversation_features(tdf, CONF.peakmatch, "1 minute", 256)
+    f.cache().count()
+    return f
+
+
+def test_salted_rollup_equals_plain(spark, tdf):
+    """The two-phase salted rollup (skew path) must be value-identical
+    to the plain rollup — including for the planted giant conv."""
+    plain = (
+        tumbling_rollup(tdf, ["conv_id"], "ts", None, "1 minute")
+        .toPandas().sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    )
+    salted = (
+        salted_two_phase_rollup(tdf, "1 minute", salt_buckets=16)
+        .toPandas().sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    )
+    assert len(plain) == len(salted)
+    assert (plain.turns.to_numpy() == salted.turns.to_numpy()).all()
+    assert (plain.conv_id.to_numpy() == salted.conv_id.to_numpy()).all()
+
+
+def test_ts_range_repartition_sorts_ranges(spark, tdf):
+    parts = repartition_by_ts_range(tdf, 4)
+    assert parts.rdd.getNumPartitions() == 4
+    # range partitioning: per-partition ts ranges must not overlap
+    bounds = (
+        parts.rdd.mapPartitionsWithIndex(
+            lambda i, it: [
+                (i, min(r.ts for r in rows), max(r.ts for r in rows))
+                for rows in [list(it)] if rows
+            ]
+        ).collect()
+    )
+    bounds.sort()
+    for (_, _, hi), (_, lo, _) in zip(bounds, bounds[1:]):
+        assert hi <= lo
+
+
+def test_analyse_accuracy_report(spark, feats):
+    rep = analyse_accuracy(spark, feats, CONF.peakmatch, n_blocks=4).toPandas().iloc[0]
+    n = feats.count()
+    assert rep.pairs == n * (n - 1) // 2
+    assert rep.false_negatives == 0  # planted dups survive at defaults
+    assert 0 <= rep.prune_rate <= 1
+    assert rep.truth_matches >= 2  # the planted pairs
+
+
+def test_saved_xcorr_incremental_append(spark, feats, tmp_path):
+    saved = WarehouseTable(str(tmp_path / "wh"), "xcorr_saved")
+    sub = feats.limit(6).cache()
+    full1 = refresh_saved_xcorr(spark, sub, saved, CONF.peakmatch, n_blocks=4)
+    v1 = saved.current_version()
+    n1 = full1.count()
+    assert n1 == 6 * 5 // 2
+    # second refresh with the same features: nothing missing, no append
+    full2 = refresh_saved_xcorr(spark, sub, saved, CONF.peakmatch, n_blocks=4)
+    assert saved.current_version() == v1
+    assert full2.count() == n1
+    # widen the feature set: only the delta pairs get appended
+    full3 = refresh_saved_xcorr(spark, feats, saved, CONF.peakmatch, n_blocks=4)
+    n = feats.count()
+    assert full3.count() == n * (n - 1) // 2
+    assert saved.current_version() == v1 + 1
+    appended = saved.snapshot(saved.current_version()).metrics["rows_appended"]
+    assert appended == n * (n - 1) // 2 - n1
