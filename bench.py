@@ -130,10 +130,15 @@ def _scaling_workload(spark, workdir: str) -> dict:
         peakmatch=PeakmatchConf(expected_len=256),
         rollup=RollupConf(activity_curve_len=256),
     )
-    transcripts = spark.read.parquet(f"{workdir}/transcripts.parquet")
-    n_turns = transcripts.count()  # warm the input cache path
+    par = spark.sparkContext.defaultParallelism
+    transcripts = (
+        spark.read.parquet(f"{workdir}/transcripts.parquet")
+        .repartition(par * 2)
+        .cache()
+    )
+    n_turns = transcripts.count()  # materialize input outside the timing
     t0 = time.perf_counter()
-    deduped, tiers = dedup_then_rollup(transcripts, conf, n_blocks=32)
+    deduped, tiers = dedup_then_rollup(transcripts, conf, n_blocks=64)
     out_rows = deduped.count() + sum(t.count() for t in tiers.values())
     wall = time.perf_counter() - t0
     return {
@@ -145,6 +150,9 @@ def _scaling_workload(spark, workdir: str) -> dict:
 
 
 def _gen_scaling_input(workdir: str) -> None:
+    # sized so per-core compute (≈200M blocked pair kernels + a 4M-turn
+    # rollup cascade) dominates Spark's fixed stage overhead — the
+    # scaling-efficiency measurement needs a compute-bound job
     path = f"{workdir}/transcripts.parquet"
     if os.path.exists(path):
         return
@@ -153,7 +161,7 @@ def _gen_scaling_input(workdir: str) -> None:
     os.makedirs(workdir, exist_ok=True)
     write_transcripts_parquet(
         path,
-        SynthConf(n_convs=1200, n_dup_pairs=40, mean_rate=1.0, seed=7),
+        SynthConf(n_convs=20000, n_dup_pairs=200, mean_rate=1.0, seed=7),
     )
 
 

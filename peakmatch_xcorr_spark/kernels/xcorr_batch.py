@@ -72,6 +72,30 @@ def peakmatch_block(
     return np.maximum(pos, neg)
 
 
+def fft_xcorr_cells(
+    a_series: np.ndarray,
+    b_series: np.ndarray,
+    ii: np.ndarray,
+    jj: np.ndarray,
+    chunk: int = 256,
+) -> np.ndarray:
+    """Exact FFT xcorr best values for SELECTED pairs (ii[k], jj[k])
+    only: each side's rffts are computed once for the whole block,
+    then products + irfft run only for the requested cells, chunked.
+    The fused prune→verify path (no candidate shuffle)."""
+    m = a_series.shape[1]
+    n = next_power_of_two(2 * m)
+    fa = np.fft.rfft(a_series, n, axis=1)
+    fb = np.fft.rfft(b_series[:, ::-1], n, axis=1)
+    out = np.empty(len(ii))
+    for k0 in range(0, len(ii), chunk):
+        k1 = min(len(ii), k0 + chunk)
+        prod = fa[ii[k0:k1]] * fb[jj[k0:k1]]
+        xc = np.fft.irfft(prod, n, axis=1)
+        out[k0:k1] = xc.max(axis=1)
+    return np.maximum(out, JAVA_DOUBLE_MIN_VALUE)
+
+
 def fft_xcorr_block(
     a_series: np.ndarray,
     b_series: np.ndarray,

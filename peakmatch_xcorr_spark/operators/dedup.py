@@ -39,18 +39,21 @@ def connected_components(
     convergence via a changed-labels count (bounded by ``max_iter``,
     raises if not converged — determinism over silent wrong answers).
     """
-    spark = edges.sparkSession
+    # localCheckpoint (not cache) on every iteration state: iterative
+    # DataFrame loops otherwise re-analyze an ever-growing logical plan
+    # each round (lineage explosion — analysis cost, not compute, was
+    # the bottleneck on plans rooted at cogroup/UDF stages)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iter):
         # candidate label for each vertex: min over neighbours' labels
@@ -63,7 +66,7 @@ def connected_components(
             .union(neigh)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -71,13 +74,11 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
-    sym.unpersist()
     return labels
 
 

@@ -155,6 +155,105 @@ def peakmatch_scores(
     return lg.cogroup(rg).applyInPandas(compute, schema=PAIR_SCORE_SCHEMA)
 
 
+def fused_prune_verify(
+    features: DataFrame,
+    conf: PeakmatchConf,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """PEAKMATCH + POSTPROCESS fused into the block task — the 100 TB
+    path.  Per block pair: peakmatch score matrix; cells above
+    candidate-threshold get exact FFT xcorr immediately (block-side
+    rffts computed once, irfft only on candidate cells).  Emits
+    verified matches (id_a, id_b, score, xcorr) above final-threshold.
+
+    vs. the two-phase plan (peakmatch_candidates → postprocess_verify):
+    identical results (tested), but NO candidate shuffle — the
+    two-phase join ships ~33 KB of FFT arrays per candidate, which at
+    10^8 candidates is hundreds of TB of shuffle; fused ships nothing.
+    The two-phase operators remain for reference parity (separate
+    phase tables) and for reusing a persisted event_fft across jobs.
+    """
+    left, right = _replicated_sides(features, n_blocks)
+    stride = conf.sampling_stride
+    cand_t = conf.candidate_threshold
+    final_t = conf.final_threshold
+
+    def compute(key, lpdf, rpdf):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.xcorr_batch import (
+            fft_xcorr_cells,
+            peakmatch_block,
+        )
+
+        bi, bj = key
+        same = bi == bj
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="object"),
+                              "id_b": pd.Series(dtype="object"),
+                              "score": pd.Series(dtype="float64"),
+                              "xcorr": pd.Series(dtype="float64")})
+        if len(lpdf) == 0 or (not same and len(rpdf) == 0):
+            return empty
+        if "p" not in lpdf.columns or (not same and "p" not in rpdf.columns):
+            raise RuntimeError("cogroup payload pruned by optimizer")
+
+        def unpack(pdf):
+            p = list(pdf["p"])
+            ids = np.array([r["conv_id"] for r in p])
+            order = np.argsort(ids, kind="stable")
+            return (
+                ids[order],
+                np.stack([np.asarray(p[i]["series"], dtype=np.float64) for i in order]),
+                np.stack([np.asarray(p[i]["max_peaks"], dtype=np.int64) for i in order]),
+                np.stack([np.asarray(p[i]["min_peaks"], dtype=np.int64) for i in order]),
+                [np.asarray(p[i]["above_idx"], dtype=np.int64) for i in order],
+            )
+
+        l_ids, l_series, l_max, l_min, l_above = unpack(lpdf)
+
+        def finish(mat, a_ids, a_series, b_ids, b_series, mask):
+            cand = mask & (mat > cand_t)
+            ii, jj = np.nonzero(cand)
+            if len(ii) == 0:
+                return empty
+            xc = fft_xcorr_cells(a_series, b_series, ii, jj)
+            keep = xc > final_t
+            return pd.DataFrame({
+                "id_a": a_ids[ii[keep]], "id_b": b_ids[jj[keep]],
+                "score": mat[ii[keep], jj[keep]], "xcorr": xc[keep],
+            })
+
+        if same:
+            n = len(l_ids)
+            tri = np.triu(np.ones((n, n), dtype=bool), k=1)
+            mat = peakmatch_block(
+                l_series, l_max, l_min,
+                l_series, l_max, l_min, l_above, stride,
+            )
+            return finish(mat, l_ids, l_series, l_ids, l_series, tri)
+
+        r_ids, r_series, r_max, r_min, r_above = unpack(rpdf)
+        lt = l_ids[:, None] < r_ids[None, :]
+        mat_lr = peakmatch_block(
+            l_series, l_max, l_min, r_series, r_max, r_min, r_above, stride
+        )
+        mat_rl = peakmatch_block(
+            r_series, r_max, r_min, l_series, l_max, l_min, l_above, stride
+        )
+        out_lr = finish(mat_lr, l_ids, l_series, r_ids, r_series, lt)
+        out_rl = finish(mat_rl, r_ids, r_series, l_ids, l_series, ~lt.T)
+        return pd.concat([out_lr, out_rl], ignore_index=True)
+
+    cols = ["conv_id", "series", "max_peaks", "min_peaks", "above_idx"]
+    payload = F.struct(*cols).alias("p")
+    lg = left.select("bi", "bj", payload).groupBy("bi", "bj")
+    rg = right.select("bi", "bj", payload).groupBy("bi", "bj")
+    return lg.cogroup(rg).applyInPandas(
+        compute, schema="id_a string, id_b string, score double, xcorr double"
+    )
+
+
 def peakmatch_candidates(
     features: DataFrame, conf: PeakmatchConf, n_blocks: int = 16
 ) -> DataFrame:

@@ -27,18 +27,34 @@ def find_duplicate_conversations(
     transcripts: DataFrame,
     conf: EngineConf,
     n_blocks: int = 8,
+    fused: bool = True,
 ) -> DataFrame:
     """transcripts → activity curves → featurize → peakmatch prune →
-    FFT verify.  Returns matches (id_a, id_b, xcorr > final-threshold)."""
+    FFT verify.  Returns matches (id_a, id_b, xcorr > final-threshold).
+
+    ``fused=True`` (default, the scale path) verifies candidates
+    inside the block task with zero candidate shuffle; ``fused=False``
+    runs the reference-shaped two-phase plan through the persisted
+    event_fft table.  Identical results (tested).
+    """
+    # each phase output is cached — the engine's in-memory analogue of
+    # the reference's phase files (xcorr.candidates etc.); without it,
+    # downstream actions re-derive the cogroup/UDF stages per action
     feats = conversation_features(
         transcripts,
         conf.peakmatch,
         bucket=conf.rollup.activity_bucket,
         curve_len=conf.rollup.activity_curve_len,
     ).cache()
-    cands = peakmatch_candidates(feats, conf.peakmatch, n_blocks)
-    ffts = fft_precache(feats)
-    return postprocess_verify(cands, ffts, conf.peakmatch)
+    if fused:
+        from peakmatch_xcorr_spark.operators.pairs import fused_prune_verify
+
+        return fused_prune_verify(feats, conf.peakmatch, n_blocks).select(
+            "id_a", "id_b", "xcorr"
+        ).cache()
+    cands = peakmatch_candidates(feats, conf.peakmatch, n_blocks).cache()
+    ffts = fft_precache(feats).cache()
+    return postprocess_verify(cands, ffts, conf.peakmatch).cache()
 
 
 def dedup_then_rollup(
@@ -49,7 +65,7 @@ def dedup_then_rollup(
     """The flagship flow: dedup near-duplicate conversations, then the
     full retention cascade over survivors.  Returns (deduped, tiers)."""
     matches = find_duplicate_conversations(transcripts, conf, n_blocks)
-    deduped = dedup_transcripts(transcripts, matches)
+    deduped = dedup_transcripts(transcripts, matches).cache()
     tiers = rollup_cascade(
         deduped, ["conv_id"], "ts", None, conf.rollup.tiers
     )

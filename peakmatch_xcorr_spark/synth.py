@@ -102,38 +102,49 @@ def generate_transcripts(conf: SynthConf = SynthConf()) -> SynthResult:
     if conf.giant_conv:
         curves["conv-giant"] = _activity_curve(rng, conf, scale=conf.giant_scale)
 
-    rows_conv, rows_turn, rows_role, rows_text, rows_tool, rows_ts = (
-        [], [], [], [], [], []
-    )
-    for conv in sorted(curves):
+    # vectorized row materialization (scales to multi-million turns)
+    conv_names = sorted(curves)
+    conv_arrs, turn_arrs, ts_arrs = [], [], []
+    for conv in conv_names:
         counts = curves[conv]
-        turn = 0
-        for b, c in enumerate(counts):
-            if c == 0:
-                continue
-            # deterministic offsets inside the bucket, strictly increasing
-            offs = np.sort(rng.integers(0, BUCKET_US, int(c)))
-            for o in offs:
-                rows_conv.append(conv)
-                rows_turn.append(turn)
-                role = ROLES[turn % len(ROLES)]
-                rows_role.append(role)
-                rows_text.append(f"{conv} turn {turn} says {(turn * 2654435761) % 997}")
-                rows_tool.append(
-                    TOOLS[turn % len(TOOLS)] if role == "tool" else None
-                )
-                rows_ts.append(EPOCH_US + b * BUCKET_US + int(o))
-                turn += 1
+        n = int(counts.sum())
+        if n == 0:
+            continue
+        bucket_idx = np.repeat(np.arange(len(counts)), counts)
+        offs = rng.integers(0, BUCKET_US, n)
+        # sort offsets within each bucket → strictly ordered per conv
+        order = np.lexsort((offs, bucket_idx))
+        ts = EPOCH_US + bucket_idx[order] * BUCKET_US + offs[order]
+        conv_arrs.append(np.full(n, conv, dtype=object))
+        turn_arrs.append(np.arange(n, dtype=np.int32))
+        ts_arrs.append(ts.astype(np.int64))
 
+    conv_col = np.concatenate(conv_arrs)
+    turn_col = np.concatenate(turn_arrs)
+    ts_col = np.concatenate(ts_arrs)
+    roles = np.array(ROLES)[turn_col % len(ROLES)]
+    tools_cycle = np.array([t if t is not None else "" for t in TOOLS])
+    tool_col = np.where(
+        roles == "tool", tools_cycle[turn_col % len(TOOLS)], ""
+    )
+    hashes = (turn_col.astype(np.int64) * 2654435761) % 997
+    text_col = np.char.add(
+        np.char.add(conv_col.astype(str), " turn "),
+        np.char.add(
+            np.char.add(turn_col.astype(str), " says "), hashes.astype(str)
+        ),
+    )
     df = pd.DataFrame(
         {
-            "conv_id": pd.array(rows_conv, dtype="string"),
-            "turn_idx": pd.array(rows_turn, dtype="int32"),
-            "role": pd.array(rows_role, dtype="string"),
-            "text": pd.array(rows_text, dtype="string"),
-            "tool": pd.array(rows_tool, dtype="string"),
+            "conv_id": pd.array(conv_col, dtype="string"),
+            "turn_idx": pd.array(turn_col, dtype="int32"),
+            "role": pd.array(roles, dtype="string"),
+            "text": pd.array(text_col, dtype="string"),
+            "tool": pd.array(
+                np.where(tool_col == "", None, tool_col), dtype="string"
+            ),
             # input_hint: ts is timestamp(us) — keep us resolution end-to-end
-            "ts": np.array(rows_ts, dtype="int64").view("datetime64[us]"),
+            "ts": ts_col.view("datetime64[us]"),
         }
     )
     return SynthResult(transcripts=df, curves=curves, dup_pairs=dup_pairs)

@@ -240,3 +240,22 @@ def test_simhash_duplicates_same_bucket(spark):
     assert out.loc[1].simhash == out.loc[2].simhash
     assert out.loc[1].bucket == out.loc[2].bucket
     assert out.loc[1].simhash != out.loc[3].simhash
+
+
+def test_fused_equals_two_phase(spark, feats):
+    """The fused prune+verify operator (scale path, zero candidate
+    shuffle) must produce exactly the two-phase plan's matches."""
+    from peakmatch_xcorr_spark.operators.features import fft_precache
+    from peakmatch_xcorr_spark.operators.pairs import fused_prune_verify
+
+    fused = fused_prune_verify(feats, CONF.peakmatch, n_blocks=4).toPandas()
+    cands = peakmatch_candidates(feats, CONF.peakmatch, n_blocks=4)
+    two_phase = postprocess_verify(
+        cands, fft_precache(feats), CONF.peakmatch
+    ).toPandas()
+    f = fused.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    t = two_phase.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(f) == len(t)
+    assert (f.id_a.to_numpy() == t.id_a.to_numpy()).all()
+    assert (f.id_b.to_numpy() == t.id_b.to_numpy()).all()
+    np.testing.assert_allclose(f.xcorr.to_numpy(), t.xcorr.to_numpy(), rtol=1e-12)
