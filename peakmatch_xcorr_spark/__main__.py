@@ -1,0 +1,161 @@
+"""spark-submit entrypoint: ``spark-submit --py-files pxs.zip -m ...``
+or ``python -m peakmatch_xcorr_spark <mode> ...``.
+
+Modes mirror the reference's dispatch (XCorrProcessor.java:141-160)
+re-expressed as engine jobs:
+
+  peakmatch   transcripts -> featurize -> blocked prune -> candidates table
+  postprocess candidates + event_fft -> verified matches table
+  fused       prune+verify in one pass -> matches table (the scale path)
+  analyse     accuracy report (FP/FN/prune rates) on a sample
+  dedup       matches -> connected components -> deduped transcripts
+  rollup      full 1m/1h/1d cascade refresh (incremental, resumable)
+  xcorr       exact xcorr of two conversations (parity oracle CLI,
+              XCorrProcessor.java:93-106)
+  bench       headline bench (same as bench.py)
+
+Build the artifact:  cd repo && zip -r pxs.zip peakmatch_xcorr_spark
+Run on a cluster:    spark-submit --py-files pxs.zip run_job.py rollup ...
+(run_job.py = ``from peakmatch_xcorr_spark.__main__ import main; main()``)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="peakmatch_xcorr_spark")
+    p.add_argument("mode", choices=[
+        "peakmatch", "postprocess", "fused", "analyse", "dedup",
+        "rollup", "xcorr",
+    ])
+    p.add_argument("--input", help="transcripts parquet path / warehouse table")
+    p.add_argument("--warehouse", default="/tmp/pxs_warehouse")
+    p.add_argument("--output", help="output table name", default=None)
+    p.add_argument("--blocks", type=int, default=64)
+    p.add_argument("--curve-len", type=int, default=256)
+    p.add_argument("--bucket", default="1 minute")
+    p.add_argument("--events", nargs=2, help="two conv_ids for xcorr mode")
+    p.add_argument("--cores", default=None, help="local[N] when set; else use spark-submit master")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+
+    if args.cores:
+        from peakmatch_xcorr_spark.session import get_spark
+
+        spark = get_spark(cores=args.cores, app_name=f"pxs-{args.mode}")
+    else:
+        spark = SparkSession.builder.appName(f"pxs-{args.mode}").getOrCreate()
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+    conf = EngineConf(
+        peakmatch=PeakmatchConf(expected_len=args.curve_len),
+        rollup=RollupConf(activity_curve_len=args.curve_len),
+    )
+
+    from peakmatch_xcorr_spark.operators.features import (
+        conversation_features,
+        fft_precache,
+    )
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    def load_transcripts():
+        return spark.read.parquet(args.input)
+
+    def table(name: str) -> WarehouseTable:
+        return WarehouseTable(args.warehouse, name)
+
+    if args.mode == "xcorr":
+        from peakmatch_xcorr_spark.kernels.xcorr import fft_xcorr_best
+
+        feats = conversation_features(
+            load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
+        )
+        rows = {
+            r["conv_id"]: r["series"]
+            for r in feats.filter(feats.conv_id.isin(list(args.events)))
+            .select("conv_id", "series").collect()
+        }
+        import numpy as np
+
+        a, b = (np.asarray(rows[e]) for e in args.events)
+        # 3-decimal print for reference CLI parity (Util.NF, Util.java:28)
+        print(f"{fft_xcorr_best(a, b):.3f}")
+        return
+
+    if args.mode == "peakmatch":
+        from peakmatch_xcorr_spark.operators.pairs import peakmatch_candidates
+
+        feats = conversation_features(
+            load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
+        ).cache()
+        cands = peakmatch_candidates(feats, conf.peakmatch, args.blocks)
+        snap = table(args.output or "candidates").overwrite(cands, job_id="peakmatch")
+        fft_tbl = table("event_fft")
+        fft_tbl.overwrite(fft_precache(feats), job_id="fftprecache")
+        print(json.dumps({"candidates": snap.metrics.get("rows")}))
+        return
+
+    if args.mode == "postprocess":
+        from peakmatch_xcorr_spark.operators.pairs import postprocess_verify
+
+        cands = table("candidates").read(spark)
+        ffts = table("event_fft").read(spark)
+        matches = postprocess_verify(cands, ffts, conf.peakmatch)
+        snap = table(args.output or "matches").overwrite(matches, job_id="postprocess")
+        print(json.dumps({"matches": snap.metrics.get("rows")}))
+        return
+
+    if args.mode == "fused":
+        from peakmatch_xcorr_spark.operators.pairs import fused_prune_verify
+
+        feats = conversation_features(
+            load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
+        ).cache()
+        matches = fused_prune_verify(feats, conf.peakmatch, args.blocks)
+        snap = table(args.output or "matches").overwrite(matches, job_id="fused")
+        print(json.dumps({"matches": snap.metrics.get("rows")}))
+        return
+
+    if args.mode == "analyse":
+        from peakmatch_xcorr_spark.operators.analyse import analyse_accuracy
+
+        feats = conversation_features(
+            load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
+        ).cache()
+        rep = analyse_accuracy(spark, feats, conf.peakmatch, n_blocks=args.blocks)
+        print(rep.toPandas().iloc[0].to_json())
+        return
+
+    if args.mode == "dedup":
+        from peakmatch_xcorr_spark.operators.dedup import dedup_transcripts
+
+        matches = table("matches").read(spark)
+        deduped = dedup_transcripts(load_transcripts(), matches)
+        snap = table(args.output or "transcripts_deduped").overwrite(
+            deduped, job_id="dedup"
+        )
+        print(json.dumps({"rows": snap.metrics.get("rows")}))
+        return
+
+    if args.mode == "rollup":
+        from peakmatch_xcorr_spark.operators.refresh import ContinuousAggregate
+
+        src = table(args.output or "transcripts")
+        if src.current_version() is None:
+            src.append(load_transcripts(), job_id="ingest")
+        agg = ContinuousAggregate(
+            args.warehouse, src, keys=["conv_id"], ts_col="ts", value_col=None
+        )
+        print(json.dumps(agg.refresh(spark)))
+        return
+
+
+if __name__ == "__main__":
+    main()
