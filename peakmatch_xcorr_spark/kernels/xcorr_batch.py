@@ -33,22 +33,29 @@ def _peakmatch_block_one_sign(
     b_above: list[np.ndarray],
     stride: int,
     m: int,
+    pair_mask: np.ndarray | None,
 ) -> np.ndarray:
     n_a, n_b = len(a_pad), len(b_series)
     k = a_offs.shape[1]
     out = np.full((n_a, n_b), -1.0)
     for j in range(n_b):
+        rows = (
+            np.nonzero(pair_mask[:, j])[0] if pair_mask is not None
+            else np.arange(n_a)
+        )
+        if len(rows) == 0:
+            continue
         s = np.asarray(b_above[j][::stride], dtype=np.int64)
         if len(s) == 0:
             # empty index set: every offset's sum is 0·stride = 0 > -1
-            out[:, j] = 0.0
+            out[rows, j] = 0.0
             continue
         # offsets per (a, k1, k2): a_off - b_off
-        o = (a_offs[:, :, None] - b_offs[j][None, None, :]).reshape(n_a, k * k)
-        g = s[None, None, :] + o[:, :, None] + m  # (n_a, k², |s|)
-        vals = a_pad[np.arange(n_a)[:, None, None], g]
-        sums = vals @ b_series[j, s]  # (n_a, k²)
-        out[:, j] = np.maximum(sums.max(axis=1) * stride, -1.0)
+        o = (a_offs[rows, :, None] - b_offs[j][None, None, :]).reshape(len(rows), k * k)
+        g = s[None, None, :] + o[:, :, None] + m  # (rows, k², |s|)
+        vals = a_pad[rows[:, None, None], g]
+        sums = vals @ b_series[j, s]  # (rows, k²)
+        out[rows, j] = np.maximum(sums.max(axis=1) * stride, -1.0)
     return out
 
 
@@ -61,14 +68,22 @@ def peakmatch_block(
     b_min: np.ndarray,
     b_above: list[np.ndarray],
     stride: int,
+    pair_mask: np.ndarray | None = None,
 ) -> np.ndarray:
-    """Dense (n_a, n_b) peakmatch scores: max(positive-peak score,
-    negative-peak score) per pair (PeakMatchRunner.java:31-43)."""
+    """(n_a, n_b) peakmatch scores: max(positive-peak score,
+    negative-peak score) per pair (PeakMatchRunner.java:31-43).
+    ``pair_mask`` restricts computation to selected cells (unmasked
+    cells return -1); the blocked self-join passes the triangular /
+    canonical-orientation mask so no pair is scored twice."""
     m = a_series.shape[1]
     a_pad = np.zeros((len(a_series), 3 * m))
     a_pad[:, m : 2 * m] = a_series
-    pos = _peakmatch_block_one_sign(a_pad, b_series, a_max, b_max, b_above, stride, m)
-    neg = _peakmatch_block_one_sign(a_pad, b_series, a_min, b_min, b_above, stride, m)
+    pos = _peakmatch_block_one_sign(
+        a_pad, b_series, a_max, b_max, b_above, stride, m, pair_mask
+    )
+    neg = _peakmatch_block_one_sign(
+        a_pad, b_series, a_min, b_min, b_above, stride, m, pair_mask
+    )
     return np.maximum(pos, neg)
 
 

@@ -43,10 +43,17 @@ def connected_components(
     # DataFrame loops otherwise re-analyze an ever-growing logical plan
     # each round (lineage explosion — analysis cost, not compute, was
     # the bottleneck on plans rooted at cogroup/UDF stages)
+    # the iteration state is small relative to the edge-generation
+    # stages upstream — run the loop at modest parallelism so the
+    # per-iteration fixed cost (tasks × rounds) stays low; at true
+    # scale pass a larger ``loop_partitions``
+    spark = edges.sparkSession
+    loop_parts = max(4, spark.sparkContext.defaultParallelism // 4)
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
+        .repartition(loop_parts, "u")
         .localCheckpoint()
     )
     labels = (
@@ -56,14 +63,29 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
-        # candidate label for each vertex: min over neighbours' labels
+        # candidate label per vertex: min over neighbours' labels …
         neigh = (
             sym.join(labels, sym.v == labels.id)
             .select(F.col("u").alias("id"), F.col("component"))
         )
+        # … plus pointer jumping (component-of-component), which
+        # collapses long chains in O(log diameter) rounds instead of
+        # O(diameter)
+        jump = (
+            labels.alias("a")
+            .join(
+                labels.select(
+                    F.col("id").alias("component"),
+                    F.col("component").alias("cc"),
+                ).alias("b"),
+                "component",
+            )
+            .select(F.col("id"), F.col("cc").alias("component"))
+        )
         new_labels = (
             labels.select("id", "component")
             .union(neigh)
+            .union(jump)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
             .localCheckpoint()

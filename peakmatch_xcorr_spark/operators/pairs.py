@@ -126,6 +126,7 @@ def peakmatch_scores(
                 mat = peakmatch_block(
                     l_series, l_max, l_min,
                     l_series, l_max, l_min, l_above, stride,
+                    pair_mask=tri,
                 )
             return emit(mat, l_ids, l_ids, tri)
 
@@ -138,10 +139,12 @@ def peakmatch_scores(
                 emit(mat.T, r_ids, l_ids, ~lt.T),
             ], ignore_index=True)
         mat_lr = peakmatch_block(
-            l_series, l_max, l_min, r_series, r_max, r_min, r_above, stride
+            l_series, l_max, l_min, r_series, r_max, r_min, r_above, stride,
+            pair_mask=lt,
         )
         mat_rl = peakmatch_block(
-            r_series, r_max, r_min, l_series, l_max, l_min, l_above, stride
+            r_series, r_max, r_min, l_series, l_max, l_min, l_above, stride,
+            pair_mask=~lt.T,
         )
         return pd.concat([
             emit(mat_lr, l_ids, r_ids, lt),
@@ -230,16 +233,19 @@ def fused_prune_verify(
             mat = peakmatch_block(
                 l_series, l_max, l_min,
                 l_series, l_max, l_min, l_above, stride,
+                pair_mask=tri,
             )
             return finish(mat, l_ids, l_series, l_ids, l_series, tri)
 
         r_ids, r_series, r_max, r_min, r_above = unpack(rpdf)
         lt = l_ids[:, None] < r_ids[None, :]
         mat_lr = peakmatch_block(
-            l_series, l_max, l_min, r_series, r_max, r_min, r_above, stride
+            l_series, l_max, l_min, r_series, r_max, r_min, r_above, stride,
+            pair_mask=lt,
         )
         mat_rl = peakmatch_block(
-            r_series, r_max, r_min, l_series, l_max, l_min, l_above, stride
+            r_series, r_max, r_min, l_series, l_max, l_min, l_above, stride,
+            pair_mask=~lt.T,
         )
         out_lr = finish(mat_lr, l_ids, l_series, r_ids, r_series, lt)
         out_rl = finish(mat_rl, r_ids, r_series, l_ids, l_series, ~lt.T)
