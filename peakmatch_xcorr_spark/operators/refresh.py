@@ -23,6 +23,8 @@ that day's buckets, never rescanning history.
 
 from __future__ import annotations
 
+import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,6 +70,8 @@ class ContinuousAggregate:
         tiers: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
         tier_names: tuple[str, ...] = ("1m", "1h", "1d"),
         name: str = "rollup",
+        retention_s: tuple[int | None, ...] | None = None,
+        pack_tiers: tuple[str, ...] = (),
     ):
         self.root = warehouse_root
         self.source = source
@@ -77,10 +81,43 @@ class ContinuousAggregate:
         self.tiers = tiers
         self.tier_names = tier_names
         self.name = name
+        self.retention_s = retention_s or (None,) * len(tier_names)
+        self.pack_tiers = pack_tiers
         self.tier_tables = {
             tn: WarehouseTable(warehouse_root, f"{name}_{tn}")
             for tn in tier_names
         }
+        self.packed_tables = {
+            tn: WarehouseTable(warehouse_root, f"{name}_{tn}_packed")
+            for tn in pack_tiers
+        }
+
+    def _apply_retention(self, tier_df: DataFrame, idx: int) -> DataFrame:
+        """Event-time retention: drop buckets older than the horizon
+        behind the tier's max bucket (deterministic — no wall clock)."""
+        horizon = self.retention_s[idx]
+        if horizon is None:
+            return tier_df
+        hi = tier_df.agg(F.max("bucket_start").alias("hi")).collect()[0]["hi"]
+        if hi is None:
+            return tier_df
+        cutoff = hi - datetime.timedelta(seconds=horizon)
+        return tier_df.filter(F.col("bucket_start") >= F.lit(cutoff))
+
+    def _maybe_pack(self, tn: str, tier_df: DataFrame, src_v: int) -> None:
+        if tn not in self.pack_tiers:
+            return
+        from peakmatch_xcorr_spark.operators.rollup import pack_tier
+
+        packed = pack_tier(
+            tier_df.withColumn(self.keys[0], F.col(self.keys[0]).cast("string")),
+            [self.keys[0]],
+            value_col="vavg" if self.value_col else "turns",
+        )
+        self.packed_tables[tn].overwrite(
+            packed, job_id=f"{self.name}_pack",
+            metrics={"source_version": src_v, "tier": tn},
+        )
 
     def _ckpt(self, source_version: int) -> JobCheckpoint:
         return JobCheckpoint(self.root, f"{self.name}_refresh_v{source_version}")
@@ -132,10 +169,12 @@ class ContinuousAggregate:
                 affected.write.mode("overwrite").parquet(
                     f"{t0.dir}/affected_v{src_v}"
                 )
+            merged = self._apply_retention(merged, 0)
             snap = t0.overwrite(
                 merged, job_id=f"{self.name}_refresh",
                 metrics={"source_version": src_v, "tier": tn0},
             )
+            self._maybe_pack(tn0, t0.read(spark), src_v)
             ckpt.mark_done(tn0, src_v, {"tier_version": snap.version})
             metrics[tn0] = {"rows": snap.metrics.get("rows")}
             if fail_after_phase == tn0:
@@ -184,10 +223,12 @@ class ContinuousAggregate:
                     affected_coarse, [*self.keys, "bucket_start"], "left_anti"
                 )
                 merged = untouched.unionByName(recomputed)
+            merged = self._apply_retention(merged, i)
             snap = tier_table.overwrite(
                 merged, job_id=f"{self.name}_refresh",
                 metrics={"source_version": src_v, "tier": tn},
             )
+            self._maybe_pack(tn, tier_table.read(spark), src_v)
             ckpt.mark_done(tn, src_v, {"tier_version": snap.version})
             metrics[tn] = {"rows": snap.metrics.get("rows")}
             if fail_after_phase == tn:

@@ -112,8 +112,11 @@ class WarehouseTable:
 
     # ---- writes ----
     def _write_data(self, df: DataFrame) -> list[dict]:
-        """Write df as parquet under a fresh uuid dir; return file list
-        with row counts (the per-partition lineage record)."""
+        """Write df as parquet under a fresh uuid dir; return the
+        per-file (= per output partition) lineage record: path, bytes,
+        rows (from parquet footers — no extra scan)."""
+        import pyarrow.parquet as pq
+
         sub = uuid.uuid4().hex
         out = os.path.join(self.data_dir, sub)
         df.write.mode("overwrite").parquet(out)
@@ -121,18 +124,25 @@ class WarehouseTable:
         for fn in sorted(os.listdir(out)):
             if fn.endswith(".parquet"):
                 p = os.path.join(sub, fn)
-                files.append({"path": p, "bytes": os.path.getsize(os.path.join(self.data_dir, p))})
+                full = os.path.join(self.data_dir, p)
+                files.append(
+                    {
+                        "path": p,
+                        "bytes": os.path.getsize(full),
+                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                    }
+                )
         return files
 
     def append(self, df: DataFrame, job_id: str | None = None, metrics: dict | None = None) -> Snapshot:
-        rows = df.count()
         files = self._write_data(df)
+        rows = sum(f["rows"] for f in files)
         m = {"rows_appended": rows, "committed_at": time.time(), **(metrics or {})}
         return self._commit("append", files, job_id, m, keep_parent_files=True)
 
     def overwrite(self, df: DataFrame, job_id: str | None = None, metrics: dict | None = None) -> Snapshot:
-        rows = df.count()
         files = self._write_data(df)
+        rows = sum(f["rows"] for f in files)
         m = {"rows": rows, "committed_at": time.time(), **(metrics or {})}
         return self._commit("overwrite", files, job_id, m, keep_parent_files=False)
 

@@ -127,3 +127,34 @@ def test_resume_after_mid_cascade_kill(spark, wh):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[tn], exp[got[tn].columns], check_dtype=False)
+
+
+def test_retention_and_packed_tiers(spark, wh):
+    from peakmatch_xcorr_spark.kernels.codecs import dod_decode, gorilla_decode
+
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    src.append(full)
+    agg = ContinuousAggregate(
+        wh, src, keys=["conv_id"], ts_col="ts", value_col=None,
+        retention_s=(3600 * 12, None, None),  # keep only last 12h of 1m
+        pack_tiers=("1h",),
+    )
+    agg.refresh(spark)
+    t1m = agg.tier_tables["1m"].read(spark).toPandas()
+    span = t1m.bucket_start.max() - t1m.bucket_start.min()
+    assert span <= pd.Timedelta(hours=12)
+    # packed 1h payloads round-trip against the 1h tier
+    t1h = agg.tier_tables["1h"].read(spark).toPandas()
+    packed = agg.packed_tables["1h"].read(spark).toPandas()
+    assert len(packed) == t1h.conv_id.nunique()
+    row = packed.iloc[0]
+    g = t1h[t1h.conv_id == row.conv_id].sort_values("bucket_start")
+    np.testing.assert_array_equal(
+        dod_decode(bytes(row.ts_packed)),
+        g.bucket_start.astype("datetime64[us]").astype("int64").to_numpy(),
+    )
+    np.testing.assert_array_equal(
+        gorilla_decode(bytes(row.val_packed)),
+        g.turns.astype("float64").to_numpy(),
+    )
