@@ -789,3 +789,115 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _BASE_ORACLES()
     out.update({k: v[1] for k, v in _WIDE_QUERIES.items() if v[1] is not None})
     return out
+
+
+# ------------------------------------------------- round-1 late additions
+
+def _q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted rollup (skew path) — must equal the plain
+    rollup oracle exactly (operators/partitioning.py)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.partitioning import salted_two_phase_rollup
+
+    events = _t(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts", "value"
+    )
+    out = salted_two_phase_rollup(events, "1 hour", 16, value_col="value")
+    return out.select(
+        "conv_id", "bucket_start", "turns",
+        F.round(F.col("vsum") + 1e-9, 2).alias("vsum"),
+        "vmin", "vmax",
+        F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+    )
+
+
+_SQL_SALTED_ROLLUP = """
+SELECT cast(user_id AS varchar) AS conv_id,
+       date_trunc('hour', ts) AS bucket_start,
+       count(*) AS turns,
+       round(sum(value) + 1e-9, 2) AS vsum,
+       min(value) AS vmin, max(value) AS vmax,
+       round(avg(value) + 1e-9, 6) AS vavg
+FROM events GROUP BY 1, 2
+"""
+
+
+def _q_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN-under-eta edges over embeddings (W3/W4 ranking-window
+    semantics from the reference's clusterer, on the embedding table).
+    Rank key is (rounded distance, id_a, id_b) so float last-ulp
+    differences cannot flip ranks between engines."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from peakmatch_xcorr_spark.operators.similarity import _dot, _norm
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    sq_a = _dot(F.col("a.v"), F.col("a.v"))
+    sq_b = _dot(F.col("b.v"), F.col("b.v"))
+    dot = _dot(F.col("a.v"), F.col("b.v"))
+    dist = F.round(F.sqrt(F.greatest(sq_a + sq_b - 2 * dot, F.lit(0.0))) + 1e-9, 6)
+    pairs = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            dist.alias("dist"),
+        )
+    )
+    both = pairs.select(F.col("id_a").alias("node"), "id_a", "id_b", "dist").union(
+        pairs.select(F.col("id_b").alias("node"), "id_a", "id_b", "dist")
+    )
+    w = Window.partitionBy("node").orderBy("dist", "id_a", "id_b")
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") <= 5) & (F.col("dist") < 8.0))
+        .select("id_a", "id_b", "dist")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+_SQL_KNN_EDGES = """
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         round(sqrt(greatest(
+           list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])
+           + list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           - 2 * list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]),
+           0.0)) + 1e-9, 6) AS dist
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+), nodes2 AS (
+  SELECT id_a AS node, id_a, id_b, dist FROM pairs
+  UNION ALL
+  SELECT id_b AS node, id_a, id_b, dist FROM pairs
+), ranked AS (
+  SELECT id_a, id_b, dist,
+         row_number() OVER (PARTITION BY node ORDER BY dist, id_a, id_b) AS rn
+  FROM nodes2
+)
+SELECT DISTINCT id_a, id_b, dist FROM ranked WHERE rn <= 5 AND dist < 8.0
+"""
+
+
+_LATE_QUERIES = {
+    "salted_rollup_1h": (_q_salted_rollup, _SQL_SALTED_ROLLUP),
+    "knn_edges_embeddings": (_q_knn_edges, _SQL_KNN_EDGES),
+}
+
+_BASE_QUERIES2 = queries
+_BASE_ORACLES2 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _BASE_QUERIES2()
+    out.update({k: v[0] for k, v in _LATE_QUERIES.items()})
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _BASE_ORACLES2()
+    out.update({k: v[1] for k, v in _LATE_QUERIES.items() if v[1] is not None})
+    return out
