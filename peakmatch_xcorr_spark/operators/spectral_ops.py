@@ -85,3 +85,43 @@ def band_mean_table(
     return events.select(id_col, series_col).mapInPandas(
         run, schema="id string, band double, mean_mag double"
     )
+
+
+def spectrogram_table(
+    events: DataFrame,
+    spectral: SpectralConf,
+    bucket_duration_sec: float,
+    id_col: str = "conv_id",
+    series_col: str = "series",
+) -> DataFrame:
+    """PLOT2D tumbling-window spectrogram as rows (W7,
+    Plot2DProcessor.java:39-88): one row per (event, time bucket,
+    frequency band) with the unit-normalized band mean."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.spectral import spectrogram_buckets
+
+        for pdf in batches:
+            ids, buckets, bands, mags = [], [], [], []
+            for i, s in zip(pdf[id_col], pdf[series_col]):
+                for bi, (bs, ms) in enumerate(
+                    spectrogram_buckets(
+                        np.asarray(s, dtype=np.float64),
+                        bucket_duration_sec, spectral,
+                    )
+                ):
+                    ids.extend([i] * len(bs))
+                    buckets.extend([bi] * len(bs))
+                    bands.extend(bs)
+                    mags.extend(ms)
+            yield pd.DataFrame(
+                {"id": ids, "time_bucket": buckets, "band": bands,
+                 "norm_mag": mags}
+            )
+
+    return events.select(id_col, series_col).mapInPandas(
+        run, schema="id string, time_bucket int, band double, norm_mag double"
+    )

@@ -311,3 +311,30 @@ def test_read_event_dir_reference_format(spark, tmp_path):
         np.testing.assert_allclose(np.asarray(row.series), exp.series, rtol=1e-12)
         np.testing.assert_array_equal(np.asarray(row.max_peaks), exp.max_peaks)
         assert row.peak_amp == pytest.approx(exp.peak_amp, rel=1e-12)
+
+
+def test_spectrogram_table(spark):
+    from peakmatch_xcorr_spark.operators.spectral_ops import spectrogram_table
+
+    t = np.arange(800)
+    d = np.concatenate(
+        (np.sin(2 * np.pi * 2.0 * t[:400] / 100),
+         np.sin(2 * np.pi * 8.0 * t[:400] / 100))
+    )
+    df = spark.createDataFrame(pd.DataFrame([{"conv_id": "x", "series": d}]))
+    out = spectrogram_table(df, SpectralConf(), 4.0).toPandas()
+    assert set(out.time_bucket) == {0, 1}
+    b0 = out[out.time_bucket == 0]
+    b1 = out[out.time_bucket == 1]
+    assert b0.loc[b0.norm_mag.idxmax(), "band"] < b1.loc[b1.norm_mag.idxmax(), "band"]
+
+
+def test_plan_report(spark):
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.plans import plan_report
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    r = plan_report(tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour"))
+    assert r["exchanges"] >= 1
+    assert r["partial_aggs"] >= 4
+    assert "props" not in r["read_schema"]
