@@ -333,8 +333,13 @@ def test_plan_report(spark):
     from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
     from peakmatch_xcorr_spark.plans import plan_report
 
-    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    r = plan_report(tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour"))
+    # lineitem: not cached by any other test module — a cached input
+    # substitutes InMemoryRelation and legitimately changes the plan
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    r = plan_report(
+        tumbling_rollup(li, ["l_suppkey"], "l_shipdate", "l_quantity", "1 day")
+    )
     assert r["exchanges"] >= 1
     assert r["partial_aggs"] >= 4
-    assert "props" not in r["read_schema"]
+    assert "l_comment" not in r["read_schema"]
+    assert "l_orderkey" not in r["read_schema"]
