@@ -107,6 +107,44 @@ def headline_queries(spark, sf_dir: str):
     return qs, events
 
 
+def _kernel_microbench() -> dict:
+    """Single-core per-pair kernel timings, directly comparable to the
+    reference's published numbers (README.md:24: peakmatch ~1-2 us per
+    pair, exact FFT xcorr tens of ms per pair on 2009 hardware)."""
+    import numpy as np
+
+    from peakmatch_xcorr_spark.config import PeakmatchConf
+    from peakmatch_xcorr_spark.kernels.signal import featurize
+    from peakmatch_xcorr_spark.kernels.xcorr_batch import (
+        fft_xcorr_block,
+        peakmatch_block,
+    )
+
+    rng = np.random.default_rng(3)
+    conf = PeakmatchConf(expected_len=256)
+    feats = []
+    while len(feats) < 128:
+        try:
+            feats.append(featurize(np.round(rng.normal(0, 1000, 256)), conf))
+        except ValueError:
+            pass
+    s = np.stack([f.series for f in feats])
+    mx = np.stack([f.max_peaks for f in feats])
+    mn = np.stack([f.min_peaks for f in feats])
+    ab = [f.above_idx for f in feats]
+    n = len(feats)
+    t0 = time.perf_counter()
+    peakmatch_block(s, mx, mn, s, mx, mn, ab, conf.sampling_stride)
+    pm = (time.perf_counter() - t0) / (n * n)
+    t0 = time.perf_counter()
+    fft_xcorr_block(s[:32], s[:32])
+    fx = (time.perf_counter() - t0) / (32 * 32)
+    return {
+        "peakmatch_us_per_pair": round(pm * 1e6, 2),
+        "fft_xcorr_us_per_pair": round(fx * 1e6, 2),
+    }
+
+
 def run_bench(cpus: int, sf_dir: str) -> dict:
     spark = build_session(cpus)
     qs, events = headline_queries(spark, sf_dir)
@@ -119,6 +157,15 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         times[name] = round(time.perf_counter() - t0, 3)
     total = round(sum(times.values()), 3)
     rollup_t = times["rollup_cascade"]
+    from pyspark.sql import functions as F
+
+    n_convs = (
+        events.select(
+            F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit("-"),
+                     F.pmod(F.col("event_id"), F.lit(8)).cast("string"))
+        ).distinct().count()
+    )
+    n_pairs = n_convs * (n_convs - 1) // 2
     return {
         "metric": "headline_queries_total",
         "value": total,
@@ -129,6 +176,10 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         "rows": rows,
         "events_rows": n_events,
         "rollup_turns_per_sec": round(n_events / rollup_t) if rollup_t else None,
+        "dedup_pairs_considered": n_pairs,
+        "dedup_matches": rows.get("dedup_xcorr"),
+        "dedup_match_density": round(rows.get("dedup_xcorr", 0) / n_pairs, 5),
+        "kernel_microbench": _kernel_microbench(),
     }
 
 
