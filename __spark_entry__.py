@@ -901,3 +901,106 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _BASE_ORACLES2()
     out.update({k: v[1] for k, v in _LATE_QUERIES.items() if v[1] is not None})
     return out
+
+
+# ------------------------------------------------- final round-1 queries
+
+def _q_rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP grouping sets over the star schema (A6/Catalyst-free)."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice") + 1e-9, 2).alias("sum_price"),
+    )
+
+
+_SQL_ROLLUP_GS = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_extendedprice) + 1e-9, 2) AS sum_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def _q_except_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (J3 / AnalyseProcessor.java:66-87 analogue):
+    users seen in clicks but never in purchases."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return clicks.subtract(buys)  # EXCEPT (set semantics)
+
+
+_SQL_EXCEPT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'purchase'
+"""
+
+
+def _q_centre_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centre mode (J4, ClusteringProcessor.java:85-107) over the
+    embedding table: every vector scored against 3 named centres,
+    kept under a distance threshold."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.similarity import _dot
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    centres = emb.filter(F.col("id").isin([0, 1, 2])).select(
+        F.col("id").alias("centre_id"), F.col("v").alias("cv")
+    )
+    j = emb.join(F.broadcast(centres), F.col("id") != F.col("centre_id"))
+    d2 = (
+        _dot(F.col("v"), F.col("v"))
+        + _dot(F.col("cv"), F.col("cv"))
+        - 2 * _dot(F.col("v"), F.col("cv"))
+    )
+    dist = F.round(F.sqrt(F.greatest(d2, F.lit(0.0))) + 1e-9, 6)
+    return (
+        j.withColumn("dist", dist)
+        .filter(F.col("dist") <= 7.0)
+        .select("centre_id", "id", "dist")
+    )
+
+
+_SQL_CENTRE = """
+SELECT c.vec_id AS centre_id, e.vec_id AS id,
+       round(sqrt(greatest(
+         list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])
+         - 2 * list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+         0.0)) + 1e-9, 6) AS dist
+FROM embeddings e
+JOIN embeddings c ON c.vec_id IN (0, 1, 2) AND e.vec_id != c.vec_id
+WHERE round(sqrt(greatest(
+         list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])
+         + list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[])
+         - 2 * list_dot_product(e.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+         0.0)) + 1e-9, 6) <= 7.0
+"""
+
+
+_FINAL_QUERIES = {
+    "rollup_grouping_sets": (_q_rollup_grouping_sets, _SQL_ROLLUP_GS),
+    "except_clicks_no_purchase": (_q_except_setop, _SQL_EXCEPT),
+    "centre_distances": (_q_centre_distances, _SQL_CENTRE),
+}
+
+_BASE_QUERIES3 = queries
+_BASE_ORACLES3 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _BASE_QUERIES3()
+    out.update({k: v[0] for k, v in _FINAL_QUERIES.items()})
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _BASE_ORACLES3()
+    out.update({k: v[1] for k, v in _FINAL_QUERIES.items() if v[1] is not None})
+    return out
