@@ -260,6 +260,91 @@ def fused_prune_verify(
     )
 
 
+def lsh_scoped_matches(
+    features: DataFrame,
+    conf: PeakmatchConf,
+    n_planes: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """The 10^9-conversation tier above blocking (DESIGN.md §3):
+    bound the pair universe FIRST with signed-random-projection LSH
+    over the activity curves, then run the fused peakmatch+FFT kernel
+    only within LSH buckets.
+
+    Near-duplicate curves agree on most projection signs, so they
+    collide in at least one band with high probability (banding =
+    multiple chances); random pairs don't, so the quadratic kernel
+    never sees them.  Trades bounded recall (<1, like the reference's
+    documented FN tradeoff, README.md:22) for a pair universe that is
+    linear-ish in N instead of N²/2.  Recall on planted dups is
+    asserted in tests.
+    """
+    from peakmatch_xcorr_spark.operators.similarity import lsh_signatures
+
+    sigs = lsh_signatures(
+        features.select("conv_id", "series"),
+        dim=conf.expected_len,  # = activity curve length
+        n_planes=n_planes,
+        id_col="conv_id",
+        vec_col="series",
+        bands=bands,
+    )
+    cand_t = conf.candidate_threshold
+    final_t = conf.final_threshold
+    stride = conf.sampling_stride
+
+    # bucket = (band, sig); join back full features for members of
+    # non-singleton buckets only, then score within each bucket
+    bucketed = sigs.select(F.col("id").alias("conv_id"), "band", "sig")
+    counts = bucketed.groupBy("band", "sig").count().filter(F.col("count") > 1)
+    members = bucketed.join(counts.select("band", "sig"), ["band", "sig"], "left_semi")
+    joined = members.join(features, "conv_id")
+
+    def compute(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.xcorr_batch import (
+            fft_xcorr_cells,
+            peakmatch_block,
+        )
+
+        empty = pd.DataFrame({"id_a": pd.Series(dtype="object"),
+                              "id_b": pd.Series(dtype="object"),
+                              "score": pd.Series(dtype="float64"),
+                              "xcorr": pd.Series(dtype="float64")})
+        if len(pdf) < 2 or "series" not in pdf.columns:
+            return empty
+        ids = pdf["conv_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        series = np.stack([np.asarray(pdf["series"].iloc[i]) for i in order])
+        mx = np.stack([np.asarray(pdf["max_peaks"].iloc[i]) for i in order])
+        mn = np.stack([np.asarray(pdf["min_peaks"].iloc[i]) for i in order])
+        ab = [np.asarray(pdf["above_idx"].iloc[i]) for i in order]
+        n = len(ids)
+        tri = np.triu(np.ones((n, n), dtype=bool), k=1)
+        mat = peakmatch_block(series, mx, mn, series, mx, mn, ab, stride,
+                              pair_mask=tri)
+        cand = tri & (mat > cand_t)
+        ii, jj = np.nonzero(cand)
+        if len(ii) == 0:
+            return empty
+        xc = fft_xcorr_cells(series, series, ii, jj)
+        keep = xc > final_t
+        return pd.DataFrame({
+            "id_a": ids[ii[keep]], "id_b": ids[jj[keep]],
+            "score": mat[ii[keep], jj[keep]], "xcorr": xc[keep],
+        })
+
+    out = joined.groupBy("band", "sig").applyInPandas(
+        compute, schema="id_a string, id_b string, score double, xcorr double"
+    )
+    # a pair colliding in several bands is scored identically each
+    # time — keep one
+    return out.dropDuplicates(["id_a", "id_b"])
+
+
 def peakmatch_candidates(
     features: DataFrame, conf: PeakmatchConf, n_blocks: int = 16
 ) -> DataFrame:

@@ -259,3 +259,24 @@ def test_fused_equals_two_phase(spark, feats):
     assert (f.id_a.to_numpy() == t.id_a.to_numpy()).all()
     assert (f.id_b.to_numpy() == t.id_b.to_numpy()).all()
     np.testing.assert_allclose(f.xcorr.to_numpy(), t.xcorr.to_numpy(), rtol=1e-12)
+
+
+def test_lsh_scoped_matches_recover_planted_dups(spark, feats, synth):
+    """The LSH-scoped tier (pair universe bounded before peakmatch)
+    must still recover the planted near-duplicates, and every reported
+    match must agree with the exhaustive fused path."""
+    from peakmatch_xcorr_spark.operators.pairs import (
+        fused_prune_verify,
+        lsh_scoped_matches,
+    )
+
+    scoped = lsh_scoped_matches(feats, CONF.peakmatch, n_planes=16, bands=8).toPandas()
+    full = fused_prune_verify(feats, CONF.peakmatch, n_blocks=4).toPandas()
+    full_map = {(r.id_a, r.id_b): r.xcorr for r in full.itertuples()}
+    assert len(scoped) > 0
+    for r in scoped.itertuples():
+        assert (r.id_a, r.id_b) in full_map  # subset of the true matches
+        assert r.xcorr == pytest.approx(full_map[(r.id_a, r.id_b)], rel=1e-12)
+    found = set(zip(scoped.id_a, scoped.id_b))
+    for pair in synth.dup_pairs:
+        assert pair in found, f"planted pair {pair} missed by LSH scoping"
