@@ -53,21 +53,36 @@ def _emit_bitstream(fields: np.ndarray, lens: np.ndarray) -> bytes:
 
 class _BitReader:
     """Sequential MSB-first bit reader for decode (decode is inherently
-    sequential: field lengths depend on prior control bits)."""
+    sequential: field lengths depend on prior control bits).
 
-    __slots__ = ("bits", "pos")
+    Implementation: one widened uint64 window per starting byte,
+    precomputed vectorized — read(n<=57) is two shifts and a mask,
+    no per-bit Python."""
+
+    __slots__ = ("win", "nbits", "pos")
 
     def __init__(self, data: bytes):
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        raw = np.frombuffer(data, dtype=np.uint8)
+        self.nbits = len(raw) * 8
+        # pad so every starting byte has 8 bytes available
+        padded = np.concatenate((raw, np.zeros(8, dtype=np.uint8)))
+        # win[i] = big-endian uint64 starting at byte i
+        self.win = (
+            sum(
+                padded[k : k + len(raw) + 1].astype(np.uint64) << np.uint64(8 * (7 - k))
+                for k in range(8)
+            )
+        )
         self.pos = 0
 
     def read(self, n: int) -> int:
-        chunk = self.bits[self.pos : self.pos + n]
-        self.pos += n
-        v = 0
-        for b in chunk:
-            v = (v << 1) | int(b)
-        return v
+        if n <= 57:
+            byte, bit = divmod(self.pos, 8)
+            v = (int(self.win[byte]) >> (64 - bit - n)) & ((1 << n) - 1)
+            self.pos += n
+            return v
+        hi = self.read(32)
+        return (hi << (n - 32)) | self.read(n - 32)
 
 
 def gorilla_encode(values: np.ndarray) -> bytes:

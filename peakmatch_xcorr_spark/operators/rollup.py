@@ -254,3 +254,38 @@ def pack_tier(
         return pd.DataFrame(row)
 
     return tier.groupBy(*keys).applyInPandas(pack, schema=schema)
+
+
+def unpack_tier(
+    packed: DataFrame, keys: list[str], value_col: str = "vavg"
+) -> DataFrame:
+    """Inverse of ``pack_tier``: packed payload rows → (keys,
+    bucket_start, value) rows.  One Arrow batch in, decoded rows out —
+    the read path for packed retention tiers."""
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    schema = f"{key_fields}, bucket_start timestamp_ntz, {value_col} double"
+
+    def unpack(batches):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.codecs import dod_decode, gorilla_decode
+
+        for pdf in batches:
+            frames = []
+            for r in pdf.itertuples(index=False):
+                ts = dod_decode(bytes(r.ts_packed))
+                vals = gorilla_decode(bytes(r.val_packed))
+                f = pd.DataFrame(
+                    {
+                        "bucket_start": ts.view("datetime64[us]"),
+                        value_col: vals,
+                    }
+                )
+                for k in keys:
+                    f[k] = getattr(r, k)
+                frames.append(f[[*keys, "bucket_start", value_col]])
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return packed.mapInPandas(unpack, schema=schema)
