@@ -23,10 +23,17 @@ from peakmatch_xcorr_spark.operators.pairs import (
 from peakmatch_xcorr_spark.operators.rollup import rollup_cascade
 
 
+def auto_blocks(n_events: int, target_block: int = 300) -> int:
+    """Block count keeping ~target_block events per block: the per-task
+    gather working set stays cache-resident (~6 MB at curve_len=256;
+    measured: 1250-event blocks thrash, 300-event blocks fly)."""
+    return max(1, -(-n_events // target_block))
+
+
 def find_duplicate_conversations(
     transcripts: DataFrame,
     conf: EngineConf,
-    n_blocks: int = 8,
+    n_blocks: int | None = 8,
     fused: bool = True,
 ) -> DataFrame:
     """transcripts → activity curves → featurize → peakmatch prune →
@@ -46,6 +53,8 @@ def find_duplicate_conversations(
         bucket=conf.rollup.activity_bucket,
         curve_len=conf.rollup.activity_curve_len,
     ).cache()
+    if n_blocks is None:
+        n_blocks = auto_blocks(feats.count())
     if fused:
         from peakmatch_xcorr_spark.operators.pairs import fused_prune_verify
 
@@ -60,7 +69,7 @@ def find_duplicate_conversations(
 def dedup_then_rollup(
     transcripts: DataFrame,
     conf: EngineConf,
-    n_blocks: int = 8,
+    n_blocks: int | None = 8,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """The flagship flow: dedup near-duplicate conversations, then the
     full retention cascade over survivors.  Returns (deduped, tiers)."""
