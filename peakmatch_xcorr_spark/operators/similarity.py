@@ -154,3 +154,127 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    dim: int,
+    max_iter: int = 10,
+    seed: int = 17,
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """DataFrame-native Lloyd's k-means over unit vectors (coarse
+    quantizer for IVF).  Deterministic: centroids seeded from hashed
+    row picks; each iteration is one broadcast-join + groupBy shuffle;
+    ``localCheckpoint`` is unnecessary because centroids live on the
+    driver (k × dim floats), not in a growing plan."""
+    from pyspark.sql import functions as F
+
+    unit = with_unit_vectors(df, vec_col).select(F.col("unit"))
+    # deterministic seed sample: first k rows under a hash order
+    seeds = (
+        unit.withColumn("h", F.xxhash64(F.col("unit").cast("string"), F.lit(seed)))
+        .orderBy("h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["unit"]) for r in seeds]
+    for _ in range(max_iter):
+        assigned = _assign_nearest(unit, centroids)
+        new_rows = (
+            assigned.groupBy("centroid_id")
+            .agg(
+                F.array(*[
+                    F.avg(F.col("unit")[i]).alias(f"c{i}") for i in range(dim)
+                ]).alias("mean_vec"),
+            )
+            .collect()
+        )
+        new_centroids = list(centroids)
+        moved = 0.0
+        for r in new_rows:
+            import math
+
+            v = r["mean_vec"]
+            n = math.sqrt(sum(x * x for x in v)) or 1.0
+            nv = [x / n for x in v]
+            moved += sum(
+                (a - b) ** 2 for a, b in zip(nv, new_centroids[r["centroid_id"]])
+            )
+            new_centroids[r["centroid_id"]] = nv
+        centroids = new_centroids
+        if moved < 1e-12:
+            break
+    return centroids
+
+
+def _assign_nearest(unit_df: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Assign each unit vector to its max-cosine centroid — pure
+    column expressions over literal centroid arrays (broadcast by
+    constant folding)."""
+    from pyspark.sql import functions as F
+
+    scored = [
+        F.struct(
+            _dot(F.col("unit"), F.array(*[F.lit(c) for c in cent])).alias("cos"),
+            F.lit(i).alias("cid"),
+        )
+        for i, cent in enumerate(centroids)
+    ]
+    best = F.array_max(F.array(*scored))
+    return unit_df.withColumn("centroid_id", best["cid"]).withColumn(
+        "centroid_cos", best["cos"]
+    )
+
+
+def ivf_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: items partitioned into centroid lists;
+    each query probes its ``n_probe`` nearest lists and re-ranks with
+    exact cosine inside them.  The scale path when the LSH variant's
+    bucket skew is a concern: list sizes are ~uniform after k-means."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    it = _assign_nearest(
+        with_unit_vectors(items, vec_col), centroids
+    ).select(F.col(id_col).alias("item_id"), F.col("unit").alias("iv"),
+             F.col("centroid_id").alias("list_id"))
+
+    qu = with_unit_vectors(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("unit").alias("qv")
+    )
+    probes = [
+        F.struct(
+            _dot(F.col("qv"), F.array(*[F.lit(c) for c in cent])).alias("cos"),
+            F.lit(i).alias("cid"),
+        )
+        for i, cent in enumerate(centroids)
+    ]
+    ranked_lists = F.reverse(F.array_sort(F.array(*probes)))
+    qu = qu.withColumn(
+        "probe_list",
+        F.slice(F.transform(ranked_lists, lambda s: s["cid"]), 1, n_probe),
+    ).select("query_id", "qv", F.explode("probe_list").alias("list_id"))
+
+    scored = (
+        it.join(qu, "list_id")
+        .filter(F.col("item_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("iv"), F.col("qv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "item_id", "cosine", "rank")
+    )

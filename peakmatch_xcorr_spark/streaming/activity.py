@@ -103,3 +103,24 @@ def stateful_conv_totals(stream: DataFrame) -> DataFrame:
         update, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_sessionize(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event-time session windows per conversation (session_window =
+    the streaming form of the batch lag/cumsum sessionizer in
+    __spark_entry__._q_sessionize)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+        )
+    )

@@ -69,3 +69,20 @@ def test_stateful_conv_totals(spark, stream_dir):
     exp = pdf.groupby("conv_id").size()
     for conv, n in exp.items():
         assert got[conv] == n, conv
+
+
+def test_streaming_sessionize(spark, stream_dir):
+    from peakmatch_xcorr_spark.streaming.activity import streaming_sessionize
+
+    path, pdf = stream_dir
+    stream = read_transcript_stream(spark, path)
+    sess = streaming_sessionize(stream, gap="10 minutes", watermark="1 hour")
+    run_stream_to_memory(sess, "s_sessions", mode="append")
+    got = spark.sql("SELECT * FROM s_sessions").toPandas()
+    assert len(got) > 0
+    assert (got.n_turns > 0).all()
+    assert (got.session_end > got.session_start).all()
+    # sealed sessions per conv must not exceed total turns
+    totals = pdf.groupby("conv_id").size()
+    for conv, g in got.groupby("conv_id"):
+        assert g.n_turns.sum() <= totals[conv]

@@ -343,3 +343,27 @@ def test_plan_report(spark):
     assert r["partial_aggs"] >= 4
     assert "l_comment" not in r["read_schema"]
     assert "l_orderkey" not in r["read_schema"]
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
+    from peakmatch_xcorr_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    dim = len(embeddings.first()["embedding"])
+    cents = kmeans_fit(embeddings, k=8, dim=dim, max_iter=5)
+    assert len(cents) == 8
+    queries = embeddings.limit(10)
+    exact = cosine_topk(embeddings, queries, k=5).toPandas()
+    approx = ivf_topk(embeddings, queries, cents, k=5, n_probe=3).toPandas()
+    # recall@5 of IVF vs brute force must be high at n_probe=3/8 lists
+    hits = 0
+    total = 0
+    for qid in exact.query_id.unique():
+        e = set(exact[exact.query_id == qid].item_id)
+        a = set(approx[approx.query_id == qid].item_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.6, f"IVF recall too low: {hits}/{total}"
