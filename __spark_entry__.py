@@ -1004,3 +1004,46 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _BASE_ORACLES3()
     out.update({k: v[1] for k, v in _FINAL_QUERIES.items() if v[1] is not None})
     return out
+
+
+def _q_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring feature ratios (operators/textstats.py) with
+    ASCII-explicit character classes so both engines agree."""
+    _utc(spark)
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, "[^.,;:!?]", ""))
+    return docs.select(
+        "doc_id",
+        F.round(n_alpha / F.greatest(n_chars, F.lit(1)) + 1e-9, 6).alias("alpha_ratio"),
+        F.round(n_punct / F.greatest(n_chars, F.lit(1)) + 1e-9, 6).alias("punct_ratio"),
+        n_chars.alias("n_chars_obs"),
+    )
+
+
+_SQL_QUALITY_RATIOS = """
+SELECT doc_id,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1) + 1e-9, 6) AS alpha_ratio,
+       round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1) + 1e-9, 6) AS punct_ratio,
+       length(text) AS n_chars_obs
+FROM documents
+"""
+
+_Q4 = queries
+_O4 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _Q4()
+    out["quality_ratios"] = _q_quality_ratios
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _O4()
+    out["quality_ratios"] = _SQL_QUALITY_RATIOS
+    return out

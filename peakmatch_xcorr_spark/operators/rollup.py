@@ -253,7 +253,10 @@ def pack_tier(
         row["val_packed"] = [gorilla_encode(vals)]
         return pd.DataFrame(row)
 
-    return tier.groupBy(*keys).applyInPandas(pack, schema=schema)
+    # prune to the packed columns before the shuffle — applyInPandas
+    # ships the full child row into Arrow otherwise
+    slim = tier.select(*keys, "bucket_start", value_col)
+    return slim.groupBy(*keys).applyInPandas(pack, schema=schema)
 
 
 def unpack_tier(
