@@ -236,3 +236,113 @@ def dod_decode(data: bytes) -> np.ndarray:
         u = (u + delta) % m
         out[i] = u - m if u >= (1 << 63) else u
     return out
+
+
+# ---------------------------------------------------------------- columnar
+
+def _extract_fields(payload: bytes, offs_bits: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized variable-width bitfield extraction at known offsets:
+    the decode-side dual of _emit_bitstream.  lens <= 57 per field
+    (callers split wider fields)."""
+    raw = np.frombuffer(payload, dtype=np.uint8)
+    padded = np.concatenate((raw, np.zeros(8, dtype=np.uint8)))
+    win = sum(
+        padded[k : k + len(raw) + 1].astype(np.uint64) << np.uint64(8 * (7 - k))
+        for k in range(8)
+    )
+    byte = (offs_bits // 8).astype(np.int64)
+    bit = (offs_bits % 8).astype(np.uint64)
+    lens_u = lens.astype(np.uint64)
+    mask = np.where(
+        lens_u > 0,
+        (~np.uint64(0)) >> (np.uint64(64) - np.maximum(lens_u, 1)),
+        np.uint64(0),
+    )
+    return (win[byte] >> (np.uint64(64) - bit - lens_u)) & mask
+
+
+def gorilla_encode_columnar(values: np.ndarray) -> bytes:
+    """Gorilla XOR compression in a COLUMNAR layout: the control /
+    leading-zero / meaningful-length fields live in their own packed
+    sections, so decode is one vectorized gather instead of a
+    sequential bit walk.  Same compression idea and ratio class as the
+    stream layout; use for read-heavy packed tiers.
+
+    Layout: [n:8][first:8][lz 6b × n-1][ml 7b × n-1][payload bits]
+    (lz=63 sentinel means zero XOR → no payload bits; ml field holds
+    the true meaningful length 0..64)."""
+    v = np.ascontiguousarray(values, dtype=np.float64).view(_U64)
+    n = len(v)
+    header = n.to_bytes(8, "big")
+    if n == 0:
+        return header
+    first = bytes(v[0:1].byteswap().tobytes())
+    if n == 1:
+        return header + first
+    x = v[1:] ^ v[:-1]
+    nz = x != 0
+    lz = np.full(len(x), 63, dtype=np.uint64)  # 63 = zero-XOR sentinel
+    ml = np.zeros(len(x), dtype=np.uint64)
+    tz = np.zeros(len(x), dtype=np.uint64)
+    if nz.any():
+        xs = x[nz]
+        hi = (xs >> _U64(32)).astype(np.uint32)
+        lo = (xs & _U64(0xFFFFFFFF)).astype(np.uint32)
+        lz32_hi = 31 - np.floor(np.log2(hi + (hi == 0))).astype(np.int64)
+        lz32_lo = 31 - np.floor(np.log2(lo + (lo == 0))).astype(np.int64)
+        lzv = np.where(hi != 0, lz32_hi, 32 + np.where(lo != 0, lz32_lo, 32))
+        lzv = np.minimum(lzv, 62)  # keep 63 reserved for the sentinel
+        low = xs & (~xs + _U64(1))
+        t_hi = (low >> _U64(32)).astype(np.uint32)
+        t_lo = (low & _U64(0xFFFFFFFF)).astype(np.uint32)
+        tzv = np.where(
+            t_lo != 0,
+            np.floor(np.log2(t_lo + (t_lo == 0))).astype(np.int64),
+            32 + np.floor(np.log2(t_hi + (t_hi == 0))).astype(np.int64),
+        )
+        lz[nz] = lzv.astype(np.uint64)
+        tz[nz] = tzv.astype(np.uint64)
+        ml[nz] = np.uint64(64) - lz[nz] - tz[nz]
+    lz_sec = _emit_bitstream(lz, np.full(len(x), 6, dtype=np.uint64))
+    ml_sec = _emit_bitstream(ml, np.full(len(x), 7, dtype=np.uint64))
+    safe_shift = np.where(nz, np.uint64(64) - np.maximum(ml, 1), np.uint64(0))
+    mbits = np.where(nz, (x >> tz) & (_MASK64 >> safe_shift), _U64(0))
+    payload = _emit_bitstream(mbits, ml)
+    return (
+        header + first
+        + len(lz_sec).to_bytes(4, "big") + lz_sec
+        + len(ml_sec).to_bytes(4, "big") + ml_sec
+        + payload
+    )
+
+
+def gorilla_decode_columnar(data: bytes) -> np.ndarray:
+    n = int.from_bytes(data[:8], "big")
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    first = np.frombuffer(data[8:16], dtype=">u8").astype(np.uint64)[0]
+    if n == 1:
+        return np.array([first], dtype=np.uint64).view(np.float64)
+    pos = 16
+    lz_len = int.from_bytes(data[pos : pos + 4], "big"); pos += 4
+    lz_sec = data[pos : pos + lz_len]; pos += lz_len
+    ml_len = int.from_bytes(data[pos : pos + 4], "big"); pos += 4
+    ml_sec = data[pos : pos + ml_len]; pos += ml_len
+    payload = data[pos:]
+    m = n - 1
+    lz = _extract_fields(lz_sec, np.arange(m, dtype=np.int64) * 6,
+                         np.full(m, 6, dtype=np.int64))
+    ml = _extract_fields(ml_sec, np.arange(m, dtype=np.int64) * 7,
+                         np.full(m, 7, dtype=np.int64)).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(ml)[:-1]))
+    # fields can be up to 64 bits: split into two <=32-bit halves
+    hi_len = np.minimum(ml, 32)
+    lo_len = ml - hi_len
+    hi = _extract_fields(payload, offs, hi_len)
+    lo = _extract_fields(payload, offs + hi_len, lo_len)
+    mbits = (hi << lo_len.astype(np.uint64)) | lo
+    tz = np.where(lz == 63, 0, 64 - lz.astype(np.int64) - ml)
+    x = np.where(lz == 63, np.uint64(0), mbits << tz.astype(np.uint64))
+    # prefix-XOR scan reconstructs the values
+    out = np.bitwise_xor.accumulate(np.concatenate(([first], x)))
+    return out.view(np.float64)

@@ -96,3 +96,50 @@ def test_bucket_boundaries():
               100 + 2048, 100 - 2047, 100 + 5000, 100 + 10**9]
     ts = np.cumsum([base] + deltas).astype(np.int64)
     roundtrip_t(ts)
+
+
+def roundtrip_fc(values):
+    from peakmatch_xcorr_spark.kernels.codecs import (
+        gorilla_decode_columnar,
+        gorilla_encode_columnar,
+    )
+
+    arr = np.asarray(values, dtype=np.float64)
+    out = gorilla_decode_columnar(gorilla_encode_columnar(arr))
+    np.testing.assert_array_equal(arr.view(np.uint64), out.view(np.uint64))
+
+
+def test_columnar_gorilla_cases(rng):
+    roundtrip_fc([])
+    roundtrip_fc([3.14159])
+    roundtrip_fc([0.0, 0.0, 0.0])
+    roundtrip_fc(np.full(1000, 42.5))
+    roundtrip_fc(rng.normal(0, 1e6, 4096))
+    roundtrip_fc([1.0, -1.0, 1.0, -1.0])
+    roundtrip_fc([5e-324, -5e-324, 0.0, -0.0])
+    roundtrip_fc([np.inf, -np.inf, 1.0, np.nan, 1.0])
+    roundtrip_fc(np.linspace(0, 1, 257))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, width=64), max_size=64))
+def test_columnar_gorilla_property(values):
+    roundtrip_fc(values)
+
+
+def test_columnar_decode_is_fast(rng):
+    import time
+
+    from peakmatch_xcorr_spark.kernels.codecs import (
+        gorilla_decode,
+        gorilla_decode_columnar,
+        gorilla_encode,
+        gorilla_encode_columnar,
+    )
+
+    vals = rng.normal(0, 1e5, 50_000)
+    enc_c = gorilla_encode_columnar(vals)
+    enc_s = gorilla_encode(vals)
+    t0 = time.perf_counter(); gorilla_decode_columnar(enc_c); tc = time.perf_counter() - t0
+    t0 = time.perf_counter(); gorilla_decode(enc_s); ts = time.perf_counter() - t0
+    assert tc < ts  # the vectorized read path must beat the bit walk
