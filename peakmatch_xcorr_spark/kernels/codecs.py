@@ -346,3 +346,73 @@ def gorilla_decode_columnar(data: bytes) -> np.ndarray:
     # prefix-XOR scan reconstructs the values
     out = np.bitwise_xor.accumulate(np.concatenate(([first], x)))
     return out.view(np.float64)
+
+
+def dod_encode_columnar(ts_us: np.ndarray) -> bytes:
+    """Columnar delta-of-delta: 3-bit bucket codes in one section,
+    bucket payloads in another — vectorized decode like the columnar
+    Gorilla layout.  Buckets: 0→dod=0 (no payload), 1→7b, 2→9b,
+    3→12b, 4→64b raw."""
+    t = np.ascontiguousarray(ts_us, dtype=np.int64)
+    n = len(t)
+    header = n.to_bytes(8, "big")
+    if n == 0:
+        return header
+    first = t[0:1].view(_U64).byteswap().tobytes()
+    if n == 1:
+        return header + first
+    delta = np.diff(t)
+    dod = np.diff(np.concatenate(([0], delta)))
+    zero = dod == 0
+    b7 = ~zero & (dod >= -63) & (dod <= 64)
+    b9 = ~zero & ~b7 & (dod >= -255) & (dod <= 256)
+    b12 = ~zero & ~b7 & ~b9 & (dod >= -2047) & (dod <= 2048)
+    cat = np.select([zero, b7, b9, b12], [0, 1, 2, 3], default=4).astype(np.uint64)
+    widths = np.array([0, 7, 9, 12, 64], dtype=np.uint64)[cat.astype(np.int64)]
+    du = dod.view(_U64)
+    payload_vals = np.select(
+        [zero, b7, b9, b12],
+        [_U64(0), (du + _U64(63)) & _U64(0x7F),
+         (du + _U64(255)) & _U64(0x1FF), (du + _U64(2047)) & _U64(0xFFF)],
+        default=du,
+    ).astype(_U64)
+    cat_sec = _emit_bitstream(cat, np.full(len(dod), 3, dtype=np.uint64))
+    payload = _emit_bitstream(payload_vals, widths)
+    return (
+        header + first + len(cat_sec).to_bytes(4, "big") + cat_sec + payload
+    )
+
+
+def dod_decode_columnar(data: bytes) -> np.ndarray:
+    n = int.from_bytes(data[:8], "big")
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    first_u = np.frombuffer(data[8:16], dtype=">u8").astype(np.uint64)[0]
+    if n == 1:
+        return np.array([first_u], dtype=np.uint64).view(np.int64)
+    pos = 16
+    cat_len = int.from_bytes(data[pos : pos + 4], "big"); pos += 4
+    cat_sec = data[pos : pos + cat_len]; pos += cat_len
+    payload = data[pos:]
+    m = n - 1
+    cat = _extract_fields(cat_sec, np.arange(m, dtype=np.int64) * 3,
+                          np.full(m, 3, dtype=np.int64)).astype(np.int64)
+    widths = np.array([0, 7, 9, 12, 64], dtype=np.int64)[cat]
+    offs = np.concatenate(([0], np.cumsum(widths)[:-1]))
+    hi_len = np.minimum(widths, 32)
+    lo_len = widths - hi_len
+    hi = _extract_fields(payload, offs, hi_len)
+    lo = _extract_fields(payload, offs + hi_len, lo_len)
+    raw = (hi << lo_len.astype(np.uint64)) | lo
+    dod_u = np.select(
+        [cat == 0, cat == 1, cat == 2, cat == 3],
+        [np.uint64(0), raw - np.uint64(63), raw - np.uint64(255),
+         raw - np.uint64(2047)],
+        default=raw,
+    ).astype(np.uint64)
+    # wrap-consistent reconstruction: all arithmetic mod 2^64
+    delta = np.bitwise_and(np.cumsum(dod_u, dtype=np.uint64), _MASK64)
+    out = np.empty(n, dtype=np.uint64)
+    out[0] = first_u
+    out[1:] = first_u + np.cumsum(delta, dtype=np.uint64)
+    return out.view(np.int64)

@@ -143,3 +143,33 @@ def test_columnar_decode_is_fast(rng):
     t0 = time.perf_counter(); gorilla_decode_columnar(enc_c); tc = time.perf_counter() - t0
     t0 = time.perf_counter(); gorilla_decode(enc_s); ts = time.perf_counter() - t0
     assert tc < ts  # the vectorized read path must beat the bit walk
+
+
+def roundtrip_tc(values):
+    from peakmatch_xcorr_spark.kernels.codecs import (
+        dod_decode_columnar,
+        dod_encode_columnar,
+    )
+
+    arr = np.asarray(values, dtype=np.int64)
+    np.testing.assert_array_equal(arr, dod_decode_columnar(dod_encode_columnar(arr)))
+
+
+def test_columnar_dod_cases(rng):
+    roundtrip_tc([])
+    roundtrip_tc([1704067200_000_000])
+    roundtrip_tc(1704067200_000_000 + np.arange(10_000, dtype=np.int64) * 60_000_000)
+    deltas = rng.integers(1, 10_000_000, 500)
+    deltas[100] = 86_400_000_000
+    roundtrip_tc((1704067200_000_000 + np.cumsum(deltas)).astype(np.int64))
+    roundtrip_tc([0, -1, -2, 5, 10**17, -(10**17)])
+    base = 10**12
+    deltas = [100, 100, 100 + 64, 100, 100 - 63, 100 + 256, 100 - 255,
+              100 + 2048, 100 - 2047, 100 + 5000, 100 + 10**9]
+    roundtrip_tc(np.cumsum([base] + deltas).astype(np.int64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=64))
+def test_columnar_dod_property(values):
+    roundtrip_tc(values)
