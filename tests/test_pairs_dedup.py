@@ -280,3 +280,37 @@ def test_lsh_scoped_matches_recover_planted_dups(spark, feats, synth):
     found = set(zip(scoped.id_a, scoped.id_b))
     for pair in synth.dup_pairs:
         assert pair in found, f"planted pair {pair} missed by LSH scoping"
+
+
+def test_empty_and_degenerate_inputs(spark):
+    """Empty transcripts and single-turn conversations flow through the
+    whole pipeline without errors (continue-on-error policy)."""
+    import pandas as pd
+
+    from peakmatch_xcorr_spark.operators.dedup import connected_components
+
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    empty = spark.createDataFrame([], schema=schema)
+    matches = find_duplicate_conversations(empty, CONF, n_blocks=2)
+    assert matches.count() == 0
+    deduped, tiers = dedup_then_rollup(empty, CONF, n_blocks=2)
+    assert deduped.count() == 0
+    assert tiers["1 minute"].count() == 0
+
+    # single-turn conversations: curve has <K peaks → filtered as not-ok
+    single = spark.createDataFrame(
+        pd.DataFrame({
+            "conv_id": ["solo1", "solo2"],
+            "turn_idx": [0, 0],
+            "role": ["user", "user"],
+            "text": ["a", "b"],
+            "tool": [None, None],
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00"]).astype("datetime64[us]"),
+        })
+    )
+    m2 = find_duplicate_conversations(single, CONF, n_blocks=2)
+    assert m2.count() == 0
+
+    # connected components on an empty edge list
+    e = spark.createDataFrame([], schema="id_a string, id_b string")
+    assert connected_components(e).count() == 0
