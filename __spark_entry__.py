@@ -1047,3 +1047,55 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _O4()
     out["quality_ratios"] = _SQL_QUALITY_RATIOS
     return out
+
+
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate nearest neighbours (k-means coarse quantizer +
+    n-probe exact re-rank) — approximate by construction, rows-only."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    cents = kmeans_fit(emb, k=8, dim=dim, max_iter=4)
+    return ivf_topk(emb, emb.limit(20), cents, k=5, n_probe=2)
+
+
+def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH-blocked embedding near-duplicates with exact re-rank
+    (bucket recall is probabilistic — rows-only; the exact threshold
+    variant is oracle-checked as cosine_pairs)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.similarity import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    return embedding_near_dups(emb, dim=dim, threshold=0.9, n_planes=16, bands=8)
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing smoke: image features over the deterministic
+    fake media table (decode stubbed — no media libs in this env)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.multimodal import (
+        image_features,
+        synth_media,
+    )
+
+    return image_features(synth_media(spark, n=24))
+
+
+_Q5 = queries
+_O5 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _Q5()
+    out["ivf_topk"] = _q_ivf_topk
+    out["lsh_near_dups"] = _q_lsh_near_dups
+    out["multimodal_image_features"] = _q_multimodal_features
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    return _O5()
