@@ -1099,3 +1099,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     return _O5()
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each click event gets
+    the latest hourly vavg at-or-before it; DuckDB's native ASOF JOIN
+    is the oracle."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.asof import asof_join
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    hourly = tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour").select(
+        "user_id", F.col("bucket_start").alias("ts"), "vavg"
+    )
+    out = asof_join(clicks, hourly, ["user_id"], value_cols=["vavg"])
+    return out.select(
+        "user_id", "event_id",
+        F.round(F.col("right_vavg") + 1e-9, 6).alias("asof_vavg"),
+    )
+
+
+_SQL_ASOF = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS ts, avg(value) AS vavg
+  FROM events GROUP BY 1, 2
+), clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.event_id,
+       round(h.vavg + 1e-9, 6) AS asof_vavg
+FROM clicks c ASOF LEFT JOIN hourly h
+  ON c.user_id = h.user_id AND c.ts >= h.ts
+"""
+
+
+def _q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.asof import time_weighted_avg
+
+    events = _t(spark, sf_dir, "events")
+    out = time_weighted_avg(events, ["user_id"], "1 hour")
+    return out.select(
+        "user_id", "bucket_start",
+        F.round(F.col("twa") + 1e-9, 6).alias("twa"),
+        F.round(F.col("covered_s") + 1e-9, 3).alias("covered_s"),
+    )
+
+
+_SQL_TWA = """
+WITH obs AS (
+  SELECT user_id, ts, value,
+         date_trunc('hour', ts) AS bucket_start,
+         epoch(ts) AS tsec,
+         epoch(date_trunc('hour', ts)) AS bs,
+         lag(epoch(ts)) OVER w AS prev_ts,
+         lead(epoch(ts)) OVER w AS next_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts))
+), seg AS (
+  SELECT user_id, bucket_start, value,
+         CASE WHEN prev_ts IS NULL OR prev_ts < bs THEN bs ELSE tsec END AS seg_start,
+         least(coalesce(next_ts, bs + 3600), bs + 3600) AS seg_end
+  FROM obs
+)
+SELECT user_id, bucket_start,
+       round(sum(value * greatest(seg_end - seg_start, 0))
+             / sum(greatest(seg_end - seg_start, 0)) + 1e-9, 6) AS twa,
+       round(sum(greatest(seg_end - seg_start, 0)) + 1e-9, 3) AS covered_s
+FROM seg GROUP BY 1, 2
+"""
+
+
+def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (A5-adjacent)."""
+    _utc(spark)
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)") + 1e-9, 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)") + 1e-9, 6).alias("p90"),
+    )
+
+
+_SQL_PERCENTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5) + 1e-9, 6) AS p50,
+       round(quantile_cont(value, 0.9) + 1e-9, 6) AS p90
+FROM events GROUP BY event_type
+"""
+
+_Q6 = queries
+_O6 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _Q6()
+    out["asof_join_clicks"] = _q_asof_join
+    out["time_weighted_avg_1h"] = _q_time_weighted_avg
+    out["percentiles_by_type"] = _q_percentiles
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _O6()
+    out["asof_join_clicks"] = _SQL_ASOF
+    out["time_weighted_avg_1h"] = _SQL_TWA
+    out["percentiles_by_type"] = _SQL_PERCENTILES
+    return out
