@@ -1209,3 +1209,68 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["time_weighted_avg_1h"] = _SQL_TWA
     out["percentiles_by_type"] = _SQL_PERCENTILES
     return out
+
+
+def _q_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join (A4's relational form,
+    DominantFreqProcessor.java:114-140: mean amplitude per configured
+    band): event values joined to value bands, mean per band."""
+    _utc(spark)
+    events = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [(0.0, 10.0, "low"), (10.0, 50.0, "mid"), (50.0, 1e9, "high")],
+        "lo double, hi double, band string",
+    )
+    j = events.join(
+        F.broadcast(bands),
+        (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value") + 1e-9, 6).alias("mean_value"),
+    )
+
+
+_SQL_BAND_JOIN = """
+WITH bands(lo, hi, band) AS (
+  VALUES (0.0, 10.0, 'low'), (10.0, 50.0, 'mid'), (50.0, 1e9, 'high')
+)
+SELECT band, count(*) AS n, round(avg(value) + 1e-9, 6) AS mean_value
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+def _q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact + approximate distinct aggregation (A6 + Spark-free
+    approx_count_distinct; the approx column is engine-specific so the
+    oracle checks only the exact one... both kept exact here)."""
+    _utc(spark)
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_SQL_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+_Q7 = queries
+_O7 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _Q7()
+    out["band_range_join"] = _q_band_range_join
+    out["distinct_counts"] = _q_distinct_counts
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _O7()
+    out["band_range_join"] = _SQL_BAND_JOIN
+    out["distinct_counts"] = _SQL_DISTINCT
+    return out
