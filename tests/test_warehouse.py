@@ -158,3 +158,28 @@ def test_retention_and_packed_tiers(spark, wh):
         gorilla_decode(bytes(row.val_packed)),
         g.turns.astype("float64").to_numpy(),
     )
+
+
+def test_resume_with_lost_checkpoint_is_idempotent(spark, wh):
+    """Crash window between tier overwrite and checkpoint mark: the
+    tier snapshot exists but the phase isn't marked done.  A restart
+    must re-run the phase idempotently (empty snapshot diff → merged =
+    existing) and converge to the same tiers."""
+    import glob
+    import os
+
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    src.append(full)
+    agg.refresh(spark)
+    before = _tiers_as_pandas(spark, agg)
+
+    # simulate the lost checkpoint: remove all checkpoint manifests
+    for f in glob.glob(os.path.join(wh, "checkpoints", "*.json")):
+        os.remove(f)
+    m = agg.refresh(spark)  # re-runs every phase against a None diff
+    assert m["status"] == "refreshed"
+    after = _tiers_as_pandas(spark, agg)
+    for tn in before:
+        pd.testing.assert_frame_equal(before[tn], after[tn])
