@@ -226,7 +226,8 @@ def retention_expire(
 
 
 def pack_tier(
-    tier: DataFrame, keys: list[str], value_col: str = "vavg"
+    tier: DataFrame, keys: list[str], value_col: str = "vavg",
+    codec: str = "stream",
 ) -> DataFrame:
     """Per-key Gorilla/delta-of-delta packed payload columns
     (ts_packed, val_packed) via one applyInPandas over the key —
@@ -242,7 +243,14 @@ def pack_tier(
     def pack(pdf):
         import pandas as pd
 
-        from peakmatch_xcorr_spark.kernels.codecs import dod_encode, gorilla_encode
+        from peakmatch_xcorr_spark.kernels import codecs
+
+        if codec == "columnar":
+            dod_encode = codecs.dod_encode_columnar
+            gorilla_encode = codecs.gorilla_encode_columnar
+        else:
+            dod_encode = codecs.dod_encode
+            gorilla_encode = codecs.gorilla_encode
 
         pdf = pdf.sort_values("bucket_start")
         ts = pdf["bucket_start"].astype("datetime64[us]").astype("int64").to_numpy()
@@ -260,7 +268,8 @@ def pack_tier(
 
 
 def unpack_tier(
-    packed: DataFrame, keys: list[str], value_col: str = "vavg"
+    packed: DataFrame, keys: list[str], value_col: str = "vavg",
+    codec: str = "stream",
 ) -> DataFrame:
     """Inverse of ``pack_tier``: packed payload rows → (keys,
     bucket_start, value) rows.  One Arrow batch in, decoded rows out —
@@ -272,7 +281,14 @@ def unpack_tier(
         import numpy as np
         import pandas as pd
 
-        from peakmatch_xcorr_spark.kernels.codecs import dod_decode, gorilla_decode
+        from peakmatch_xcorr_spark.kernels import codecs
+
+        if codec == "columnar":
+            dod_decode = codecs.dod_decode_columnar
+            gorilla_decode = codecs.gorilla_decode_columnar
+        else:
+            dod_decode = codecs.dod_decode
+            gorilla_decode = codecs.gorilla_decode
 
         for pdf in batches:
             frames = []

@@ -181,3 +181,25 @@ def test_unpack_inverts_pack(spark, events):
         unpacked.bucket_start.to_numpy(), exp.bucket_start.to_numpy()
     )
     np.testing.assert_array_equal(unpacked.vavg.to_numpy(), exp.vavg.to_numpy())
+
+
+def test_pack_unpack_columnar_codec(spark, events):
+    from peakmatch_xcorr_spark.operators.rollup import pack_tier, unpack_tier
+
+    rolled = tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour").withColumn(
+        "user_id", events.user_id.cast("string")
+    )
+    packed = pack_tier(rolled, ["user_id"], codec="columnar")
+    unpacked = (
+        unpack_tier(packed, ["user_id"], codec="columnar")
+        .toPandas().sort_values(["user_id", "bucket_start"]).reset_index(drop=True)
+    )
+    exp = (
+        rolled.select("user_id", "bucket_start", "vavg")
+        .toPandas().sort_values(["user_id", "bucket_start"]).reset_index(drop=True)
+    )
+    assert len(unpacked) == len(exp)
+    np.testing.assert_array_equal(unpacked.vavg.to_numpy(), exp.vavg.to_numpy())
+    np.testing.assert_array_equal(
+        unpacked.bucket_start.to_numpy(), exp.bucket_start.to_numpy()
+    )
