@@ -742,7 +742,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFTDOMINANTFREQ over conversation activity curves (non-SQL:
-    FFT)."""
+    FFT).  Exploded to scalar rows — one row per (event, freq rank) —
+    so the result is hashable/sortable by the harness; the per-event
+    scalars (peak_amp, stddev) ride along on every rank row, exactly
+    like the reference's one-TSV-line-per-event output
+    (DominantFreqProcessor.java:142-159) flattened."""
     _utc(spark)
     from peakmatch_xcorr_spark.config import PeakmatchConf, SpectralConf
     from peakmatch_xcorr_spark.operators.features import conversation_features
@@ -755,7 +759,38 @@ def _q_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = conversation_features(
         transcripts, PeakmatchConf(expected_len=256), "1 minute", 256
     )
-    return dominant_freq_table(feats, SpectralConf(sample_rate=100))
+    dom = dominant_freq_table(feats, SpectralConf(sample_rate=100))
+    return dom.select(
+        "id",
+        F.posexplode("top_freqs").alias("rank", "freq"),
+        F.round(F.col("peak_amp") + 1e-9, 6).alias("peak_amp"),
+        F.round(F.col("stddev") + 1e-9, 6).alias("stddev"),
+    ).select(
+        "id", "rank", F.round(F.col("freq") + 1e-9, 6).alias("freq"),
+        "peak_amp", "stddev",
+    )
+
+
+def _q_band_mean_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded band-mean spectrum rows (A1/A4 surface of the
+    FFTDOMINANTFREQ output, DominantFreqProcessor.java:114-140) —
+    rows-only (DuckDB has no FFT)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.config import PeakmatchConf, SpectralConf
+    from peakmatch_xcorr_spark.operators.features import conversation_features
+    from peakmatch_xcorr_spark.operators.spectral_ops import dominant_freq_table
+
+    events = _t(spark, sf_dir, "events")
+    transcripts = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
+    )
+    feats = conversation_features(
+        transcripts, PeakmatchConf(expected_len=256), "1 minute", 256
+    )
+    dom = dominant_freq_table(feats, SpectralConf(sample_rate=100))
+    return dom.select(
+        "id", F.posexplode("band_mean_amps").alias("band_idx", "amp")
+    ).select("id", "band_idx", F.round(F.col("amp") + 1e-9, 6).alias("amp"))
 
 
 _WIDE_QUERIES = {
@@ -773,6 +808,7 @@ _WIDE_QUERIES = {
     "minhash_candidates": (_q_minhash_candidates, None),
     "simhash_fingerprints": (_q_simhash, None),
     "dominant_freq": (_q_dominant_freq, None),
+    "band_mean_spectrum": (_q_band_mean_spectrum, None),
 }
 
 _BASE_QUERIES = queries
@@ -1082,7 +1118,17 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_media,
     )
 
-    return image_features(synth_media(spark, n=24))
+    feats = image_features(synth_media(spark, n=24))
+    # Explode the feature vector to scalar rows: the harness
+    # canonicalizer sorts/hashes cell values, so no array cells.
+    return feats.select(
+        "media_id", "width", "height",
+        F.round(F.col("mean_intensity") + 1e-9, 6).alias("mean_intensity"),
+        F.posexplode("feature").alias("feat_idx", "feat_val"),
+    ).select(
+        "media_id", "width", "height", "mean_intensity", "feat_idx",
+        F.round(F.col("feat_val").cast("double") + 1e-9, 6).alias("feat_val"),
+    )
 
 
 _Q5 = queries

@@ -39,6 +39,15 @@ def _padded_spectrum(d: np.ndarray) -> tuple[np.ndarray, int]:
     return half, n
 
 
+def padded_spectra(stacked: np.ndarray) -> tuple[np.ndarray, int]:
+    """Batched _padded_spectrum: one FFT call over a (rows, len) block
+    of equal-length series (real input → rfft covers the kept half).
+    Returns (|FFT| first halves as (rows, n//2), padded_len)."""
+    n = next_power_of_two(stacked.shape[1] * 2)
+    cs = np.fft.rfft(stacked, n, axis=1)
+    return np.abs(cs[:, : n // 2]), n
+
+
 def _filter_bounds(padded_len: int, half_len: int, conf: SpectralConf) -> tuple[int, int]:
     """Integer-division index bounds (Util.java:240-241)."""
     base = padded_len // conf.sample_rate  # Java int/int division
@@ -56,6 +65,13 @@ def band_means(d: np.ndarray, conf: SpectralConf) -> tuple[np.ndarray, np.ndarra
     generalizes to time buckets.
     """
     half, n = _padded_spectrum(d)
+    return band_means_from_half(half, n, conf)
+
+
+def band_means_from_half(
+    half: np.ndarray, n: int, conf: SpectralConf
+) -> tuple[np.ndarray, np.ndarray]:
+    """band_means over a precomputed |FFT| half (batched-FFT path)."""
     lo, hi = _filter_bounds(n, len(half), conf)
     if hi <= lo:
         return np.empty(0), np.empty(0)
@@ -85,6 +101,13 @@ def dominant_frequencies(
     Returns (top_freqs, mean_mag, stddev_mag_sample, band_mean_amps).
     """
     half, n = _padded_spectrum(d)
+    return dominant_frequencies_from_half(half, n, conf)
+
+
+def dominant_frequencies_from_half(
+    half: np.ndarray, n: int, conf: SpectralConf
+) -> tuple[np.ndarray, float, float, np.ndarray]:
+    """dominant_frequencies over a precomputed |FFT| half (batched path)."""
     lo, hi = _filter_bounds(n, len(half), conf)
     mags = half[lo:hi]
     ii = np.arange(lo, hi)

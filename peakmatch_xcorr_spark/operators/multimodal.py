@@ -83,7 +83,9 @@ def image_features(
                 rows["width"].append(r.width)
                 rows["height"].append(r.height)
                 rows["mean_intensity"].append(float(img.mean()))
-                rows["feature"].append(pooled / 255.0)
+                # pyarrow can't build array<float> cells from ndarray
+                # objects (NumPyConverter limitation) — plain lists only.
+                rows["feature"].append((pooled / 255.0).tolist())
             yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)

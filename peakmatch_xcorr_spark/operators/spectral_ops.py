@@ -36,20 +36,41 @@ def dominant_freq_table(
         import numpy as np
         import pandas as pd
 
-        from peakmatch_xcorr_spark.kernels.spectral import dominant_frequencies
+        from peakmatch_xcorr_spark.kernels.spectral import (
+            dominant_frequencies_from_half,
+            padded_spectra,
+        )
 
         for pdf in batches:
             ids, tops, amps, stds, bands = [], [], [], [], []
-            for row in pdf.itertuples(index=False):
-                d = np.asarray(getattr(row, series_col), dtype=np.float64)
-                top, _, std, band_amps = dominant_frequencies(d, spectral)
-                ids.append(getattr(row, id_col))
-                tops.append(top)
-                amps.append(
-                    float(getattr(row, peak_amp_col)) if peak_amp_col else float("nan")
+            # One FFT per equal-length group (series are fixed-length by
+            # config, so this is normally ONE np.fft.rfft per Arrow batch
+            # — the features.py fft_precache pattern).
+            series = [np.asarray(s, dtype=np.float64) for s in pdf[series_col]]
+            lens = np.array([len(s) for s in series])
+            halves: list = [None] * len(series)
+            ns = np.zeros(len(series), dtype=np.int64)
+            for ln in np.unique(lens):
+                idx = np.nonzero(lens == ln)[0]
+                stacked = np.stack([series[i] for i in idx])
+                hs, n = padded_spectra(stacked)
+                for j, i in enumerate(idx):
+                    halves[i] = hs[j]
+                    ns[i] = n
+            pa = (
+                pdf[peak_amp_col].to_numpy(dtype=np.float64)
+                if peak_amp_col
+                else np.full(len(series), np.nan)
+            )
+            for i, ident in enumerate(pdf[id_col]):
+                top, _, std, band_amps = dominant_frequencies_from_half(
+                    halves[i], int(ns[i]), spectral
                 )
+                ids.append(ident)
+                tops.append(top.tolist())
+                amps.append(float(pa[i]))
                 stds.append(std)
-                bands.append(band_amps)
+                bands.append(band_amps.tolist())
             yield pd.DataFrame(
                 {"id": ids, "top_freqs": tops, "peak_amp": amps,
                  "stddev": stds, "band_mean_amps": bands}
@@ -71,15 +92,24 @@ def band_mean_table(
         import numpy as np
         import pandas as pd
 
-        from peakmatch_xcorr_spark.kernels.spectral import band_means
+        from peakmatch_xcorr_spark.kernels.spectral import (
+            band_means_from_half,
+            padded_spectra,
+        )
 
         for pdf in batches:
             ids, bands, means = [], [], []
-            for i, s in zip(pdf[id_col], pdf[series_col]):
-                b, m = band_means(np.asarray(s, dtype=np.float64), spectral)
-                ids.extend([i] * len(b))
-                bands.extend(b)
-                means.extend(m)
+            series = [np.asarray(s, dtype=np.float64) for s in pdf[series_col]]
+            lens = np.array([len(s) for s in series])
+            id_vals = list(pdf[id_col])
+            for ln in np.unique(lens):
+                idx = np.nonzero(lens == ln)[0]
+                hs, n = padded_spectra(np.stack([series[i] for i in idx]))
+                for j, i in enumerate(idx):
+                    b, m = band_means_from_half(hs[j], n, spectral)
+                    ids.extend([id_vals[i]] * len(b))
+                    bands.extend(b)
+                    means.extend(m)
             yield pd.DataFrame({"id": ids, "band": bands, "mean_mag": means})
 
     return events.select(id_col, series_col).mapInPandas(

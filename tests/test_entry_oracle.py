@@ -48,9 +48,12 @@ def test_query_matches_oracle(spark, duck, name):
     q = entrymod.queries()[name]
     sql = entrymod.oracle_sql().get(name)
     if sql is None:
-        # rows-only check for non-SQL ops (array cols aren't sortable)
+        # rows-only check for non-SQL ops — the driver still sorts and
+        # hashes the Spark result, so run the same canonicalization:
+        # a result with array/map cells MUST fail here, not in CI.
         df = q(spark, SF_DIR)
-        assert df.count() >= 0
+        pdf = df.toPandas()
+        _normalize(pdf)  # raises TypeError on unhashable (list) cells
         assert len(df.schema) > 0
         return
     got = _normalize(q(spark, SF_DIR).toPandas())

@@ -98,3 +98,34 @@ def test_spectrogram_buckets():
     b0, m0 = buckets[0]
     b1, m1 = buckets[1]
     assert b0[np.argmax(m0)] < b1[np.argmax(m1)]
+
+
+def test_batched_spectra_match_scalar_path(rng):
+    """padded_spectra (one rfft over a stacked block) must reproduce the
+    per-row _padded_spectrum path bit-for-bit enough that the derived
+    band means / dominant freqs are identical (same rank order, ~1e-9)."""
+    from peakmatch_xcorr_spark.kernels.spectral import (
+        band_means_from_half,
+        dominant_frequencies_from_half,
+        padded_spectra,
+    )
+
+    series = [
+        sine(7.0) + rng.normal(0, 1, 800),
+        sine(13.0, amp=50.0) + rng.normal(0, 1, 800),
+        rng.normal(0, 10, 800),
+    ]
+    halves, n = padded_spectra(np.stack(series))
+    for d, half in zip(series, halves):
+        top_s, mean_s, std_s, amps_s = dominant_frequencies(d, CONF)
+        top_b, mean_b, std_b, amps_b = dominant_frequencies_from_half(
+            half, n, CONF
+        )
+        np.testing.assert_allclose(top_b, top_s, rtol=0, atol=1e-9)
+        assert mean_b == pytest.approx(mean_s, abs=1e-9)
+        assert std_b == pytest.approx(std_s, abs=1e-9)
+        np.testing.assert_allclose(amps_b, amps_s, rtol=1e-12)
+        b_s, m_s = band_means(d, CONF)
+        b_b, m_b = band_means_from_half(half, n, CONF)
+        np.testing.assert_array_equal(b_b, b_s)
+        np.testing.assert_allclose(m_b, m_s, rtol=1e-12)
