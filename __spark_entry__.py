@@ -702,11 +702,16 @@ def _q_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from peakmatch_xcorr_spark.kernels.codecs import dod_decode, gorilla_decode
+        from peakmatch_xcorr_spark.kernels import codecs
 
+        decoders = {
+            "columnar": (codecs.dod_decode_columnar, codecs.gorilla_decode_columnar),
+            "stream": (codecs.dod_decode, codecs.gorilla_decode),
+        }
         for pdf in batches:
             ok = []
             for r in pdf.itertuples(index=False):
+                dod_decode, gorilla_decode = decoders[r.codec]
                 ts = dod_decode(bytes(r.ts_packed))
                 vals = gorilla_decode(bytes(r.val_packed))
                 ok.append(

@@ -64,6 +64,7 @@ def salted_two_phase_rollup(
     aggs = [F.count(F.lit(1)).alias("turns")]
     if value_col:
         aggs += [
+            F.count(value_col).alias("vcount"),
             F.sum(value_col).alias("vsum"),
             F.min(value_col).alias("vmin"),
             F.max(value_col).alias("vmax"),
@@ -77,12 +78,16 @@ def salted_two_phase_rollup(
     merge = [F.sum("turns").alias("turns")]
     if value_col:
         merge += [
+            F.sum("vcount").alias("vcount"),
             F.sum("vsum").alias("vsum"),
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
         ]
     out = phase1.groupBy(conv_col, "bucket_start").agg(*merge)
     if value_col:
-        out = out.withColumn("vavg", F.col("vsum") / F.col("turns"))
+        out = out.withColumn(
+            "vavg",
+            F.when(F.col("vcount") > 0, F.col("vsum") / F.col("vcount")),
+        )
     cols = [c for c in AGG_COLS if value_col or c == "turns"]
     return out.select(conv_col, "bucket_start", *cols)

@@ -40,19 +40,24 @@ def merge_rollups(existing: DataFrame | None, delta: DataFrame, keys: list[str],
     if existing is None:
         return delta
     cols = [*keys, "bucket_start", "turns"] + (
-        ["vsum", "vmin", "vmax", "vavg"] if has_values else []
+        ["vcount", "vsum", "vmin", "vmax", "vavg"] if has_values else []
     )
     u = existing.select(*cols).unionByName(delta.select(*cols))
     aggs = [F.sum("turns").alias("turns")]
     if has_values:
         aggs += [
+            F.sum("vcount").alias("vcount"),
             F.sum("vsum").alias("vsum"),
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
         ]
     out = u.groupBy(*keys, "bucket_start").agg(*aggs)
     if has_values:
-        out = out.withColumn("vavg", F.col("vsum") / F.col("turns"))
+        # vavg from the NON-NULL count (vsum ignores nulls; turns doesn't)
+        out = out.withColumn(
+            "vavg",
+            F.when(F.col("vcount") > 0, F.col("vsum") / F.col("vcount")),
+        )
     return out.select(*cols)
 
 

@@ -25,8 +25,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# canonical column aliases shared with the DuckDB oracle SQL
-AGG_COLS = ("turns", "vsum", "vmin", "vmax", "vavg")
+# canonical column aliases shared with the DuckDB oracle SQL.
+# ``vcount`` is the NON-NULL value count: avg must be re-derived as
+# vsum/vcount (null-ignoring, SQL semantics) — turns counts all rows,
+# so vsum/turns diverges whenever value_col has nulls.
+AGG_COLS = ("turns", "vcount", "vsum", "vmin", "vmax", "vavg")
+
+
+def _derive_vavg(out: DataFrame) -> DataFrame:
+    """Re-derive the null-ignoring average from decomposable stats."""
+    return out.withColumn(
+        "vavg",
+        F.when(F.col("vcount") > 0, F.col("vsum") / F.col("vcount")),
+    )
 
 
 def epoch_seconds(col):
@@ -60,6 +71,7 @@ def tumbling_rollup(
     aggs = [F.count(F.lit(1)).alias("turns")]
     if value_col is not None:
         aggs += [
+            F.count(value_col).alias("vcount"),
             F.sum(value_col).alias("vsum"),
             F.min(value_col).alias("vmin"),
             F.max(value_col).alias("vmax"),
@@ -89,6 +101,7 @@ def cascade_tier(
     aggs = [F.sum("turns").alias("turns")]
     if has_values:
         aggs += [
+            F.sum("vcount").alias("vcount"),
             F.sum("vsum").alias("vsum"),
             F.min("vmin").alias("vmin"),
             F.max("vmax").alias("vmax"),
@@ -100,7 +113,7 @@ def cascade_tier(
         .drop("w")
     )
     if has_values:
-        out = out.withColumn("vavg", F.col("vsum") / F.col("turns"))
+        out = _derive_vavg(out)
     cols = [a for a in AGG_COLS if has_values or a == "turns"]
     return out.select(*keys, "bucket_start", *cols)
 
@@ -227,20 +240,33 @@ def retention_expire(
 
 def pack_tier(
     tier: DataFrame, keys: list[str], value_col: str = "vavg",
-    codec: str = "stream",
+    codec: str = "columnar",
 ) -> DataFrame:
     """Per-key Gorilla/delta-of-delta packed payload columns
     (ts_packed, val_packed) via one applyInPandas over the key —
     vectorized Arrow transfer, numpy bit-packing inside
-    (kernels/codecs.py), no per-row Python."""
-    import pandas as pd  # noqa: F401 — imported on executors
+    (kernels/codecs.py), no per-row Python.
 
+    Default codec is ``columnar`` (sectioned layout, fully vectorized
+    encode AND decode); ``stream`` is the classic Gorilla bitstream
+    (sequential decode).  The codec is recorded per row so readers
+    dispatch without out-of-band knowledge.
+
+    Physical plan: repartition on the keys + sortWithinPartitions +
+    ONE mapInPandas — NOT groupBy().applyInPandas.  applyInPandas pays
+    a per-group UDF eval + Arrow flush, which dominates wall time when
+    groups are small and numerous (measured 3.5 s for 1,500 groups vs
+    ~0.4 s of actual encode); streaming whole Arrow batches and
+    splitting on key change-points keeps the shuffle identical and
+    removes the per-group overhead."""
     key_fields = ", ".join(f"{k} string" for k in keys)
     schema = (
-        f"{key_fields}, n_buckets long, ts_packed binary, val_packed binary"
+        f"{key_fields}, n_buckets long, ts_packed binary, val_packed binary, "
+        "codec string"
     )
 
-    def pack(pdf):
+    def pack_stream(batches):
+        import numpy as np
         import pandas as pd
 
         from peakmatch_xcorr_spark.kernels import codecs
@@ -252,28 +278,69 @@ def pack_tier(
             dod_encode = codecs.dod_encode
             gorilla_encode = codecs.gorilla_encode
 
-        pdf = pdf.sort_values("bucket_start")
-        ts = pdf["bucket_start"].astype("datetime64[us]").astype("int64").to_numpy()
-        vals = pdf[value_col].astype("float64").to_numpy()
-        row = {k: [pdf[k].iloc[0]] for k in keys}
-        row["n_buckets"] = [len(pdf)]
-        row["ts_packed"] = [dod_encode(ts)]
-        row["val_packed"] = [gorilla_encode(vals)]
-        return pd.DataFrame(row)
+        def encode_chunk(pdf):
+            ts_all = (
+                pdf["bucket_start"].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            val_all = pdf[value_col].astype("float64").to_numpy()
+            key_arrs = [pdf[k].to_numpy() for k in keys]
+            change = np.zeros(len(pdf), dtype=bool)
+            change[0] = True
+            for arr in key_arrs:
+                change[1:] |= arr[1:] != arr[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            row = {k: arr[starts] for k, arr in zip(keys, key_arrs)}
+            row["n_buckets"] = ends - starts
+            row["ts_packed"] = [
+                dod_encode(ts_all[s:e]) for s, e in zip(starts, ends)
+            ]
+            row["val_packed"] = [
+                gorilla_encode(val_all[s:e]) for s, e in zip(starts, ends)
+            ]
+            row["codec"] = codec
+            return pd.DataFrame(row)
 
-    # prune to the packed columns before the shuffle — applyInPandas
-    # ships the full child row into Arrow otherwise
-    slim = tier.select(*keys, "bucket_start", value_col)
-    return slim.groupBy(*keys).applyInPandas(pack, schema=schema)
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                carry = None
+                continue
+            # hold back the last key: it may continue in the next batch
+            last = np.ones(len(pdf), dtype=bool)
+            for k in keys:
+                arr = pdf[k].to_numpy()
+                last &= arr == arr[-1]
+            # rows of the final key form a contiguous sorted suffix
+            split = len(pdf) - int(last[::-1].argmin() or len(pdf))
+            complete, carry = pdf.iloc[:split], pdf.iloc[split:]
+            if len(complete):
+                yield encode_chunk(complete)
+        if carry is not None and len(carry):
+            yield encode_chunk(carry)
+
+    # prune to the packed columns before the shuffle; co-locate each
+    # key on one partition and sort so groups are contiguous runs
+    slim = (
+        tier.select(*keys, "bucket_start", value_col)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, "bucket_start")
+    )
+    return slim.mapInPandas(pack_stream, schema=schema)
 
 
 def unpack_tier(
     packed: DataFrame, keys: list[str], value_col: str = "vavg",
-    codec: str = "stream",
+    codec: str = "columnar",
 ) -> DataFrame:
     """Inverse of ``pack_tier``: packed payload rows → (keys,
     bucket_start, value) rows.  One Arrow batch in, decoded rows out —
-    the read path for packed retention tiers."""
+    the read path for packed retention tiers.  Rows carrying a
+    ``codec`` column are dispatched per row; the ``codec`` argument is
+    the fallback for codec-less legacy payloads."""
+    has_codec_col = "codec" in packed.columns
     key_fields = ", ".join(f"{k} string" for k in keys)
     schema = f"{key_fields}, bucket_start timestamp_ntz, {value_col} double"
 
@@ -283,16 +350,16 @@ def unpack_tier(
 
         from peakmatch_xcorr_spark.kernels import codecs
 
-        if codec == "columnar":
-            dod_decode = codecs.dod_decode_columnar
-            gorilla_decode = codecs.gorilla_decode_columnar
-        else:
-            dod_decode = codecs.dod_decode
-            gorilla_decode = codecs.gorilla_decode
+        decoders = {
+            "columnar": (codecs.dod_decode_columnar, codecs.gorilla_decode_columnar),
+            "stream": (codecs.dod_decode, codecs.gorilla_decode),
+        }
 
         for pdf in batches:
             frames = []
             for r in pdf.itertuples(index=False):
+                c = r.codec if has_codec_col else codec
+                dod_decode, gorilla_decode = decoders[c]
                 ts = dod_decode(bytes(r.ts_packed))
                 vals = gorilla_decode(bytes(r.val_packed))
                 f = pd.DataFrame(

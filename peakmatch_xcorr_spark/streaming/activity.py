@@ -43,6 +43,7 @@ def streaming_activity_rollup(
     aggs = [F.count(F.lit(1)).alias("turns")]
     if value_col:
         aggs += [
+            F.count(value_col).alias("vcount"),
             F.sum(value_col).alias("vsum"),
             F.min(value_col).alias("vmin"),
             F.max(value_col).alias("vmax"),
@@ -53,7 +54,7 @@ def streaming_activity_rollup(
         .groupBy("conv_id", F.window("ts", bucket).alias("w"))
         .agg(*aggs)
         .select("conv_id", F.col("w.start").alias("bucket_start"),
-                *[c for c in ("turns", "vsum", "vmin", "vmax", "vavg")
+                *[c for c in ("turns", "vcount", "vsum", "vmin", "vmax", "vavg")
                   if value_col or c == "turns"])
     )
 

@@ -144,7 +144,9 @@ def test_pack_tier_roundtrip(spark, events):
     packed = pack_tier(
         rolled.withColumn("user_id", rolled.user_id.cast("string")),
         ["user_id"],
+        codec="stream",  # exercises the stream decoders below
     ).toPandas()
+    assert (packed.codec == "stream").all()
     oracle = rolled.toPandas()
     oracle["user_id"] = oracle.user_id.astype(str)
     for _, row in packed.iterrows():
@@ -203,3 +205,58 @@ def test_pack_unpack_columnar_codec(spark, events):
     np.testing.assert_array_equal(
         unpacked.bucket_start.to_numpy(), exp.bucket_start.to_numpy()
     )
+
+
+def test_unpack_dispatches_on_codec_column(spark, events):
+    """A packed table mixing stream- and columnar-coded rows decodes
+    correctly row-by-row via the codec column."""
+    from peakmatch_xcorr_spark.operators.rollup import pack_tier, unpack_tier
+
+    rolled = tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour").withColumn(
+        "user_id", events.user_id.cast("string")
+    )
+    mixed = pack_tier(rolled, ["user_id"], codec="columnar").union(
+        pack_tier(rolled, ["user_id"], codec="stream")
+    )
+    unpacked = (
+        unpack_tier(mixed, ["user_id"])
+        .toPandas().sort_values(["user_id", "bucket_start"]).reset_index(drop=True)
+    )
+    exp = (
+        rolled.select("user_id", "bucket_start", "vavg")
+        .toPandas().sort_values(["user_id", "bucket_start"]).reset_index(drop=True)
+    )
+    assert len(unpacked) == 2 * len(exp)
+    half = unpacked.groupby(["user_id", "bucket_start"], as_index=False).vavg.nunique()
+    assert (half.vavg == 1).all()  # both codecs decoded to the same value
+
+
+def test_cascaded_vavg_with_nulls_matches_direct(spark):
+    """vavg must be null-ignoring at every tier: vsum/vcount, never
+    vsum/turns (ADVICE r1: turns counts all rows, vcount only non-null)."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 4 + ["b"] * 3,
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:10", "2024-01-01 00:00:40",
+                    "2024-01-01 00:20:10", "2024-01-01 01:10:00",
+                    "2024-01-01 00:01:00", "2024-01-01 00:02:00",
+                    "2024-01-01 00:03:00",
+                ]
+            ).astype("datetime64[us]"),
+            "value": [10.0, None, 30.0, 50.0, None, None, 9.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    fine = tumbling_rollup(df, ["k"], "ts", "value", "1 minute")
+    hour_cascaded = cascade_tier(fine, ["k"], "1 hour").toPandas()
+    hour_direct = tumbling_rollup(df, ["k"], "ts", "value", "1 hour").toPandas()
+    c = hour_cascaded.sort_values(["k", "bucket_start"]).reset_index(drop=True)
+    d = hour_direct.sort_values(["k", "bucket_start"]).reset_index(drop=True)
+    assert (c.turns.to_numpy() == d.turns.to_numpy()).all()
+    assert (c.vcount.to_numpy() == d.vcount.to_numpy()).all()
+    np.testing.assert_allclose(c.vavg.to_numpy(), d.vavg.to_numpy(), rtol=1e-12)
+    # the specific trap: k=a hour 0 has 3 turns but only 2 non-null values
+    a0 = d[(d.k == "a")].iloc[0]
+    assert a0.turns == 3 and a0.vcount == 2 and a0.vavg == 20.0

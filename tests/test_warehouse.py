@@ -130,7 +130,10 @@ def test_resume_after_mid_cascade_kill(spark, wh):
 
 
 def test_retention_and_packed_tiers(spark, wh):
-    from peakmatch_xcorr_spark.kernels.codecs import dod_decode, gorilla_decode
+    from peakmatch_xcorr_spark.kernels.codecs import (
+        dod_decode_columnar,
+        gorilla_decode_columnar,
+    )
 
     d1, d2, full = _split_df(spark, 1200)
     src = WarehouseTable(wh, "transcripts")
@@ -149,13 +152,14 @@ def test_retention_and_packed_tiers(spark, wh):
     packed = agg.packed_tables["1h"].read(spark).toPandas()
     assert len(packed) == t1h.conv_id.nunique()
     row = packed.iloc[0]
+    assert row.codec == "columnar"  # pack_tier default is the vectorized codec
     g = t1h[t1h.conv_id == row.conv_id].sort_values("bucket_start")
     np.testing.assert_array_equal(
-        dod_decode(bytes(row.ts_packed)),
+        dod_decode_columnar(bytes(row.ts_packed)),
         g.bucket_start.astype("datetime64[us]").astype("int64").to_numpy(),
     )
     np.testing.assert_array_equal(
-        gorilla_decode(bytes(row.val_packed)),
+        gorilla_decode_columnar(bytes(row.val_packed)),
         g.turns.astype("float64").to_numpy(),
     )
 
