@@ -24,15 +24,50 @@ that day's buckets, never rescanning history.
 from __future__ import annotations
 
 import datetime
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from peakmatch_xcorr_spark.operators.rollup import (
+    bucket_seconds,
     cascade_tier,
     tumbling_rollup,
 )
-from peakmatch_xcorr_spark.sources.warehouse import JobCheckpoint, WarehouseTable
+from peakmatch_xcorr_spark.sources.warehouse import (
+    JobCheckpoint,
+    WarehouseTable,
+    _atomic_write_json,
+)
+
+_EPOCH = datetime.datetime(1970, 1, 1)
+
+# sentinel: the delta chain is intact but added no buckets (no-op)
+_EMPTY_DELTA = object()
+
+
+def _floor_bucket(dt: datetime.datetime, bucket: str) -> datetime.datetime:
+    """Floor a (naive UTC) timestamp to the tumbling-bucket start,
+    matching F.window alignment for '1 minute'/'1 hour'/'1 day'."""
+    step = bucket_seconds(bucket)
+    sec = int((dt - _EPOCH).total_seconds()) // step * step
+    return _EPOCH + datetime.timedelta(seconds=sec)
+
+
+def _parse_bound_ts(v) -> datetime.datetime | None:
+    """Manifest bound → naive-UTC datetime.  TIMESTAMP (instant)
+    columns serialize tz-aware; TIMESTAMP_NTZ serialize naive — the
+    session TZ is pinned UTC, so both normalize to naive UTC."""
+    if isinstance(v, str):
+        try:
+            dt = datetime.datetime.fromisoformat(v)
+        except ValueError:
+            return None
+        if dt.tzinfo is not None:
+            dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return dt
+    return None
 
 
 def merge_rollups(existing: DataFrame | None, delta: DataFrame, keys: list[str], has_values: bool) -> DataFrame:
@@ -97,17 +132,106 @@ class ContinuousAggregate:
             for tn in pack_tiers
         }
 
-    def _apply_retention(self, tier_df: DataFrame, idx: int) -> DataFrame:
+    def _apply_retention(
+        self, tier_df: DataFrame, idx: int,
+        hi_hint: datetime.datetime | None = None,
+    ) -> DataFrame:
         """Event-time retention: drop buckets older than the horizon
-        behind the tier's max bucket (deterministic — no wall clock)."""
+        behind the tier's max bucket (deterministic — no wall clock).
+
+        ``hi_hint`` is the max bucket derived from manifest column
+        bounds — when provided, retention costs zero Spark jobs; the
+        collect is only the legacy-manifest fallback."""
         horizon = self.retention_s[idx]
         if horizon is None:
             return tier_df
-        hi = tier_df.agg(F.max("bucket_start").alias("hi")).collect()[0]["hi"]
+        hi = hi_hint
+        if hi is None:
+            hi = tier_df.agg(F.max("bucket_start").alias("hi")).collect()[0]["hi"]
         if hi is None:
             return tier_df
         cutoff = hi - datetime.timedelta(seconds=horizon)
         return tier_df.filter(F.col("bucket_start") >= F.lit(cutoff))
+
+    def _tier_manifest_hi(self, tn: str) -> datetime.datetime | None:
+        """Max bucket_start of a committed tier, from manifest bounds."""
+        t = self.tier_tables[tn]
+        if t.current_version() is None:
+            return None
+        return _parse_bound_ts(t.manifest_column_max("bucket_start"))
+
+    def _source_delta_hi(
+        self, prev_v: int | None, src_v: int
+    ) -> datetime.datetime | None:
+        """Max fine bucket touched by the (prev_v, src_v] source delta,
+        from the source manifest's per-file ts bounds.  None → caller
+        falls back to a scan (legacy manifests without bounds)."""
+        added = set(self.source.diff_files(prev_v, src_v))
+        by_path = {f["path"]: f for f in self.source.snapshot(src_v).files}
+        vals = []
+        for p in added:
+            f = by_path.get(p, {})
+            if f.get("rows", 1) == 0:
+                continue
+            b = f.get("bounds", {}).get(self.ts_col)
+            ts = _parse_bound_ts(b[1]) if b else None
+            if ts is None:
+                return None
+            vals.append(ts)
+        if not vals:
+            return None
+        return _floor_bucket(max(vals), self.tiers[0])
+
+    # ---- affected-bucket chain (crash-safe multi-delta refresh) ----
+
+    def _affected_meta_path(self, v: int) -> str:
+        return f"{self.tier_tables[self.tier_names[0]].dir}/affected_v{v}.meta.json"
+
+    def _write_affected_meta(self, src_v: int, prev_v: int | None, empty: bool) -> None:
+        _atomic_write_json(
+            self._affected_meta_path(src_v),
+            {"from_version": prev_v, "to_version": src_v, "empty": empty},
+        )
+
+    def _affected_union(
+        self, spark: SparkSession, tier_src_v: int | None, src_v: int
+    ):
+        """Union of affected fine buckets for every delta in
+        (tier_src_v, src_v], walking the meta chain backwards.
+
+        Returns a DataFrame, ``_EMPTY_DELTA`` when the covered deltas
+        added nothing, or None when the chain is broken / unknown —
+        callers must then fall back to a full cascade recompute."""
+        if tier_src_v is None:
+            return None
+        t0dir = self.tier_tables[self.tier_names[0]].dir
+        paths: list[str] = []
+        v = src_v
+        # a tier already at src_v (lost-checkpoint rerun) re-applies the
+        # current delta alone — idempotent by construction
+        target = tier_src_v if tier_src_v != src_v else None
+        while True:
+            mp = self._affected_meta_path(v)
+            if not os.path.exists(mp):
+                return None
+            with open(mp) as f:
+                meta = json.load(f)
+            if not meta.get("empty"):
+                data_path = f"{t0dir}/affected_v{v}"
+                if not os.path.isdir(data_path):
+                    return None
+                paths.append(data_path)
+            fv = meta.get("from_version")
+            if tier_src_v == src_v or fv == target:
+                break
+            if fv is None or fv < (target or 0):
+                return None  # chain jumps past the tier's version
+            v = fv
+        if not paths:
+            return _EMPTY_DELTA
+        return spark.read.parquet(*paths).select(
+            *self.keys, "bucket_start"
+        ).distinct()
 
     def _maybe_pack(self, tn: str, tier_df: DataFrame, src_v: int) -> None:
         if tn not in self.pack_tiers:
@@ -168,42 +292,78 @@ class ContinuousAggregate:
                 merged = existing
             else:
                 merged = merge_rollups(existing, delta_rolled, self.keys, has_values)
-            # affected fine buckets drive the coarse-tier semi-joins
+            # affected fine buckets drive the coarse-tier semi-joins.
+            # The meta sidecar records WHICH delta (prev_v, src_v] the
+            # file covers, so a coarse tier left >1 delta behind by a
+            # crash can chain-union every delta it missed.
             if delta_rolled is not None:
                 affected = delta_rolled.select(*self.keys, "bucket_start").distinct()
                 affected.write.mode("overwrite").parquet(
                     f"{t0.dir}/affected_v{src_v}"
                 )
-            merged = self._apply_retention(merged, 0)
-            snap = t0.overwrite(
-                merged, job_id=f"{self.name}_refresh",
-                metrics={"source_version": src_v, "tier": tn0},
-            )
-            self._maybe_pack(tn0, t0.read(spark), src_v)
-            ckpt.mark_done(tn0, src_v, {"tier_version": snap.version})
-            metrics[tn0] = {"rows": snap.metrics.get("rows")}
+            self._write_affected_meta(src_v, prev_v, empty=delta_rolled is None)
+            if merged is None:
+                # no prior tier AND an empty diff: clean no-op phase
+                ckpt.mark_done(tn0, src_v, {"tier_version": None, "noop": True})
+                metrics[tn0] = {"rows": 0}
+            else:
+                # max bucket from manifest bounds: no driver-side jobs
+                hi_existing = self._tier_manifest_hi(tn0)
+                hi_delta = (
+                    None if delta_rolled is None
+                    else self._source_delta_hi(prev_v, src_v)
+                )
+                hi_hint = None
+                if delta_rolled is None:
+                    hi_hint = hi_existing
+                elif hi_delta is not None:
+                    hi_hint = (
+                        max(hi_existing, hi_delta)
+                        if hi_existing is not None else hi_delta
+                    )
+                merged = self._apply_retention(merged, 0, hi_hint)
+                snap = t0.overwrite(
+                    merged, job_id=f"{self.name}_refresh",
+                    metrics={"source_version": src_v, "tier": tn0},
+                )
+                self._maybe_pack(tn0, t0.read(spark), src_v)
+                ckpt.mark_done(tn0, src_v, {"tier_version": snap.version})
+                metrics[tn0] = {"rows": snap.metrics.get("rows")}
             if fail_after_phase == tn0:
                 raise RuntimeError(f"injected failure after phase {tn0}")
 
-        # --- coarser tiers: recompute only affected coarse buckets ---
+        # --- coarser tiers: recompute only affected coarse buckets.
+        # Each tier applies the union of EVERY delta between its own
+        # recorded source_version and src_v (a crash between tiers can
+        # leave a coarse tier several deltas behind; applying only the
+        # latest would silently lose the earlier deltas' buckets).
         for i in range(1, len(self.tier_names)):
             tn = self.tier_names[i]
             if ckpt.phase_done(tn, src_v):
                 continue
-            finer = self.tier_tables[self.tier_names[i - 1]].read(spark)
+            finer_table = self.tier_tables[self.tier_names[i - 1]]
+            if finer_table.current_version() is None:
+                # finest tier no-op'd on an empty source: nothing to roll
+                ckpt.mark_done(tn, src_v, {"tier_version": None, "noop": True})
+                metrics[tn] = {"rows": 0}
+                continue
+            finer = finer_table.read(spark)
             tier_table = self.tier_tables[tn]
             bucket = self.tiers[i]
-            aff_path = f"{self.tier_tables[self.tier_names[0]].dir}/affected_v{src_v}"
-            try:
-                affected_fine = spark.read.parquet(aff_path)
-            except Exception:
-                affected_fine = None
+            tier_src_v = None
+            if tier_table.current_version() is not None:
+                tier_src_v = tier_table.snapshot(
+                    tier_table.current_version()
+                ).metrics.get("source_version")
+            affected_fine = self._affected_union(spark, tier_src_v, src_v)
             existing = (
                 tier_table.read(spark)
                 if tier_table.current_version() is not None
                 else None
             )
-            if existing is None or affected_fine is None:
+            if affected_fine is _EMPTY_DELTA and existing is not None:
+                merged = existing
+            elif existing is None or affected_fine is None:
                 merged = cascade_tier(finer, self.keys, bucket, has_values)
             else:
                 affected_coarse = affected_fine.select(
@@ -228,7 +388,11 @@ class ContinuousAggregate:
                     affected_coarse, [*self.keys, "bucket_start"], "left_anti"
                 )
                 merged = untouched.unionByName(recomputed)
-            merged = self._apply_retention(merged, i)
+            # coarse-tier max bucket = finer tier's max, floored — the
+            # finer tier committed above, so its manifest bounds are fresh
+            hi_finer = self._tier_manifest_hi(self.tier_names[i - 1])
+            hi_hint = _floor_bucket(hi_finer, bucket) if hi_finer else None
+            merged = self._apply_retention(merged, i, hi_hint)
             snap = tier_table.overwrite(
                 merged, job_id=f"{self.name}_refresh",
                 metrics={"source_version": src_v, "tier": tn},

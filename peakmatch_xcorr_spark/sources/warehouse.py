@@ -111,10 +111,42 @@ class WarehouseTable:
         return snap
 
     # ---- writes ----
+    @staticmethod
+    def _footer_bounds(md) -> dict:
+        """Per-column [min, max] from parquet footer statistics — the
+        manifest-level column bounds Iceberg keeps, at zero scan cost.
+        Only JSON-friendly types are recorded (datetimes → isoformat)."""
+        import datetime as _dt
+
+        def ser(v):
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat()
+            if isinstance(v, (int, float, str, bool)):
+                return v
+            return None
+
+        bounds: dict = {}
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            for ci in range(rgm.num_columns):
+                col = rgm.column(ci)
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = ser(st.min), ser(st.max)
+                if mn is None or mx is None:
+                    continue
+                name = col.path_in_schema
+                if name in bounds:
+                    bounds[name] = [min(bounds[name][0], mn), max(bounds[name][1], mx)]
+                else:
+                    bounds[name] = [mn, mx]
+        return bounds
+
     def _write_data(self, df: DataFrame) -> list[dict]:
         """Write df as parquet under a fresh uuid dir; return the
         per-file (= per output partition) lineage record: path, bytes,
-        rows (from parquet footers — no extra scan)."""
+        rows, column bounds (from parquet footers — no extra scan)."""
         import pyarrow.parquet as pq
 
         sub = uuid.uuid4().hex
@@ -125,14 +157,35 @@ class WarehouseTable:
             if fn.endswith(".parquet"):
                 p = os.path.join(sub, fn)
                 full = os.path.join(self.data_dir, p)
+                md = pq.ParquetFile(full).metadata
                 files.append(
                     {
                         "path": p,
                         "bytes": os.path.getsize(full),
-                        "rows": pq.ParquetFile(full).metadata.num_rows,
+                        "rows": md.num_rows,
+                        "bounds": self._footer_bounds(md),
                     }
                 )
         return files
+
+    def manifest_column_max(self, col: str, version: int | None = None):
+        """Max value of ``col`` across the snapshot's files, from the
+        manifest bounds alone (no Spark job).  Returns None when any
+        file lacks bounds for the column (legacy manifests) — callers
+        must fall back to a scan."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            return None
+        files = self.snapshot(v).files
+        vals = []
+        for f in files:
+            b = f.get("bounds", {}).get(col)
+            if b is None:
+                if f.get("rows", 1) == 0:
+                    continue  # empty file legitimately has no stats
+                return None
+            vals.append(b[1])
+        return max(vals) if vals else None
 
     def append(self, df: DataFrame, job_id: str | None = None, metrics: dict | None = None) -> Snapshot:
         files = self._write_data(df)

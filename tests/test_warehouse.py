@@ -187,3 +187,90 @@ def test_resume_with_lost_checkpoint_is_idempotent(spark, wh):
     after = _tiers_as_pandas(spark, agg)
     for tn in before:
         pd.testing.assert_frame_equal(before[tn], after[tn])
+
+
+def test_crash_then_new_source_version_loses_no_deltas(spark, wh):
+    """ADVICE r1 (high): crash after the finest tier commits for source
+    v, then the source is appended to v+1 BEFORE the rerun.  The rerun
+    rolls only diff(v, v+1) into 1m, and the coarse tiers must apply
+    the union of BOTH deltas — applying only affected_v{v+1} silently
+    loses v's delta in coarse buckets untouched by v+1."""
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+
+    src.append(d1)
+    agg.refresh(spark)  # tiers fully at source v1
+
+    src.append(d2)  # source v2
+    with pytest.raises(RuntimeError, match="injected failure"):
+        agg.refresh(spark, fail_after_phase="1m")  # 1m at v2, coarse at v1
+
+    # third delta lands before the rerun: source v3
+    res2 = generate_transcripts(
+        SynthConf(n_convs=6, n_dup_pairs=0, giant_conv=False, seed=99)
+    )
+    d3 = spark.createDataFrame(res2.transcripts)
+    src.append(d3)
+
+    m = agg.refresh(spark)
+    assert m["status"] == "refreshed"
+
+    all_raw = full.unionByName(d3)
+    got = _tiers_as_pandas(spark, agg)
+    for tn, bucket in zip(("1m", "1h", "1d"), ("1 minute", "1 hour", "1 day")):
+        exp = (
+            tumbling_rollup(all_raw, ["conv_id"], "ts", None, bucket)
+            .toPandas()
+            .sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[tn], exp[got[tn].columns], check_dtype=False)
+
+
+def test_empty_source_diff_is_clean_noop(spark, wh):
+    """ADVICE r1 (low): a source snapshot whose diff adds no files must
+    refresh as a clean no-op, including the very first refresh against
+    a table that has snapshots but an empty diff."""
+    d1, _, _ = _split_df(spark, 800)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+
+    # snapshot with ZERO added files (overwrite of nothing → empty df)
+    empty = d1.limit(0)
+    src.append(empty)
+    m = agg.refresh(spark)  # must not raise AttributeError
+    assert m["1m"]["rows"] == 0
+
+    src.append(d1)
+    m2 = agg.refresh(spark)
+    assert m2["status"] == "refreshed"
+    got = _tiers_as_pandas(spark, agg)
+    exp = (
+        tumbling_rollup(d1, ["conv_id"], "ts", None, "1 hour")
+        .toPandas().sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got["1h"], exp[got["1h"].columns], check_dtype=False)
+
+
+def test_retention_uses_manifest_bounds(spark, wh):
+    """Retention horizon derives from manifest column bounds (zero
+    extra Spark jobs); result must equal the scan-based cutoff."""
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    src.append(full)
+    agg = ContinuousAggregate(
+        wh, src, keys=["conv_id"], ts_col="ts", value_col=None,
+        retention_s=(3600 * 12, None, None),
+    )
+    agg.refresh(spark)
+    t1m = agg.tier_tables["1m"].read(spark).toPandas()
+    raw = full.toPandas()
+    true_hi = raw.ts.max().floor("min")
+    cutoff = true_hi - pd.Timedelta(hours=12)
+    assert t1m.bucket_start.min() >= cutoff
+    assert t1m.bucket_start.max() == true_hi
+    # and the manifest agrees with the data
+    from peakmatch_xcorr_spark.operators.refresh import _parse_bound_ts
+    hi = _parse_bound_ts(agg.tier_tables["1m"].manifest_column_max("bucket_start"))
+    assert pd.Timestamp(hi) == t1m.bucket_start.max()
