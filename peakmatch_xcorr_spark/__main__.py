@@ -12,7 +12,15 @@ re-expressed as engine jobs:
   rollup      full 1m/1h/1d cascade refresh (incremental, resumable)
   xcorr       exact xcorr of two conversations (parity oracle CLI,
               XCorrProcessor.java:93-106)
-  bench       headline bench (same as bench.py)
+  bruteforce  exact xcorr over ALL pairs above final-threshold
+              (BruteForceProcessor.java:36-101)
+  fftdom      FFTDOMINANTFREQ per-event features -> table, or stdout
+              lines with --events (DominantFreqProcessor.java:142-159)
+  cluster     band features -> KNN graph -> connected components
+              (ClusteringProcessor.java)
+
+completing the reference's 9-mode dispatch (PLOT1D/PLOT2D are debug
+console formatters; PLOT2D exists as spectrogram_table).
 
 Build the artifact:  cd repo && zip -r pxs.zip peakmatch_xcorr_spark
 Run on a cluster:    spark-submit --py-files pxs.zip run_job.py rollup ...
@@ -30,7 +38,7 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="peakmatch_xcorr_spark")
     p.add_argument("mode", choices=[
         "peakmatch", "postprocess", "fused", "analyse", "dedup",
-        "rollup", "xcorr",
+        "rollup", "xcorr", "bruteforce", "fftdom", "cluster",
     ])
     p.add_argument("--input", help="transcripts parquet path / warehouse table")
     p.add_argument("--warehouse", default="/tmp/pxs_warehouse")
@@ -38,7 +46,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--blocks", type=int, default=64)
     p.add_argument("--curve-len", type=int, default=256)
     p.add_argument("--bucket", default="1 minute")
-    p.add_argument("--events", nargs=2, help="two conv_ids for xcorr mode")
+    p.add_argument("--events", nargs="+", help="conv_ids for xcorr (2) / fftdom modes")
+    p.add_argument("--sample-rate", type=int, default=100, help="spectral sample rate (fftdom/cluster)")
     p.add_argument("--cores", default=None, help="local[N] when set; else use spark-submit master")
     args = p.parse_args(argv)
 
@@ -142,6 +151,72 @@ def main(argv: list[str] | None = None) -> None:
             deduped, job_id="dedup"
         )
         print(json.dumps({"rows": snap.metrics.get("rows")}))
+        return
+
+    if args.mode == "bruteforce":
+        # exact FFT xcorr over ALL pairs, keep above final-threshold
+        # (BruteForceProcessor.java:36-101: the end-to-end oracle mode)
+        from peakmatch_xcorr_spark.operators.pairs import peakmatch_scores
+
+        feats = conversation_features(
+            load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
+        ).cache()
+        exact = peakmatch_scores(feats, conf.peakmatch, args.blocks, exact=True)
+        matches = exact.filter(exact.score > conf.peakmatch.final_threshold)
+        snap = table(args.output or "bruteforce").overwrite(
+            matches, job_id="bruteforce"
+        )
+        print(json.dumps({"matches": snap.metrics.get("rows")}))
+        return
+
+    if args.mode == "fftdom":
+        # FFTDOMINANTFREQ (DominantFreqProcessor.java:142-159): table
+        # sink by default; with --events, per-event stdout lines like
+        # the reference CLI (XCorrProcessor.java:107-117)
+        from peakmatch_xcorr_spark.config import SpectralConf
+        from peakmatch_xcorr_spark.operators.spectral_ops import (
+            dominant_freq_table,
+        )
+
+        feats = conversation_features(
+            load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
+        )
+        spectral = SpectralConf(sample_rate=args.sample_rate)
+        if args.events:
+            feats = feats.filter(feats.conv_id.isin(list(args.events)))
+        dom = dominant_freq_table(feats, spectral)
+        if args.events:
+            for r in dom.collect():
+                freqs = " ".join(f"{f:.3f}" for f in r["top_freqs"])
+                bands = "\t".join(f"{b:.3f}" for b in r["band_mean_amps"])
+                print(f"{r['id']}\t{freqs}\t{r['peak_amp']:.3f}\t"
+                      f"{r['stddev']:.3f}\t{bands}")
+            return
+        snap = table(args.output or "dominantfreq").overwrite(dom, job_id="fftdom")
+        print(json.dumps({"events": snap.metrics.get("rows")}))
+        return
+
+    if args.mode == "cluster":
+        # CLUSTER mode (ClusteringProcessor.java): band-feature vectors
+        # -> blocked all-pairs distances -> KNN-under-eta edges ->
+        # connected components with a deterministic size cap
+        from peakmatch_xcorr_spark.config import ClusterConf, SpectralConf
+        from peakmatch_xcorr_spark.operators.clustering import (
+            band_features,
+            cluster_members,
+            knn_edges,
+            pair_distances,
+        )
+
+        feats = conversation_features(
+            load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
+        )
+        bf = band_features(feats, SpectralConf(sample_rate=args.sample_rate))
+        cconf = ClusterConf()
+        dists = pair_distances(bf, n_blocks=max(2, min(args.blocks, 16)))
+        members = cluster_members(knn_edges(dists, cconf), cconf)
+        snap = table(args.output or "clusters").overwrite(members, job_id="cluster")
+        print(json.dumps({"clusters": snap.metrics.get("rows")}))
         return
 
     if args.mode == "rollup":

@@ -49,10 +49,22 @@ def refresh_saved_xcorr(
         missing = all_pairs_needed
     if missing.limit(1).count() == 0:
         return existing
-    # compute exact scores for all pairs, keep only missing ones
-    # (block-local FFT batching; the semi-join prunes persisted pairs)
-    exact = peakmatch_scores(features, conf, n_blocks, exact=True)
-    delta = exact.join(missing, ["id_a", "id_b"], "left_semi")
+    if existing is None:
+        # cold start: ALL pairs are missing — the blocked cogroup is
+        # the cheap plan (per-block FFT batching, zero per-pair FFT
+        # array shuffle)
+        delta = peakmatch_scores(features, conf, n_blocks, exact=True)
+    else:
+        # delta-only: score ONLY the missing pairs (skip-cached,
+        # AnalyseProcessor.java:190-257) — join the missing pair list
+        # to per-event FFTs; cost scales with |missing|, never N²/2
+        from peakmatch_xcorr_spark.operators.features import fft_precache
+        from peakmatch_xcorr_spark.operators.pairs import exact_pair_scores
+
+        ffts = fft_precache(features)
+        delta = exact_pair_scores(missing, ffts).withColumnRenamed(
+            "xcorr", "score"
+        )
     saved.append(delta, job_id="analyse_saved_xcorr")
     return saved.read(spark)
 
@@ -76,30 +88,46 @@ def analyse_accuracy(
     )
     sample = sample.cache()
     approx = peakmatch_scores(sample, conf, n_blocks)
-    cands = approx.filter(F.col("score") > conf.candidate_threshold)
     if saved is not None:
         exact = refresh_saved_xcorr(spark, sample, saved, conf, n_blocks)
     else:
         exact = peakmatch_scores(sample, conf, n_blocks, exact=True)
-    truth = exact.filter(F.col("score") > conf.final_threshold)
 
-    n_pairs = approx.count()
-    n_cand = cands.count()
-    n_truth = truth.count()
+    # ONE join + ONE aggregation = ONE action: both quadratic kernels
+    # execute exactly once (the previous shape ran 5 actions over the
+    # uncached cogroup stage — 5× the kernel bill).  approx holds every
+    # sample pair, so the inner join keys the stats to the sample even
+    # when the saved table carries extra pairs.
     key = ["id_a", "id_b"]
-    n_fp = cands.join(truth, key, "left_anti").count()
-    n_fn = truth.join(cands, key, "left_anti").count()
-    return spark.createDataFrame(
-        [
-            {
-                "pairs": n_pairs,
-                "candidates": n_cand,
-                "truth_matches": n_truth,
-                "false_positives": n_fp,
-                "false_negatives": n_fn,
-                "fp_rate": n_fp / n_cand if n_cand else 0.0,
-                "fn_rate": n_fn / n_truth if n_truth else 0.0,
-                "prune_rate": 1.0 - n_cand / n_pairs if n_pairs else 0.0,
-            }
-        ]
+    j = approx.join(
+        exact.withColumnRenamed("score", "exact_score"), key
+    )
+    is_cand = F.col("score") > conf.candidate_threshold
+    is_truth = F.col("exact_score") > conf.final_threshold
+    one = F.lit(1)
+    stats = j.agg(
+        F.count(one).alias("pairs"),
+        F.sum(F.when(is_cand, one).otherwise(0)).alias("candidates"),
+        F.sum(F.when(is_truth, one).otherwise(0)).alias("truth_matches"),
+        F.sum(F.when(is_cand & ~is_truth, one).otherwise(0)).alias(
+            "false_positives"
+        ),
+        F.sum(F.when(is_truth & ~is_cand, one).otherwise(0)).alias(
+            "false_negatives"
+        ),
+    )
+    return stats.select(
+        "*",
+        F.when(
+            F.col("candidates") > 0,
+            F.col("false_positives") / F.col("candidates"),
+        ).otherwise(F.lit(0.0)).alias("fp_rate"),
+        F.when(
+            F.col("truth_matches") > 0,
+            F.col("false_negatives") / F.col("truth_matches"),
+        ).otherwise(F.lit(0.0)).alias("fn_rate"),
+        F.when(
+            F.col("pairs") > 0,
+            F.lit(1.0) - F.col("candidates") / F.col("pairs"),
+        ).otherwise(F.lit(0.0)).alias("prune_rate"),
     )

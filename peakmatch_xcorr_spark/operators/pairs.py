@@ -353,19 +353,17 @@ def peakmatch_candidates(
     return scores.filter(F.col("score") > conf.candidate_threshold)
 
 
-def postprocess_verify(
-    candidates: DataFrame,
+def exact_pair_scores(
+    pairs: DataFrame,
     ffts: DataFrame,
-    conf: PeakmatchConf,
     broadcast_ffts: bool = False,
 ) -> DataFrame:
-    """POSTPROCESS phase: exact FFT xcorr on candidate pairs only.
-
-    Two equi-joins against the persisted event_fft table (the S9/S10
-    precompute-once pattern), then ONE batched irfft per Arrow batch —
-    all pairs in the batch verified with a single vectorized FFT call.
-    Returns (id_a, id_b, xcorr) above final-threshold.
-    """
+    """Exact FFT xcorr for an EXPLICIT pair set (id_a, id_b) — the
+    delta path: when only a known subset of pairs needs scoring
+    (xcorr.saved refresh, AnalyseProcessor.java:190-257 skip-cached),
+    join the pair list to the persisted event_fft table and run one
+    batched irfft per Arrow batch.  Cost scales with |pairs|, not
+    N²/2.  Returns (id_a, id_b, xcorr) UNfiltered."""
     f = F.broadcast(ffts) if broadcast_ffts else ffts
     a = f.select(
         F.col("conv_id").alias("id_a"),
@@ -378,7 +376,7 @@ def postprocess_verify(
         F.col("rev_im").alias("b_im"),
         "padded_len",
     )
-    joined = candidates.join(a, "id_a").join(b, "id_b")
+    joined = pairs.select("id_a", "id_b").join(a, "id_a").join(b, "id_b")
 
     def verify(batches):
         import numpy as np
@@ -398,9 +396,25 @@ def postprocess_verify(
                 {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "xcorr": best}
             )
 
-    verified = joined.mapInPandas(
+    return joined.mapInPandas(
         verify, schema="id_a string, id_b string, xcorr double"
     )
+
+
+def postprocess_verify(
+    candidates: DataFrame,
+    ffts: DataFrame,
+    conf: PeakmatchConf,
+    broadcast_ffts: bool = False,
+) -> DataFrame:
+    """POSTPROCESS phase: exact FFT xcorr on candidate pairs only.
+
+    Two equi-joins against the persisted event_fft table (the S9/S10
+    precompute-once pattern), then ONE batched irfft per Arrow batch —
+    all pairs in the batch verified with a single vectorized FFT call
+    (exact_pair_scores).  Returns (id_a, id_b, xcorr) above
+    final-threshold."""
+    verified = exact_pair_scores(candidates, ffts, broadcast_ffts)
     return verified.filter(F.col("xcorr") > conf.final_threshold)
 
 

@@ -1,0 +1,84 @@
+"""Smoke tests for the spark-submit CLI: one per mode, completing the
+reference's 9-mode dispatch parity (XCorrProcessor.java:141-160)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from peakmatch_xcorr_spark.__main__ import main
+from peakmatch_xcorr_spark.synth import SynthConf, generate_transcripts
+
+
+@pytest.fixture(scope="module")
+def cli_env(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    res = generate_transcripts(SynthConf(n_convs=12, n_dup_pairs=2))
+    inp = str(root / "transcripts.parquet")
+    spark.createDataFrame(res.transcripts).write.mode("overwrite").parquet(inp)
+    return {
+        "input": inp,
+        "warehouse": str(root / "wh"),
+        "dup": res.dup_pairs[0],
+    }
+
+
+def _run(capsys, cli_env, mode, *extra):
+    main([
+        mode, "--input", cli_env["input"], "--warehouse", cli_env["warehouse"],
+        "--blocks", "4", "--cores", "4", *extra,
+    ])
+    return capsys.readouterr().out.strip().splitlines()[-1]
+
+
+def test_cli_xcorr(capsys, cli_env):
+    a, b = cli_env["dup"]
+    out = _run(capsys, cli_env, "xcorr", "--events", a, b)
+    assert float(out) > 0.7  # planted dup pair correlates strongly
+
+
+def test_cli_peakmatch_then_postprocess(capsys, cli_env):
+    out = json.loads(_run(capsys, cli_env, "peakmatch"))
+    assert out["candidates"] >= 2
+    out = json.loads(_run(capsys, cli_env, "postprocess"))
+    assert out["matches"] >= 2
+
+
+def test_cli_fused_then_dedup(capsys, cli_env):
+    out = json.loads(_run(capsys, cli_env, "fused"))
+    assert out["matches"] >= 2
+    out = json.loads(_run(capsys, cli_env, "dedup"))
+    assert out["rows"] > 0
+
+
+def test_cli_bruteforce(capsys, cli_env):
+    out = json.loads(_run(capsys, cli_env, "bruteforce"))
+    assert out["matches"] >= 2  # the planted dup pairs
+
+
+def test_cli_analyse(capsys, cli_env):
+    rep = json.loads(_run(capsys, cli_env, "analyse"))
+    assert rep["false_negatives"] == 0
+    assert rep["truth_matches"] >= 2
+    assert 0 < rep["prune_rate"] <= 1
+
+
+def test_cli_fftdom_table_and_stdout(capsys, cli_env):
+    out = json.loads(_run(capsys, cli_env, "fftdom"))
+    assert out["events"] >= 12
+    a, b = cli_env["dup"]
+    line = _run(capsys, cli_env, "fftdom", "--events", a)
+    assert line.startswith(a + "\t")
+
+
+def test_cli_cluster(capsys, cli_env):
+    out = json.loads(_run(capsys, cli_env, "cluster"))
+    assert out["clusters"] >= 1
+
+
+def test_cli_rollup(capsys, cli_env):
+    out = json.loads(_run(capsys, cli_env, "rollup"))
+    assert out["status"] == "refreshed"
+    out = json.loads(_run(capsys, cli_env, "rollup"))
+    assert out["status"] == "up-to-date"

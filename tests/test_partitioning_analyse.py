@@ -98,3 +98,38 @@ def test_saved_xcorr_incremental_append(spark, feats, tmp_path):
     assert saved.current_version() == v1 + 1
     appended = saved.snapshot(saved.current_version()).metrics["rows_appended"]
     assert appended == n * (n - 1) // 2 - n1
+
+
+def test_saved_xcorr_delta_is_join_path_with_exact_parity(spark, feats, tmp_path):
+    """The incremental refresh must (a) score the delta through the
+    pair-list join (cost ∝ |missing|, physical plan has NO cogroup —
+    the old shape recomputed ALL pairs then semi-joined) and (b) agree
+    with the blocked-cogroup exact kernel to float precision."""
+    from peakmatch_xcorr_spark.operators.features import fft_precache
+    from peakmatch_xcorr_spark.operators.pairs import (
+        exact_pair_scores,
+        peakmatch_scores,
+    )
+
+    saved = WarehouseTable(str(tmp_path / "wh2"), "xcorr_saved")
+    sub = feats.limit(6).cache()
+    refresh_saved_xcorr(spark, sub, saved, CONF.peakmatch, n_blocks=4)
+    full = refresh_saved_xcorr(spark, feats, saved, CONF.peakmatch, n_blocks=4)
+
+    # parity: every saved score equals the cogroup-exact score
+    cg = peakmatch_scores(feats, CONF.peakmatch, n_blocks=4, exact=True)
+    merged = (
+        full.withColumnRenamed("score", "s_saved")
+        .join(cg.withColumnRenamed("score", "s_cg"), ["id_a", "id_b"])
+        .toPandas()
+    )
+    assert len(merged) == full.count()
+    np.testing.assert_allclose(
+        merged.s_saved.to_numpy(), merged.s_cg.to_numpy(), rtol=0, atol=1e-9
+    )
+
+    # plan shape: the delta path is joins + mapInPandas, never cogroup
+    ffts = fft_precache(feats)
+    pairs = full.select("id_a", "id_b").limit(3)
+    plan = exact_pair_scores(pairs, ffts)._jdf.queryExecution().toString()
+    assert "FlatMapCoGroupsInPandas" not in plan
