@@ -377,9 +377,11 @@ def _q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SQL_ANTI = """
-SELECT c_custkey, c_name FROM customer
-WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 """
+# NOT EXISTS, not NOT IN: a NULL o_custkey makes NOT IN return zero
+# rows while left_anti returns every unmatched customer
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -776,6 +778,113 @@ def _q_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _emb_as_features(spark: SparkSession, sf_dir: str, unit: bool) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
+    )
+    if unit:
+        from peakmatch_xcorr_spark.operators.similarity import _dot
+
+        norm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
+        emb = emb.withColumn(
+            "vec", F.transform("vec", lambda x: x / norm)
+        )
+    return emb
+
+
+def _q_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for exact all-pairs cosine: blocked cogroup
+    self-join (operators/clustering.pair_distances) — no
+    BroadcastNestedLoopJoin anywhere in the plan, per-task work is one
+    block pair.  Same oracle as the theta-join exactness baseline."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.clustering import pair_distances
+
+    feats = _emb_as_features(spark, sf_dir, unit=True)
+    d = pair_distances(feats, metric="cosine", n_blocks=8)
+    return (
+        d.withColumn("cosine", F.round(F.lit(1.0) - F.col("dist") + 1e-9, 6))
+        .filter(F.col("cosine") >= 0.8)
+        # recanonicalize numerically (string order '10' < '2' differs)
+        .select(
+            F.least(F.col("id_a").cast("int"), F.col("id_b").cast("int")).alias("id_a"),
+            F.greatest(F.col("id_a").cast("int"), F.col("id_b").cast("int")).alias("id_b"),
+            "cosine",
+        )
+    )
+
+
+def _q_knn_edges_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN-under-eta edges through the blocked pair_distances +
+    ranking-window path (W3/W4) — the no-BNLJ variant of
+    knn_edges_embeddings, same oracle."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.config import ClusterConf
+    from peakmatch_xcorr_spark.operators.clustering import (
+        knn_edges,
+        pair_distances,
+    )
+
+    feats = _emb_as_features(spark, sf_dir, unit=False)
+    d = pair_distances(feats, metric="euclidean", n_blocks=8).withColumn(
+        "dist", F.round(F.col("dist") + 1e-9, 6)
+    )
+    # pair_distances canonicalizes by STRING id ('10' < '2'); the
+    # oracle is numeric — recanonicalize after the int cast (distance
+    # is symmetric, flipping a pair is exact)
+    ia = F.col("id_a").cast("int")
+    ib = F.col("id_b").cast("int")
+    d = d.select(
+        F.least(ia, ib).alias("id_a"),
+        F.greatest(ia, ib).alias("id_b"),
+        "dist",
+    )
+    return knn_edges(d, ClusterConf(k=5, eta=8.0))
+
+
+def _q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB Jaccard path: stop-shingles (document frequency >
+    cap) dropped from index and denominators — bounded bucket sizes,
+    same high-Jaccard pairs.  Oracle replicates the DF filter in SQL."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = ngram_jaccard_pairs(docs, threshold=0.5, k=5, max_shingle_df=50)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard")
+    )
+
+
+_SQL_NGRAM_JACCARD_CAPPED = """
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct([substring(t, i, 5)
+                        for i in range(1, greatest(length(t)-4, 1)+1)]) AS gs
+  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+        FROM documents)
+), inv0 AS (
+  SELECT doc_id, unnest(gs) AS g FROM sh
+), keep AS (
+  SELECT g FROM inv0 GROUP BY g HAVING count(*) <= 50
+), inv1 AS (
+  SELECT doc_id, g FROM inv0 WHERE g IN (SELECT g FROM keep)
+), inv AS (
+  SELECT doc_id, g, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM inv1
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.n_sh AS na, b.n_sh AS nb, count(*) AS inter
+  FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(inter::DOUBLE / (na + nb - inter) + 1e-9, 6) AS jaccard
+FROM pairs
+WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
+"""
+
+
 def _q_band_mean_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded band-mean spectrum rows (A1/A4 surface of the
     FFTDOMINANTFREQ output, DominantFreqProcessor.java:114-140) —
@@ -814,6 +923,7 @@ _WIDE_QUERIES = {
     "simhash_fingerprints": (_q_simhash, None),
     "dominant_freq": (_q_dominant_freq, None),
     "band_mean_spectrum": (_q_band_mean_spectrum, None),
+    "ngram_jaccard_capped": (_q_ngram_jaccard_capped, _SQL_NGRAM_JACCARD_CAPPED),
 }
 
 _BASE_QUERIES = queries
@@ -926,6 +1036,10 @@ SELECT DISTINCT id_a, id_b, dist FROM ranked WHERE rn <= 5 AND dist < 8.0
 _LATE_QUERIES = {
     "salted_rollup_1h": (_q_salted_rollup, _SQL_SALTED_ROLLUP),
     "knn_edges_embeddings": (_q_knn_edges, _SQL_KNN_EDGES),
+    # scale-safe headline variants: blocked cogroup pair generation,
+    # no BroadcastNestedLoopJoin (plan-asserted in tests/test_plans.py)
+    "cosine_pairs_blocked": (_q_cosine_pairs_blocked, _SQL_COSINE_PAIRS),
+    "knn_edges_blocked": (_q_knn_edges_blocked, _SQL_KNN_EDGES),
 }
 
 _BASE_QUERIES2 = queries

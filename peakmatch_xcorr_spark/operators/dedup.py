@@ -156,15 +156,34 @@ def ngram_jaccard_pairs(
     k: int = 5,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity on candidate pairs that share at
     least one shingle (inverted-index join), filtered to >= threshold.
     Quadratic only within shingle buckets — the relational form of the
-    reference's 'prune then verify' design."""
+    reference's 'prune then verify' design.
+
+    ``max_shingle_df`` drops stop-shingles whose document frequency
+    exceeds the cap from BOTH the index and the per-doc shingle counts
+    (Jaccard over the informative-shingle universe).  Without it, one
+    shingle shared by millions of documents makes its bucket quadratic
+    — at 100 TB the cap is mandatory; high-Jaccard recall is unchanged
+    because near-dup pairs share many informative shingles (tested
+    with a planted stop-shingle)."""
     sh = docs.select(
         F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     inv = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    if max_shingle_df is not None:
+        keep = (
+            inv.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_shingle_df)
+            .select("g")
+        )
+        kept = inv.join(keep, "g", "left_semi")
+        n_kept = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        inv = kept.drop("n_sh").join(n_kept, "id")
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "g")
