@@ -70,6 +70,9 @@ def headline_queries(spark, sf_dir: str):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
 
     def q_rollup_cascade():
+        # uncached on purpose: at this tier size, cache materialization
+        # costs more than re-running the (pruned, partial-agg) 1m
+        # shuffle; the warehouse path materializes tiers as tables
         tiers = rollup_cascade(events, ["user_id"], "ts", "value")
         return sum(t.count() for t in tiers.values())
 

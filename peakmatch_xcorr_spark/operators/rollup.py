@@ -124,9 +124,15 @@ def rollup_cascade(
     ts_col: str = "ts",
     value_col: str | None = "value",
     tiers: tuple[str, ...] = ("1 minute", "1 hour", "1 day"),
+    cache_tiers: bool = False,
 ) -> dict[str, DataFrame]:
     """Full cascade raw -> tiers[0] -> tiers[1] -> ... (each tier from
-    the previous one).  Tier widths must be multiples of the previous."""
+    the previous one).  Tier widths must be multiples of the previous.
+
+    ``cache_tiers=True`` persists each tier before the next derives
+    from it — the in-memory analogue of the warehouse cascade, where
+    every tier is a materialized table: without it, acting on tier k
+    re-runs every finer tier's shuffle."""
     out: dict[str, DataFrame] = {}
     prev = None
     for t in tiers:
@@ -134,6 +140,8 @@ def rollup_cascade(
             cur = tumbling_rollup(df, keys, ts_col, value_col, t)
         else:
             cur = cascade_tier(prev, keys, t, has_values=value_col is not None)
+        if cache_tiers:
+            cur = cur.cache()
         out[t] = cur
         prev = cur
     return out
