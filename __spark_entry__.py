@@ -1250,6 +1250,57 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing smoke: RMS + dominant frequency over the fake
+    media table (decode stubbed; the dominant-frequency path reuses
+    the engine's FFTDOMINANTFREQ kernel on the audio payload)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.multimodal import (
+        audio_features,
+        synth_media,
+    )
+
+    feats = audio_features(synth_media(spark, n=24))
+    return feats.select(
+        "media_id", "sample_rate",
+        F.round(F.col("duration_s") + 1e-9, 6).alias("duration_s"),
+        F.round(F.col("rms") + 1e-9, 6).alias("rms"),
+        F.round(F.col("dominant_hz") + 1e-9, 6).alias("dominant_hz"),
+    )
+
+
+def _q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: every Nth frame's byte slice as
+    a row; emits frame lengths (binary payloads aren't canon-sortable)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.multimodal import (
+        sample_frames,
+        synth_media,
+    )
+
+    frames = sample_frames(synth_media(spark, n=24), every_n=10)
+    return frames.select(
+        "media_id", "frame_idx", F.length("frame").alias("frame_bytes")
+    )
+
+
+def _q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile sketch (the 100 TB path for percentiles —
+    exact sorts don't scale; accuracy vs exact is pytest-gated in
+    tests/test_wide_operators.py).  Rows-only: the KLL/GK sketch is
+    algorithm-specific."""
+    _utc(spark)
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p")
+    ).select(
+        "event_type",
+        F.round(F.col("p")[0] + 1e-9, 4).alias("p50"),
+        F.round(F.col("p")[1] + 1e-9, 4).alias("p95"),
+        F.round(F.col("p")[2] + 1e-9, 4).alias("p99"),
+    )
+
+
 _Q5 = queries
 _O5 = oracle_sql
 
@@ -1259,6 +1310,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
     out["ivf_topk"] = _q_ivf_topk
     out["lsh_near_dups"] = _q_lsh_near_dups
     out["multimodal_image_features"] = _q_multimodal_features
+    out["multimodal_audio_features"] = _q_multimodal_audio
+    out["multimodal_frame_sample"] = _q_multimodal_frames
+    out["percentiles_approx"] = _q_percentiles_approx
     return out
 
 

@@ -38,8 +38,12 @@ def main(argv: list[str] | None = None) -> None:
     p = argparse.ArgumentParser(prog="peakmatch_xcorr_spark")
     p.add_argument("mode", choices=[
         "peakmatch", "postprocess", "fused", "analyse", "dedup",
-        "rollup", "xcorr", "bruteforce", "fftdom", "cluster",
+        "rollup", "xcorr", "bruteforce", "fftdom", "cluster", "plot",
     ])
+    p.add_argument("--style", choices=["1d", "2d", "tiny"], default="1d",
+                   help="plot mode style (XCorrProcessor.java:78-91)")
+    p.add_argument("--plot-bucket-sec", type=float, default=0.64,
+                   help="2d plot tumbling bucket duration (seconds)")
     p.add_argument("--input", help="transcripts parquet path / warehouse table")
     p.add_argument("--warehouse", default="/tmp/pxs_warehouse")
     p.add_argument("--output", help="output table name", default=None)
@@ -151,6 +155,28 @@ def main(argv: list[str] | None = None) -> None:
             deduped, job_id="dedup"
         )
         print(json.dumps({"rows": snap.metrics.get("rows")}))
+        return
+
+    if args.mode == "plot":
+        # console debug plots (-plot {1d,2d,tiny}, XCorrProcessor.java:78-91)
+        import numpy as np
+
+        from peakmatch_xcorr_spark.config import SpectralConf
+        from peakmatch_xcorr_spark.plot import plot1d_event, plot2d_event
+
+        feats = conversation_features(
+            load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
+        )
+        if args.events:
+            feats = feats.filter(feats.conv_id.isin(list(args.events)))
+        spectral = SpectralConf(sample_rate=args.sample_rate)
+        for r in feats.select("conv_id", "series").toLocalIterator():
+            s = np.asarray(r["series"])
+            if args.style == "2d":
+                print(plot2d_event(r["conv_id"], s, args.plot_bucket_sec, spectral))
+            else:
+                print(plot1d_event(r["conv_id"], s, spectral,
+                                   tiny=args.style == "tiny"))
         return
 
     if args.mode == "bruteforce":

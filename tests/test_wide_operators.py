@@ -367,3 +367,21 @@ def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
         hits += len(e & a)
         total += len(e)
     assert hits / total >= 0.6, f"IVF recall too low: {hits}/{total}"
+
+
+def test_percentile_approx_within_tolerance(spark):
+    """The sketch percentiles (100 TB path) must sit within the
+    accuracy bound of the exact interpolated percentiles."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    approx = ev.agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("p")
+    ).collect()[0]["p"]
+    vals = np.sort(ev.select("value").toPandas().value.to_numpy())
+    for q, a in zip((0.5, 0.95, 0.99), approx):
+        exact = np.quantile(vals, q)
+        # rank error <= n/accuracy; translate to a loose value bound
+        lo, hi = np.quantile(vals, max(q - 0.01, 0)), np.quantile(vals, min(q + 0.01, 1))
+        assert lo <= a <= hi, f"q={q}: {a} not in [{lo}, {hi}] (exact {exact})"
