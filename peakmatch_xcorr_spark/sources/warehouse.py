@@ -207,6 +207,52 @@ class WarehouseTable:
         paths = [os.path.join(self.data_dir, f["path"]) for f in self.snapshot(v).files]
         return spark.read.parquet(*paths)
 
+    # ---- maintenance ----
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Iceberg-style snapshot expiry: drop manifests older than the
+        newest ``keep_last`` versions and delete data files no retained
+        snapshot references.  Time travel / snapshot diffs older than
+        the horizon become unavailable (standard Iceberg semantics);
+        current reads are untouched."""
+        vs = self.versions()
+        expired = vs[:-keep_last] if len(vs) > keep_last else []
+        if not expired:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        keep = set(vs) - set(expired)
+        referenced = {
+            f["path"] for v in keep for f in self.snapshot(v).files
+        }
+        deleted = 0
+        for v in expired:
+            for f in self.snapshot(v).files:
+                p = f["path"]
+                if p not in referenced:
+                    full = os.path.join(self.data_dir, p)
+                    if os.path.exists(full):
+                        os.remove(full)
+                        deleted += 1
+                    referenced.add(p)  # count each file once
+            os.remove(os.path.join(self.snap_dir, f"v{v:05d}.json"))
+        # clear now-empty uuid dirs so the data dir doesn't accrete
+        for d in os.listdir(self.data_dir):
+            full = os.path.join(self.data_dir, d)
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+        return {"expired_snapshots": len(expired), "deleted_files": deleted}
+
+    def compact(self, spark: SparkSession, target_partitions: int = 1,
+                job_id: str | None = None) -> Snapshot:
+        """Rewrite the current snapshot's (possibly many small) files
+        into ``target_partitions`` files — the small-file compaction an
+        append-heavy ingest needs.  Commits as a new snapshot (an
+        overwrite with identical rows), so resume/diff semantics are
+        preserved going forward."""
+        df = self.read(spark).coalesce(target_partitions)
+        before = len(self.snapshot(self.current_version()).files)
+        snap = self.overwrite(df, job_id=job_id or "compact",
+                              metrics={"compacted_from_files": before})
+        return snap
+
     def diff_files(self, from_version: int | None, to_version: int) -> list[str]:
         """Files added between two snapshots — the incremental-refresh
         input set (Iceberg snapshot-diff equivalent)."""

@@ -76,6 +76,35 @@ def run_stream_to_memory(
     return name
 
 
+def stream_to_warehouse(stream: DataFrame, table, checkpoint_dir: str):
+    """foreachBatch sink appending each micro-batch as ONE warehouse
+    snapshot — the ingest edge of the continuous-aggregate loop:
+    stream → snapshot appends → ContinuousAggregate.refresh() rolls
+    ONLY the appended files into the tiers (snapshot-diff driven).
+
+    Exactly-once note: the streaming checkpoint dedups replayed
+    batches at the source; a batch re-run after a crash between
+    append and checkpoint would double-append — production pairs this
+    with an idempotent commit key (batch_id in the snapshot job_id,
+    visible in the manifest for reconciliation), the same pattern
+    Iceberg's Spark sink uses."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        table.append(batch_df, job_id=f"stream_batch_{batch_id}")
+
+    q = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
 def stateful_conv_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-conversation turn totals
     + last-seen timestamp via applyInPandasWithState (the engine's

@@ -86,3 +86,38 @@ def test_streaming_sessionize(spark, stream_dir):
     totals = pdf.groupby("conv_id").size()
     for conv, g in got.groupby("conv_id"):
         assert g.n_turns.sum() <= totals[conv]
+
+
+def test_stream_to_warehouse_drives_incremental_refresh(spark, stream_dir, tmp_path):
+    """The full continuous-aggregate loop: file stream → per-batch
+    warehouse snapshot appends → snapshot-diff incremental refresh.
+    Tiers must equal a batch recompute over everything ingested."""
+    from peakmatch_xcorr_spark.operators.refresh import ContinuousAggregate
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+    from peakmatch_xcorr_spark.streaming.activity import (
+        read_transcript_stream,
+        stream_to_warehouse,
+    )
+
+    path, pdf = stream_dir
+    wh = str(tmp_path / "wh")
+    src = WarehouseTable(wh, "transcripts")
+    stream = read_transcript_stream(spark, path)
+    stream_to_warehouse(stream, src, str(tmp_path / "ckpt"))
+
+    # one snapshot per micro-batch (3 files → 3 appends)
+    assert src.current_version() == 3
+    assert src.read(spark).count() == len(pdf)
+
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    m = agg.refresh(spark)
+    assert m["status"] == "refreshed"
+    got = (
+        agg.tier_tables["1h"].read(spark).toPandas()
+        .sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    )
+    exp = (
+        tumbling_rollup(spark.createDataFrame(pdf), ["conv_id"], "ts", None, "1 hour")
+        .toPandas().sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)

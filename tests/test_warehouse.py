@@ -274,3 +274,38 @@ def test_retention_uses_manifest_bounds(spark, wh):
     from peakmatch_xcorr_spark.operators.refresh import _parse_bound_ts
     hi = _parse_bound_ts(agg.tier_tables["1m"].manifest_column_max("bucket_start"))
     assert pd.Timestamp(hi) == t1m.bucket_start.max()
+
+
+def test_expire_snapshots_keeps_current_reads(spark, wh):
+    d1, d2, full = _split_df(spark, 1000)
+    t = WarehouseTable(wh, "t")
+    t.append(d1)
+    t.overwrite(d2)   # v2 orphans v1's files
+    t.append(d1)      # v3
+    n_before = t.read(spark).count()
+    import glob
+    import os
+    files_before = len(glob.glob(os.path.join(t.data_dir, "*", "*.parquet")))
+    out = t.expire_snapshots(keep_last=2)
+    assert out["expired_snapshots"] == 1
+    assert out["deleted_files"] > 0
+    assert t.versions() == [2, 3]
+    assert t.read(spark).count() == n_before
+    files_after = len(glob.glob(os.path.join(t.data_dir, "*", "*.parquet")))
+    assert files_after == files_before - out["deleted_files"]
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)
+
+
+def test_compact_preserves_rows_and_shrinks_files(spark, wh):
+    d1, d2, full = _split_df(spark, 1000)
+    t = WarehouseTable(wh, "tc")
+    t.append(d1.repartition(4))
+    t.append(d2.repartition(4))
+    n = t.read(spark).count()
+    n_files = len(t.snapshot(t.current_version()).files)
+    assert n_files >= 8
+    snap = t.compact(spark, target_partitions=1)
+    assert snap.metrics["compacted_from_files"] == n_files
+    assert len(snap.files) == 1
+    assert t.read(spark).count() == n
