@@ -54,6 +54,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--sample-rate", type=int, default=100, help="spectral sample rate (fftdom/cluster)")
     p.add_argument("--cores", default=None, help="local[N] when set; else use spark-submit master")
     args = p.parse_args(argv)
+    if args.mode == "xcorr" and len(args.events or []) != 2:
+        p.error("xcorr mode requires exactly 2 --events conv_ids")
 
     from pyspark.sql import SparkSession
 

@@ -85,9 +85,8 @@ def salted_two_phase_rollup(
         ]
     out = phase1.groupBy(conv_col, "bucket_start").agg(*merge)
     if value_col:
-        out = out.withColumn(
-            "vavg",
-            F.when(F.col("vcount") > 0, F.col("vsum") / F.col("vcount")),
-        )
+        from peakmatch_xcorr_spark.operators.rollup import _derive_vavg
+
+        out = _derive_vavg(out)
     cols = [c for c in AGG_COLS if value_col or c == "turns"]
     return out.select(conv_col, "bucket_start", *cols)

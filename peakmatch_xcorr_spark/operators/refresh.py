@@ -31,8 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from peakmatch_xcorr_spark.operators.rollup import (
+    _derive_vavg,
     bucket_seconds,
     cascade_tier,
+    ensure_vcount,
     tumbling_rollup,
 )
 from peakmatch_xcorr_spark.sources.warehouse import (
@@ -77,6 +79,9 @@ def merge_rollups(existing: DataFrame | None, delta: DataFrame, keys: list[str],
     cols = [*keys, "bucket_start", "turns"] + (
         ["vcount", "vsum", "vmin", "vmax", "vavg"] if has_values else []
     )
+    if has_values:
+        existing = ensure_vcount(existing)  # pre-vcount tier migration
+        delta = ensure_vcount(delta)
     u = existing.select(*cols).unionByName(delta.select(*cols))
     aggs = [F.sum("turns").alias("turns")]
     if has_values:
@@ -89,10 +94,7 @@ def merge_rollups(existing: DataFrame | None, delta: DataFrame, keys: list[str],
     out = u.groupBy(*keys, "bucket_start").agg(*aggs)
     if has_values:
         # vavg from the NON-NULL count (vsum ignores nulls; turns doesn't)
-        out = out.withColumn(
-            "vavg",
-            F.when(F.col("vcount") > 0, F.col("vsum") / F.col("vcount")),
-        )
+        out = _derive_vavg(out)
     return out.select(*cols)
 
 
@@ -187,11 +189,34 @@ class ContinuousAggregate:
     def _affected_meta_path(self, v: int) -> str:
         return f"{self.tier_tables[self.tier_names[0]].dir}/affected_v{v}.meta.json"
 
-    def _write_affected_meta(self, src_v: int, prev_v: int | None, empty: bool) -> None:
+    def _write_affected_meta(
+        self, src_v: int, prev_v: int | None, empty: bool, full: bool = False
+    ) -> None:
         _atomic_write_json(
             self._affected_meta_path(src_v),
-            {"from_version": prev_v, "to_version": src_v, "empty": empty},
+            {"from_version": prev_v, "to_version": src_v, "empty": empty,
+             "full": full},
         )
+
+    def _gc_affected(self, src_v: int) -> None:
+        """Drop affected-delta files for versions every tier has passed
+        (the chain walk never needs deltas at or below the slowest
+        tier's source_version, which equals src_v once a refresh
+        completes).  Keeps src_v itself for the lost-checkpoint
+        re-apply path."""
+        import re
+        import shutil
+
+        t0dir = self.tier_tables[self.tier_names[0]].dir
+        for name in os.listdir(t0dir):
+            m = re.fullmatch(r"affected_v(\d+)(\.meta\.json)?", name)
+            if not m or int(m.group(1)) >= src_v:
+                continue
+            full_path = os.path.join(t0dir, name)
+            if os.path.isdir(full_path):
+                shutil.rmtree(full_path)
+            else:
+                os.remove(full_path)
 
     def _affected_union(
         self, spark: SparkSession, tier_src_v: int | None, src_v: int
@@ -216,6 +241,10 @@ class ContinuousAggregate:
                 return None
             with open(mp) as f:
                 meta = json.load(f)
+            if meta.get("full"):
+                # a full rebuild has no delta parquet; anything at or
+                # behind it must recompute everything
+                return None
             if not meta.get("empty"):
                 data_path = f"{t0dir}/affected_v{v}"
                 if not os.path.isdir(data_path):
@@ -277,8 +306,22 @@ class ContinuousAggregate:
         # --- finest tier: rollup of the snapshot diff, merged in ---
         tn0 = self.tier_names[0]
         t0 = self.tier_tables[tn0]
+        # The file-level diff is only valid over an append-only chain of
+        # readable manifests.  A compaction/overwrite rewrites old rows
+        # into NEW paths (a path diff would double-count them into the
+        # tier), and snapshot expiry can remove prev_v's manifest — both
+        # fall back to a full tier rebuild from the current snapshot.
+        full_rebuild = prev_v is not None and not self.source.incremental_ok(
+            prev_v, src_v
+        )
         if not ckpt.phase_done(tn0, src_v):
-            delta_raw = self.source.read_diff(spark, prev_v, src_v)
+            if full_rebuild:
+                delta_raw = (
+                    self.source.read(spark)
+                    if self.source.snapshot(src_v).files else None
+                )
+            else:
+                delta_raw = self.source.read_diff(spark, prev_v, src_v)
             if delta_raw is None:
                 delta_rolled = None
             else:
@@ -286,7 +329,9 @@ class ContinuousAggregate:
                     delta_raw, self.keys, self.ts_col, self.value_col, self.tiers[0]
                 )
             existing = (
-                t0.read(spark) if t0.current_version() is not None else None
+                None if full_rebuild
+                else t0.read(spark) if t0.current_version() is not None
+                else None
             )
             if delta_rolled is None:
                 merged = existing
@@ -296,23 +341,32 @@ class ContinuousAggregate:
             # The meta sidecar records WHICH delta (prev_v, src_v] the
             # file covers, so a coarse tier left >1 delta behind by a
             # crash can chain-union every delta it missed.
-            if delta_rolled is not None:
+            if delta_rolled is not None and not full_rebuild:
                 affected = delta_rolled.select(*self.keys, "bucket_start").distinct()
                 affected.write.mode("overwrite").parquet(
                     f"{t0.dir}/affected_v{src_v}"
                 )
-            self._write_affected_meta(src_v, prev_v, empty=delta_rolled is None)
+            self._write_affected_meta(
+                src_v, prev_v, empty=delta_rolled is None, full=full_rebuild
+            )
             if merged is None:
                 # no prior tier AND an empty diff: clean no-op phase
                 ckpt.mark_done(tn0, src_v, {"tier_version": None, "noop": True})
                 metrics[tn0] = {"rows": 0}
             else:
                 # max bucket from manifest bounds: no driver-side jobs
-                hi_existing = self._tier_manifest_hi(tn0)
-                hi_delta = (
-                    None if delta_rolled is None
-                    else self._source_delta_hi(prev_v, src_v)
-                )
+                hi_existing = None if full_rebuild else self._tier_manifest_hi(tn0)
+                if delta_rolled is None:
+                    hi_delta = None
+                elif full_rebuild:
+                    ts_hi = _parse_bound_ts(
+                        self.source.manifest_column_max(self.ts_col, src_v)
+                    )
+                    hi_delta = (
+                        _floor_bucket(ts_hi, self.tiers[0]) if ts_hi else None
+                    )
+                else:
+                    hi_delta = self._source_delta_hi(prev_v, src_v)
                 hi_hint = None
                 if delta_rolled is None:
                     hi_hint = hi_existing
@@ -361,6 +415,8 @@ class ContinuousAggregate:
                 if tier_table.current_version() is not None
                 else None
             )
+            if existing is not None and has_values:
+                existing = ensure_vcount(existing)  # pre-vcount migration
             if affected_fine is _EMPTY_DELTA and existing is not None:
                 merged = existing
             elif existing is None or affected_fine is None:
@@ -403,5 +459,8 @@ class ContinuousAggregate:
             if fail_after_phase == tn:
                 raise RuntimeError(f"injected failure after phase {tn}")
 
+        self._gc_affected(src_v)
         metrics["status"] = "refreshed"
+        if full_rebuild:
+            metrics["full_rebuild"] = True
         return metrics

@@ -40,6 +40,16 @@ def _derive_vavg(out: DataFrame) -> DataFrame:
     )
 
 
+def ensure_vcount(df: DataFrame) -> DataFrame:
+    """Schema migration for tiers persisted before vcount existed:
+    legacy tiers derived vavg as vsum/turns (implicitly assuming
+    non-null values), so vcount := turns reproduces their semantics
+    exactly for legacy rows while new rows carry the true count."""
+    if "vcount" not in df.columns:
+        return df.withColumn("vcount", F.col("turns"))
+    return df
+
+
 def epoch_seconds(col):
     """Timestamp → epoch seconds; NTZ-safe (Spark 4 forbids NTZ→long
     directly; session TZ is pinned UTC so the hop is exact)."""
@@ -97,6 +107,8 @@ def cascade_tier(
     tests/test_rollup.py (north rule: rolled-up points match the
     reference at each retention tier).
     """
+    if has_values:
+        finer = ensure_vcount(finer)
     win = F.window("bucket_start", bucket)
     aggs = [F.sum("turns").alias("turns")]
     if has_values:
@@ -341,14 +353,17 @@ def pack_tier(
 
 def unpack_tier(
     packed: DataFrame, keys: list[str], value_col: str = "vavg",
-    codec: str = "columnar",
+    codec: str | None = None,
 ) -> DataFrame:
     """Inverse of ``pack_tier``: packed payload rows → (keys,
     bucket_start, value) rows.  One Arrow batch in, decoded rows out —
     the read path for packed retention tiers.  Rows carrying a
     ``codec`` column are dispatched per row; the ``codec`` argument is
-    the fallback for codec-less legacy payloads."""
+    the fallback for codec-less payloads and defaults to ``stream``,
+    because any table WITHOUT the codec column predates it — and at
+    that time pack_tier's default WAS the stream layout."""
     has_codec_col = "codec" in packed.columns
+    codec = codec or "stream"
     key_fields = ", ".join(f"{k} string" for k in keys)
     schema = f"{key_fields}, bucket_start timestamp_ntz, {value_col} double"
 

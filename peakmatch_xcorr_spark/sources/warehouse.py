@@ -253,9 +253,34 @@ class WarehouseTable:
                               metrics={"compacted_from_files": before})
         return snap
 
+    def incremental_ok(self, from_version: int | None, to_version: int) -> bool:
+        """True when (from_version, to_version] is a readable chain of
+        APPEND snapshots — the precondition for file-level diffs
+        (Iceberg incremental reads are appends-only).  False when any
+        manifest in the range was expired or any snapshot rewrote data
+        (overwrite/compaction): new file paths then carry OLD rows, so
+        a path diff would double-count — callers must fall back to a
+        full recompute.  from_version=None is always ok (the 'diff' is
+        the full current content)."""
+        if from_version is None:
+            return True
+        v: int | None = to_version
+        while v != from_version:
+            if v is None or v < from_version:
+                return False
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:
+                return False
+            if s.operation != "append":
+                return False
+            v = s.parent
+        return True
+
     def diff_files(self, from_version: int | None, to_version: int) -> list[str]:
         """Files added between two snapshots — the incremental-refresh
-        input set (Iceberg snapshot-diff equivalent)."""
+        input set (Iceberg snapshot-diff equivalent).  Only meaningful
+        when ``incremental_ok(from_version, to_version)``."""
         new = {f["path"] for f in self.snapshot(to_version).files}
         old: set[str] = set()
         if from_version is not None:

@@ -82,3 +82,10 @@ def test_cli_rollup(capsys, cli_env):
     assert out["status"] == "refreshed"
     out = json.loads(_run(capsys, cli_env, "rollup"))
     assert out["status"] == "up-to-date"
+
+
+def test_cli_xcorr_requires_two_events(capsys, cli_env):
+    a, _ = cli_env["dup"]
+    with pytest.raises(SystemExit):
+        main(["xcorr", "--input", cli_env["input"], "--events", a])
+    assert "exactly 2" in capsys.readouterr().err

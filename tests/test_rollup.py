@@ -260,3 +260,24 @@ def test_cascaded_vavg_with_nulls_matches_direct(spark):
     # the specific trap: k=a hour 0 has 3 turns but only 2 non-null values
     a0 = d[(d.k == "a")].iloc[0]
     assert a0.turns == 3 and a0.vcount == 2 and a0.vavg == 20.0
+
+
+def test_unpack_legacy_codecless_payload_uses_stream(spark, events):
+    """Tables written before the codec column existed were encoded with
+    the then-default STREAM layout; the codec-less fallback must decode
+    with stream, not the new columnar default (code-review r2 #2)."""
+    from peakmatch_xcorr_spark.operators.rollup import pack_tier, unpack_tier
+
+    rolled = tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour").withColumn(
+        "user_id", events.user_id.cast("string")
+    )
+    legacy = pack_tier(rolled, ["user_id"], codec="stream").drop("codec")
+    unpacked = (
+        unpack_tier(legacy, ["user_id"])
+        .toPandas().sort_values(["user_id", "bucket_start"]).reset_index(drop=True)
+    )
+    exp = (
+        rolled.select("user_id", "bucket_start", "vavg")
+        .toPandas().sort_values(["user_id", "bucket_start"]).reset_index(drop=True)
+    )
+    np.testing.assert_array_equal(unpacked.vavg.to_numpy(), exp.vavg.to_numpy())

@@ -309,3 +309,95 @@ def test_compact_preserves_rows_and_shrinks_files(spark, wh):
     assert snap.metrics["compacted_from_files"] == n_files
     assert len(snap.files) == 1
     assert t.read(spark).count() == n
+
+
+def test_refresh_survives_source_compaction(spark, wh):
+    """Compaction rewrites every row into NEW file paths; a naive path
+    diff would re-roll the whole table INTO the existing tier and
+    double every bucket.  refresh must detect the non-append chain and
+    fall back to a full tier rebuild (code-review r2 finding #1)."""
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    src.append(d1)
+    agg.refresh(spark)
+    src.append(d2)
+    src.compact(spark, target_partitions=1)  # non-append snapshot
+    m = agg.refresh(spark)
+    assert m.get("full_rebuild") is True
+    got = _tiers_as_pandas(spark, agg)
+    for tn, bucket in zip(("1m", "1h", "1d"), ("1 minute", "1 hour", "1 day")):
+        exp = (
+            tumbling_rollup(full, ["conv_id"], "ts", None, bucket)
+            .toPandas().sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[tn], exp[got[tn].columns], check_dtype=False)
+
+
+def test_refresh_survives_expired_source_snapshots(spark, wh):
+    """Expiry can remove the manifest a lagging aggregate checkpointed
+    against; refresh must full-rebuild, not crash forever (finding #4)."""
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    src.append(d1)          # v1
+    agg.refresh(spark)      # tiers at v1
+    src.append(d2.limit(200))   # v2
+    src.append(d2)          # v3 (superset append is fine for rollups)
+    src.expire_snapshots(keep_last=1)  # v1+v2 manifests gone
+    m = agg.refresh(spark)
+    assert m["status"] == "refreshed" and m.get("full_rebuild") is True
+    # tiers equal a recompute over the CURRENT snapshot content
+    cur = src.read(spark)
+    exp = (
+        tumbling_rollup(cur, ["conv_id"], "ts", None, "1 hour")
+        .toPandas().sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    )
+    got = _tiers_as_pandas(spark, agg)["1h"]
+    pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_refresh_migrates_legacy_tier_without_vcount(spark, wh):
+    """Tiers persisted before the vcount column must refresh without
+    AnalysisException; legacy rows get vcount := turns (finding #3)."""
+    d1, d2, full = _split_df(spark, 1200)
+    d1 = d1.withColumn("value", d1.turn_idx.cast("double"))
+    d2 = d2.withColumn("value", d2.turn_idx.cast("double"))
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col="value")
+    src.append(d1)
+    agg.refresh(spark)
+    # simulate a pre-upgrade warehouse: strip vcount from every tier
+    for tn, t in agg.tier_tables.items():
+        legacy = t.read(spark).drop("vcount")
+        t.overwrite(legacy, metrics=t.snapshot(t.current_version()).metrics)
+    src.append(d2)
+    m = agg.refresh(spark)
+    assert m["status"] == "refreshed"
+    got = _tiers_as_pandas(spark, agg)["1h"]
+    exp = (
+        tumbling_rollup(
+            d1.unionByName(d2), ["conv_id"], "ts", "value", "1 hour"
+        ).toPandas().sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    )
+    assert (got.turns.to_numpy() == exp.turns.to_numpy()).all()
+    np.testing.assert_allclose(got.vavg.to_numpy(), exp.vavg.to_numpy(), rtol=1e-12)
+
+
+def test_affected_delta_files_are_garbage_collected(spark, wh):
+    """Old affected_v files are dead once every tier passes them; a
+    completed refresh removes all but the current version (finding #7)."""
+    import glob
+    import os
+
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    src.append(d1)
+    agg.refresh(spark)
+    src.append(d2)
+    agg.refresh(spark)
+    t0dir = agg.tier_tables["1m"].dir
+    leftover = [os.path.basename(p) for p in glob.glob(f"{t0dir}/affected_v*")]
+    assert all(name.startswith("affected_v00002") or "v2" in name for name in leftover), leftover
+    assert not any("affected_v1" == n or n.startswith("affected_v1.") for n in leftover), leftover
