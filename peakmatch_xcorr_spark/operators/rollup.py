@@ -80,19 +80,25 @@ def tumbling_rollup(
     win = F.window(ts_col, bucket)
     aggs = [F.count(F.lit(1)).alias("turns")]
     if value_col is not None:
+        # no F.avg: Spark's Average is internally sum+count, which
+        # vsum/vcount already pay for — derive it and save two agg
+        # buffers per group (identical double arithmetic: sum/count)
         aggs += [
             F.count(value_col).alias("vcount"),
             F.sum(value_col).alias("vsum"),
             F.min(value_col).alias("vmin"),
             F.max(value_col).alias("vmax"),
-            F.avg(value_col).alias("vavg"),
         ]
-    return (
+    out = (
         df.groupBy(*keys, win.alias("w"))
         .agg(*aggs)
         .withColumn("bucket_start", F.col("w.start"))
         .drop("w")
-        .select(*keys, "bucket_start", *[a for a in AGG_COLS if value_col or a == "turns"])
+    )
+    if value_col is not None:
+        out = _derive_vavg(out)
+    return out.select(
+        *keys, "bucket_start", *[a for a in AGG_COLS if value_col or a == "turns"]
     )
 
 
