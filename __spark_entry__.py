@@ -541,7 +541,7 @@ _SQL_TOKEN_COUNTS = """
 SELECT doc_id,
        len(list_filter(
          regexp_split_to_array(
-           lower(regexp_replace(text, '[^\\w\\s'']', ' ', 'g')), '\\s+'),
+           lower(regexp_replace(text, '[^\\p{L}\\p{N}_\\s'']', ' ', 'g')), '\\s+'),
          x -> length(x) > 0))::BIGINT AS ws_tokens,
        ceil(length(text) / 4.0)::BIGINT AS approx_gpt_tokens
 FROM documents
@@ -583,7 +583,7 @@ WITH toks AS (
   SELECT doc_id,
          list_filter(
            regexp_split_to_array(
-             lower(regexp_replace(text, '[^\\w\\s'']', ' ', 'g')), '\\s+'),
+             lower(regexp_replace(text, '[^\\p{L}\\p{N}_\\s'']', ' ', 'g')), '\\s+'),
            x -> length(x) > 0) AS ts
   FROM documents
 ), scored AS (
@@ -1371,25 +1371,30 @@ def _q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_TWA = """
 WITH obs AS (
-  SELECT user_id, ts, value,
-         date_trunc('hour', ts) AS bucket_start,
-         epoch(ts) AS tsec,
-         epoch(date_trunc('hour', ts)) AS bs,
-         lag(epoch(ts)) OVER w AS prev_ts,
-         lead(epoch(ts)) OVER w AS next_ts
+  SELECT user_id, value,
+         epoch(ts) AS s,
+         coalesce(lead(epoch(ts)) OVER w,
+                  (floor(epoch(ts) / 3600) + 1) * 3600) AS e
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts))
 ), seg AS (
-  SELECT user_id, bucket_start, value,
-         CASE WHEN prev_ts IS NULL OR prev_ts < bs THEN bs ELSE tsec END AS seg_start,
-         least(coalesce(next_ts, bs + 3600), bs + 3600) AS seg_end
+  SELECT user_id, value, s, e,
+         unnest(generate_series(
+           floor(s / 3600)::BIGINT,
+           greatest(floor((e - 1e-9) / 3600)::BIGINT, floor(s / 3600)::BIGINT)
+         )) AS bi
   FROM obs
+), weighted AS (
+  SELECT user_id, make_timestamp((bi * 3600)::BIGINT * 1000000) AS bucket_start,
+         value,
+         greatest(least(e, (bi + 1) * 3600.0) - greatest(s, bi * 3600.0), 0) AS wt
+  FROM seg
 )
 SELECT user_id, bucket_start,
-       round(sum(value * greatest(seg_end - seg_start, 0))
-             / sum(greatest(seg_end - seg_start, 0)) + 1e-9, 6) AS twa,
-       round(sum(greatest(seg_end - seg_start, 0)) + 1e-9, 3) AS covered_s
-FROM seg GROUP BY 1, 2
+       round(sum(value * wt) / sum(wt) + 1e-9, 6) AS twa,
+       round(sum(wt) + 1e-9, 3) AS covered_s
+FROM weighted GROUP BY 1, 2
+HAVING sum(wt) > 0
 """
 
 

@@ -133,7 +133,8 @@ def _extract_peaks(d: np.ndarray) -> tuple[np.ndarray, np.ndarray, float]:
 
 
 def featurize(
-    raw: np.ndarray, conf: PeakmatchConf, pre_ingested: bool = False
+    raw: np.ndarray, conf: PeakmatchConf, pre_ingested: bool = False,
+    series_len: int | None = None,
 ) -> EventFeatures:
     """Full reference event construction (BasicEvent.java:28-146).
 
@@ -141,8 +142,15 @@ def featurize(
     Raises ValueError when fewer than ``top_k_peaks`` peaks exist,
     matching the reference's EventException (BasicEvent.java:118-119);
     the scan operator maps that to its continue-on-error policy.
+
+    ``series_len`` overrides the pad/truncate length (default
+    ``conf.expected_len``) — callers whose input is already a
+    fixed-length curve pass its length so the int-cast quirk can apply
+    WITHOUT re-padding to an unrelated configured length.
     """
-    d = raw if pre_ingested else ingest_values(raw, conf.expected_len, conf.int_cast_ingest)
+    d = raw if pre_ingested else ingest_values(
+        raw, series_len or conf.expected_len, conf.int_cast_ingest
+    )
     d = crop(d, conf)
 
     if conf.normalise_events:

@@ -33,25 +33,36 @@ def asof_join(
     """Backward as-of join: left rows get the most recent right values
     at or before their timestamp (per key).  Optional tolerance drops
     matches older than ``tolerance_s`` seconds."""
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
     value_cols = value_cols or [
         c for c in right.columns if c not in (*keys, right_ts)
     ]
+    # The right payload is carried as ONE struct so every output column
+    # comes from the SAME matched right row (per-column fills would
+    # stitch values from different rows whenever a right column is
+    # null, and the tolerance check would compare against a newer row
+    # than the one a value actually came from).
+    rrow_t = StructType(
+        [StructField("rts", TimestampType())]
+        + [StructField(c, right.schema[c].dataType) for c in value_cols]
+    )
     lt = left.select(
         *keys,
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
-          for c in value_cols],
-        F.lit(None).cast("timestamp").alias("_rts"),
+        F.lit(None).cast(rrow_t).alias("_rrow"),
     )
     rt = right.select(
         *keys,
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
-        F.col(right_ts).cast("timestamp").alias("_rts"),
+        F.struct(
+            F.col(right_ts).cast("timestamp").alias("rts"),
+            *[F.col(c) for c in value_cols],
+        ).alias("_rrow"),
     )
     # right rows sort before left rows at equal ts so "at or before"
     # includes same-instant right observations
@@ -62,26 +73,19 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = u.select(
-        "*",
-        *[F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_f_{c}")
-          for c in value_cols],
-        F.last("_rts", ignorenulls=True).over(w).alias("_f_rts"),
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_f")
     ).filter(F.col("_is_left") == 1)
     if tolerance_s is not None:
         in_tol = (
             epoch_seconds(F.col("_ts").cast("timestamp"))
-            - epoch_seconds(F.col("_f_rts"))
+            - epoch_seconds(F.col("_f")["rts"])
         ) <= tolerance_s
-        filled = filled.select(
-            "*",
-            *[
-                F.when(in_tol, F.col(f"_f_{c}")).alias(f"_t_{c}")
-                for c in value_cols
-            ],
-        )
-        picked = [F.col(f"_t_{c}").alias(f"right_{c}") for c in value_cols]
+        picked = [
+            F.when(in_tol, F.col("_f")[c]).alias(f"right_{c}")
+            for c in value_cols
+        ]
     else:
-        picked = [F.col(f"_f_{c}").alias(f"right_{c}") for c in value_cols]
+        picked = [F.col("_f")[c].alias(f"right_{c}") for c in value_cols]
     return filled.select(
         *[F.col("_lrow")[c].alias(c) for c in left.columns], *picked
     )
@@ -94,35 +98,68 @@ def time_weighted_avg(
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
-    """Time-weighted average per (key, bucket): each observation's
-    value is weighted by the time it stayed current (until the next
-    observation or the bucket end; the first observation also covers
-    the span from the bucket start, LOCF-style within the bucket)."""
+    """LOCF time-weighted average per (key, bucket): each observation
+    defines a step segment [its ts, next obs ts) over which its value
+    is current (the last observation's segment ends at the end of its
+    own bucket — no projection beyond the data).  Segments are
+    intersected with the tumbling buckets they span, so a value
+    carries INTO later buckets it remains current for, including
+    buckets with no samples of their own; buckets starting before the
+    key's first observation get no row (head coverage is unknown —
+    compose with gap_fill for a dense spine).  ``covered_s`` is the
+    per-bucket covered time.
+
+    This is the step-function integral semantics (TimescaleDB
+    ``time_weight('LOCF', ...)``): values are never back-propagated
+    from the future into earlier parts of a bucket."""
     step = bucket_seconds(bucket)
     # microsecond-precision epochs: whole-second truncation would bias
     # the weights of sub-second samples
     tsec = (
         F.unix_micros(F.col(ts_col).cast("timestamp")).cast("double") / 1e6
     )
-    w = Window.partitionBy(*keys).orderBy(tsec)
-    b = F.window(ts_col, bucket)
-    bucket_start_s = epoch_seconds(b["start"]).cast("double")
-    bucket_end_s = bucket_start_s + step
-    next_ts = F.lead(tsec).over(w)
-    # weight: from this obs (or bucket start for the first obs in the
-    # bucket) until min(next obs, bucket end)
-    prev_ts = F.lag(tsec).over(w)
-    seg_start = F.when(
-        prev_ts.isNull() | (prev_ts < bucket_start_s), bucket_start_s
-    ).otherwise(tsec)
-    seg_end = F.least(F.coalesce(next_ts, bucket_end_s), bucket_end_s)
-    weight = F.greatest(seg_end - seg_start, F.lit(0.0))
-    return (
-        df.select(*keys, b["start"].alias("bucket_start"),
-                  F.col(value_col).alias("v"), weight.alias("wt"))
+    w = Window.partitionBy(*keys).orderBy("s")
+    own_bucket_end = (F.floor(F.col("s") / step) + 1).cast("double") * step
+    # window exprs can't live inside a generator: materialize segment
+    # bounds first, then explode the bucket range they span
+    bounds = df.select(
+        *keys, F.col(value_col).alias("v"), tsec.alias("s")
+    ).select(
+        "*",
+        F.coalesce(F.lead("s").over(w), own_bucket_end).alias("e"),
+    )
+    first_b = F.floor(F.col("s") / step).cast("long")
+    # end-exclusive: a segment ending exactly on a boundary does not
+    # touch the next bucket; degenerate (zero-length) segments keep
+    # their own bucket so sequence() never runs backwards
+    last_b = F.greatest(
+        F.floor((F.col("e") - F.lit(1e-9)) / step).cast("long"), first_b
+    )
+    seg = bounds.select(
+        *keys, "v", "s", "e",
+        F.explode(F.sequence(first_b, last_b)).alias("bi"),
+    )
+    b_start = F.col("bi").cast("double") * step
+    overlap = F.greatest(
+        F.least(F.col("e"), b_start + step) - F.greatest(F.col("s"), b_start),
+        F.lit(0.0),
+    )
+    out = (
+        seg.select(
+            *keys,
+            F.timestamp_seconds(F.col("bi") * step).alias("bucket_start"),
+            "v", overlap.alias("wt"),
+        )
         .groupBy(*keys, "bucket_start")
         .agg(
-            (F.sum(F.col("v") * F.col("wt")) / F.sum("wt")).alias("twa"),
+            F.sum(F.col("v") * F.col("wt")).alias("_vw"),
             F.sum("wt").alias("covered_s"),
         )
+    )
+    # zero-covered buckets (only degenerate duplicate-ts segments)
+    # carry no information — drop them rather than emit twa=null
+    return out.filter(F.col("covered_s") > 0).select(
+        *keys, "bucket_start",
+        (F.col("_vw") / F.col("covered_s")).alias("twa"),
+        "covered_s",
     )

@@ -116,10 +116,16 @@ def dedup_keepers(matches: DataFrame) -> DataFrame:
 def dedup_transcripts(transcripts: DataFrame, matches: DataFrame) -> DataFrame:
     """Remove near-duplicate conversations, keeping the canonical
     (minimum) conv_id per match component.  Anti-join leaves surviving
-    rows byte-identical (per-row invariant tested)."""
+    rows byte-identical (per-row invariant tested).
+
+    No forced broadcast hint: the drop set is unbounded (a
+    high-duplication corpus can drop most conv_ids), and an explicit
+    hint bypasses the autoBroadcast size check — AQE broadcasts the
+    anti-join side at runtime when it IS small, and falls back to a
+    shuffled join when it isn't, instead of OOMing the driver."""
     drops = dedup_keepers(matches)
     return transcripts.join(
-        F.broadcast(drops),
+        drops,
         transcripts.conv_id == drops.drop_id,
         "left_anti",
     )
@@ -217,6 +223,11 @@ def minhash_lsh_candidates(
     with per-hash seeds, all JVM-side) → band signatures → bucket join.
     Returns candidate pairs (id_a, id_b) — verify with
     ``ngram_jaccard_pairs`` semantics or accept at banding precision."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands "
+            f"({bands}); trailing hashes would be computed but unused"
+        )
     rows_per_band = num_hashes // bands
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(_shingles(text_col, k)).alias("g")
@@ -262,7 +273,13 @@ def simhash_buckets(
     toks = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
-            F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s]", " ")), r"\s+")
+            # Unicode classes, not \w: ASCII-only \w blanks CJK /
+            # Cyrillic / accented text entirely, so such documents
+            # would get NO fingerprint and silently vanish
+            F.split(
+                F.lower(F.regexp_replace(F.col(text_col), r"[^\p{L}\p{N}_\s]", " ")),
+                r"\s+",
+            )
         ).alias("t"),
     ).filter(F.length("t") > 0)
     h = toks.withColumn("hv", F.xxhash64("t"))

@@ -82,10 +82,18 @@ def activity_curves(
     return dense
 
 
-def featurize_curves(curves: DataFrame, conf: PeakmatchConf) -> DataFrame:
+def featurize_curves(
+    curves: DataFrame, conf: PeakmatchConf, series_len: int | None = None
+) -> DataFrame:
     """numpy featurization kernel over Arrow batches (mapInPandas).
     Convs with too few peaks get ok=false (the reference's
-    continue-on-error policy, Util.java:176-177)."""
+    continue-on-error policy, Util.java:176-177).
+
+    ``series_len`` pins the pad/truncate length to the CURVE length —
+    without it, a conf whose ``expected_len`` differs from the curve
+    length (e.g. the reference default 4000 vs a 256-bucket activity
+    curve) would silently re-pad every curve and shift the mean-center
+    across thousands of pad zeros."""
 
     def run(batches):
         import numpy as np
@@ -102,7 +110,13 @@ def featurize_curves(curves: DataFrame, conf: PeakmatchConf) -> DataFrame:
             for conv, curve in zip(pdf["conv_id"], pdf["curve"]):
                 arr = np.asarray(curve, dtype=np.float64)
                 try:
-                    f = featurize(arr, conf, pre_ingested=not conf.int_cast_ingest)
+                    # the int-cast quirk applies (or not) independently
+                    # of padding: the curve IS the fixed-length series
+                    f = featurize(
+                        arr, conf,
+                        pre_ingested=not conf.int_cast_ingest,
+                        series_len=series_len or len(arr),
+                    )
                     out["series"].append(f.series)
                     out["max_peaks"].append(f.max_peaks)
                     out["min_peaks"].append(f.min_peaks)
@@ -132,7 +146,8 @@ def conversation_features(
 ) -> DataFrame:
     """transcripts → featurized activity curves (ok rows only)."""
     return featurize_curves(
-        activity_curves(transcripts, bucket, curve_len), conf
+        activity_curves(transcripts, bucket, curve_len), conf,
+        series_len=curve_len,
     ).filter(F.col("ok"))
 
 

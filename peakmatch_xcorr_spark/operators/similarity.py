@@ -3,13 +3,14 @@
 - ``cosine_topk``: brute-force cosine top-k neighbours — the exactness
   baseline.  JVM-side arithmetic: zip_with + aggregate (no UDF), a
   broadcast of the (small) query set, and a ranking window for top-k.
-- ``lsh_ann_topk``: the scale path — random-hyperplane LSH buckets
-  (signed projections via deterministic per-plane hash vectors) so
-  candidate generation is a bucket equi-join instead of a full cross
-  product; exact cosine re-ranking inside buckets.
-- ``embedding_near_dups``: all-pairs near-duplicate detection above a
-  cosine threshold, LSH-blocked (the embedding analogue of the
-  peakmatch prune-then-verify design).
+- ``lsh_signatures`` + ``embedding_near_dups``: the scale path —
+  random-hyperplane LSH buckets (signed projections via deterministic
+  per-plane hash vectors) so candidate generation is a bucket
+  equi-join instead of a full cross product; exact cosine re-ranking
+  inside buckets (the embedding analogue of the peakmatch
+  prune-then-verify design).
+- ``kmeans_fit`` + ``ivf_topk``: IVF ANN — k-means coarse quantizer,
+  n-probe list equi-join, exact re-rank inside probed lists.
 
 The reference's distance machinery is ClusteringProcessor.java:199-239
 (euclidean/cosine over band-mean vectors); these operators generalize
@@ -39,11 +40,19 @@ def _norm(a):
 def with_unit_vectors(
     df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
 ) -> DataFrame:
-    """Pre-normalize embeddings so cosine = dot (computed once)."""
+    """Pre-normalize embeddings so cosine = dot (computed once).
+
+    Zero-norm vectors (missing-embedding placeholders) map to the zero
+    vector — cosine 0 against everything — instead of crashing: Spark
+    4 runs ANSI mode by default, where an unguarded x/0 aborts the
+    whole job with DIVIDE_BY_ZERO."""
     v = F.col(vec_col)
     n = _norm(F.transform(v, lambda x: x.cast("double")))
     return df.withColumn(
-        out_col, F.transform(v, lambda x: x.cast("double") / n)
+        out_col,
+        F.transform(
+            v, lambda x: F.when(n > 0, x.cast("double") / n).otherwise(0.0)
+        ),
     )
 
 
@@ -102,6 +111,11 @@ def lsh_signatures(
     """Random-hyperplane (SRP) LSH: sign bit per plane, grouped into
     ``bands`` bucket keys per vector (multi-probe by banding).  All
     JVM-side: the planes are literal arrays folded into the plan."""
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by bands ({bands}); "
+            "trailing planes would be computed but silently unused"
+        )
     rows_per_band = n_planes // bands
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bits = [
@@ -148,7 +162,9 @@ def embedding_near_dups(
     )
     va = F.transform(F.col("va"), lambda x: x.cast("double"))
     vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
-    cos = _dot(va, vb) / (_norm(va) * _norm(vb))
+    denom = _norm(va) * _norm(vb)
+    # ANSI-safe: a zero-norm side scores cosine 0 (never a near-dup)
+    cos = F.when(denom > 0, _dot(va, vb) / denom).otherwise(F.lit(0.0))
     return (
         cands.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

@@ -24,8 +24,14 @@ _PROFILES: dict[str, list[str]] = {
 
 
 def _tokens(text_col: str):
+    # \p{L}\p{N}: Java regex \w is ASCII-only by default — it would
+    # blank every CJK/Cyrillic/accented character and silently destroy
+    # non-English tokens (multilingual corpora are the norm at 100 TB)
     return F.filter(
-        F.split(F.lower(F.regexp_replace(F.col(text_col), r"[^\w\s']", " ")), r"\s+"),
+        F.split(
+            F.lower(F.regexp_replace(F.col(text_col), r"[^\p{L}\p{N}_\s']", " ")),
+            r"\s+",
+        ),
         lambda t: F.length(t) > 0,
     )
 

@@ -113,3 +113,93 @@ def test_time_weighted_avg(spark):
         (10 * 1800 + 20 * 900 + 40 * 900) / 3600
     )
     assert out.covered_s.iloc[0] == 3600.0
+
+
+def test_time_weighted_avg_no_future_backfill(spark):
+    """Code-review r2: a bucket's head must be covered by the PRIOR
+    observation (carried forward), never by a future one back-filled;
+    buckets with no samples but a live prior value get full-coverage
+    rows; buckets before the first observation get nothing."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 2,
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:30:00", "2024-01-01 11:30:00"]
+            ).astype("datetime64[us]"),
+            "value": [100.0, 0.0],
+        }
+    )
+    out = (
+        time_weighted_avg(spark.createDataFrame(pdf), ["k"], "1 hour")
+        .toPandas().sort_values("bucket_start").reset_index(drop=True)
+    )
+    # 10:00 bucket: only 100 from 10:30 → twa 100 over 1800 s
+    # 11:00 bucket: 100 carries 11:00-11:30, then 0 until 12:00 → 50
+    # nothing before 10:00, nothing after 11:59
+    assert list(out.bucket_start) == list(
+        pd.to_datetime(["2024-01-01 10:00:00", "2024-01-01 11:00:00"])
+    )
+    assert out.twa.iloc[0] == pytest.approx(100.0)
+    assert out.covered_s.iloc[0] == 1800.0
+    assert out.twa.iloc[1] == pytest.approx(50.0)  # NOT 0 (old back-fill bug)
+    assert out.covered_s.iloc[1] == 3600.0
+
+
+def test_time_weighted_avg_carries_into_empty_buckets(spark):
+    """A value that stays current across a whole empty bucket covers it
+    (LOCF step-function integral)."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["a"] * 2,
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:59:00", "2024-01-01 12:30:00"]
+            ).astype("datetime64[us]"),
+            "value": [100.0, 10.0],
+        }
+    )
+    out = (
+        time_weighted_avg(spark.createDataFrame(pdf), ["k"], "1 hour")
+        .toPandas().sort_values("bucket_start").reset_index(drop=True)
+    )
+    b11 = out[out.bucket_start == pd.Timestamp("2024-01-01 11:00:00")]
+    assert len(b11) == 1
+    assert b11.twa.iloc[0] == pytest.approx(100.0)
+    assert b11.covered_s.iloc[0] == 3600.0
+
+
+def test_asof_join_row_level_semantics_with_nulls(spark):
+    """Code-review r2: the matched right ROW wins wholesale — a null
+    value column must not be stitched over with an older row's value,
+    and tolerance compares against the matched row's own timestamp."""
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:01:50", "2024-01-01 00:01:00"]
+                ).astype("datetime64[us]"),
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "ts": pd.to_datetime(
+                    ["2024-01-01 00:00:00", "2024-01-01 00:01:40"]
+                ).astype("datetime64[us]"),
+                "x": [5.0, None],
+                "y": [None, 7.0],
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, ["k"], value_cols=["x", "y"], tolerance_s=60)
+        .toPandas().sort_values("ts").reset_index(drop=True)
+    )
+    # left 00:01:00 matches right 00:00:00 (60s back, inside tolerance):
+    # that row's (x=5, y=null) wholesale
+    assert out.right_x.iloc[0] == 5.0 and pd.isna(out.right_y.iloc[0])
+    # left 00:01:50 matches right 00:01:40: x must be null (NOT the
+    # older row's 5.0), y = 7.0; tolerance vs 00:01:40 passes
+    assert pd.isna(out.right_x.iloc[1]) and out.right_y.iloc[1] == 7.0

@@ -352,3 +352,63 @@ def test_ngram_jaccard_stop_shingle_cap(spark):
         (capped_pairs.id_a == 0) & (capped_pairs.id_b == n_docs)
     ]
     assert len(hits) == 1 and hits.jaccard.iloc[0] > 0.9
+
+
+def test_similarity_zero_norm_embedding_is_ansi_safe(spark):
+    """Spark 4 ANSI mode aborts on x/0: a zero embedding (missing-value
+    placeholder) must score cosine 0 everywhere, not crash the job."""
+    from peakmatch_xcorr_spark.operators.similarity import (
+        cosine_topk,
+        embedding_near_dups,
+    )
+
+    emb = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [0, 1, 2],
+                "embedding": [[1.0, 0.0], [1.0, 0.0], [0.0, 0.0]],
+            }
+        )
+    )
+    top = cosine_topk(emb, emb, k=2).toPandas()
+    z = top[top.query_id == 2]
+    assert (z.cosine == 0.0).all()  # zero vector matches nothing
+    dups = embedding_near_dups(emb, dim=2, threshold=0.9, n_planes=8, bands=4)
+    got = {(r.id_a, r.id_b) for r in dups.collect()}
+    assert (0, 1) in got and all(2 not in p for p in got)
+
+
+def test_lsh_band_divisibility_validated(spark):
+    from peakmatch_xcorr_spark.operators.similarity import lsh_signatures
+
+    emb = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [0], "embedding": [[1.0, 0.0]]})
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        lsh_signatures(emb, dim=2, n_planes=16, bands=5)
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_candidates(
+            spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["x"]})),
+            num_hashes=32, bands=5,
+        )
+
+
+def test_simhash_handles_non_ascii_text(spark):
+    """ASCII-only \\w would blank CJK/Cyrillic text entirely and the
+    doc would silently get NO fingerprint (code-review r2)."""
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "機器學習模型訓練數據 質量很重要",
+                    "機器學習模型訓練數據 質量很重要",
+                    "модель обучения данные качество",
+                ],
+            }
+        )
+    )
+    out = simhash_buckets(docs).toPandas().set_index("id")
+    assert len(out) == 3  # every doc fingerprinted
+    assert out.loc[1].simhash == out.loc[2].simhash
+    assert out.loc[3].simhash != out.loc[1].simhash

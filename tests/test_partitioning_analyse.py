@@ -133,3 +133,27 @@ def test_saved_xcorr_delta_is_join_path_with_exact_parity(spark, feats, tmp_path
     pairs = full.select("id_a", "id_b").limit(3)
     plan = exact_pair_scores(pairs, ffts)._jdf.queryExecution().toString()
     assert "FlatMapCoGroupsInPandas" not in plan
+
+
+def test_featurize_uses_curve_length_not_expected_len(spark):
+    """Code-review r2: a conf whose expected_len differs from the
+    activity-curve length (the EngineConf default: 4000 vs 256) must
+    NOT re-pad curves to expected_len — padding would shift the
+    mean-center across thousands of zeros and distort every peak."""
+    from peakmatch_xcorr_spark.operators.features import conversation_features
+    from peakmatch_xcorr_spark.synth import SynthConf, generate_transcripts
+
+    res = generate_transcripts(SynthConf(n_convs=6, n_dup_pairs=1, giant_conv=False))
+    tdf = spark.createDataFrame(res.transcripts)
+    f_default = conversation_features(
+        tdf, PeakmatchConf(), "1 minute", 256  # expected_len stays 4000
+    ).toPandas().set_index("conv_id").sort_index()
+    f_exact = conversation_features(
+        tdf, PeakmatchConf(expected_len=256), "1 minute", 256
+    ).toPandas().set_index("conv_id").sort_index()
+    assert list(f_default.index) == list(f_exact.index)
+    for cid in f_default.index:
+        a, b = f_default.loc[cid], f_exact.loc[cid]
+        assert len(a.series) == 256
+        np.testing.assert_array_equal(np.asarray(a.series), np.asarray(b.series))
+        np.testing.assert_array_equal(np.asarray(a.max_peaks), np.asarray(b.max_peaks))
