@@ -52,10 +52,17 @@ def ingest_values(
 ) -> np.ndarray:
     """Reference ingest: truncate/zero-pad to ``expected_len`` and
     quantize each value with the Java ``(int)`` cast (truncation toward
-    zero) — BasicEvent.java:40-56, cast at :50."""
+    zero) — BasicEvent.java:40-56, cast at :50.
+
+    Full JLS narrowing semantics, not just trunc: (int)NaN == 0 and
+    out-of-range / infinite values saturate to Integer.MIN/MAX_VALUE
+    (Double.parseDouble accepts 'NaN'/'Infinity' lines, so these
+    inputs are reachable from real event files)."""
     v = np.asarray(values, dtype=np.float64)
     if int_cast:
         v = np.trunc(v)  # Java (int) cast truncates toward zero
+        v = np.nan_to_num(v, nan=0.0, posinf=2147483647.0, neginf=-2147483648.0)
+        v = np.clip(v, -2147483648.0, 2147483647.0)
     out = np.zeros(expected_len, dtype=np.float64)
     n = min(len(v), expected_len)
     out[:n] = v[:n]

@@ -114,7 +114,14 @@ def dominant_frequencies_from_half(
     freqs = ii.astype(np.float64) * conf.sample_rate / n
 
     mean = float(mags.mean()) if len(mags) else float("nan")
-    std = float(mags.std(ddof=1)) if len(mags) > 1 else float("nan")
+    # commons-math SummaryStatistics: variance of ONE value is 0.0
+    # (NaN only for n==0) — DominantFreqProcessor writes 0 there
+    if len(mags) > 1:
+        std = float(mags.std(ddof=1))
+    elif len(mags) == 1:
+        std = 0.0
+    else:
+        std = float("nan")
 
     # sort by magnitude desc, stable (Collections.sort on Comparable)
     order = np.argsort(-mags, kind="stable")
@@ -147,7 +154,13 @@ def spectrogram_buckets(
     window; kept as the debug-formatter kernel."""
     bucket = int(bucket_duration_sec * conf.sample_rate)
     out = []
-    for s in range(0, len(d) - bucket + 1, bucket):
-        bands, means = band_means(d[s : s + bucket], conf)
+    # the reference's loop runs while ii < l and Arrays.copyOfRange
+    # zero-pads past the end (Plot2DProcessor.java:50-52), so the
+    # final PARTIAL bucket is emitted zero-padded, not dropped
+    for s in range(0, len(d), bucket):
+        chunk = np.zeros(bucket)
+        seg = d[s : s + bucket]
+        chunk[: len(seg)] = seg
+        bands, means = band_means(chunk, conf)
         out.append((bands, normalise_band_means(means)))
     return out

@@ -47,7 +47,13 @@ def dominant_freq_table(
             # config, so this is normally ONE np.fft.rfft per Arrow batch
             # — the features.py fft_precache pattern).
             series = [np.asarray(s, dtype=np.float64) for s in pdf[series_col]]
-            lens = np.array([len(s) for s in series])
+            lens = np.array([len(s) for s in series], dtype=np.int64)
+            # drop zero-length series (ok=false featurization rows
+            # share this schema): continue-on-error, don't kill the task
+            keep = np.nonzero(lens > 0)[0]
+            series = [series[i] for i in keep]
+            pdf = pdf.iloc[keep]
+            lens = lens[keep]
             halves: list = [None] * len(series)
             ns = np.zeros(len(series), dtype=np.int64)
             for ln in np.unique(lens):
@@ -100,7 +106,11 @@ def band_mean_table(
         for pdf in batches:
             ids, bands, means = [], [], []
             series = [np.asarray(s, dtype=np.float64) for s in pdf[series_col]]
-            lens = np.array([len(s) for s in series])
+            lens = np.array([len(s) for s in series], dtype=np.int64)
+            keep = np.nonzero(lens > 0)[0]  # skip ok=false empty series
+            series = [series[i] for i in keep]
+            pdf = pdf.iloc[keep]
+            lens = lens[keep]
             id_vals = list(pdf[id_col])
             for ln in np.unique(lens):
                 idx = np.nonzero(lens == ln)[0]

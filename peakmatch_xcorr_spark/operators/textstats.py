@@ -68,7 +68,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     toks = _tokens(text_col)
     n_chars = F.length(t)
-    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    # \p{L}, consistent with _tokens: ASCII [A-Za-z] would score a
+    # clean Russian/Japanese doc alpha_ratio ~ 0 and rank it below
+    # mediocre English text
+    n_alpha = F.length(F.regexp_replace(t, r"[^\p{L}]", ""))
     n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", ""))
     d = (
         docs.withColumn("_toks", toks)

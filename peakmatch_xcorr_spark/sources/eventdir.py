@@ -46,15 +46,28 @@ def read_event_dir(
                 "conv_id": [], "series": [], "max_peaks": [], "min_peaks": [],
                 "above_idx": [], "peak_amp": [], "n_peaks": [], "ok": [],
             }
+            def bad_row(name):
+                out["conv_id"].append(name)
+                out["series"].append(np.zeros(0))
+                out["max_peaks"].append(np.zeros(0, np.int32))
+                out["min_peaks"].append(np.zeros(0, np.int32))
+                out["above_idx"].append(np.zeros(0, np.int32))
+                out["peak_amp"].append(float("nan"))
+                out["n_peaks"].append(0)
+                out["ok"].append(False)
+
             for r in pdf.itertuples(index=False):
                 name = os.path.basename(r.path)
                 lines = bytes(r.content).decode("ascii", "ignore").splitlines()
-                vals = []
-                for line in lines[: conf.expected_len]:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    vals.append(float(line))
+                # parse INSIDE the continue-on-error boundary: one
+                # malformed or blank line marks THIS file ok=false (a
+                # blank line must not silently shift later samples one
+                # index earlier — it would move every peak offset)
+                try:
+                    vals = [float(line.strip()) for line in lines[: conf.expected_len]]
+                except ValueError:
+                    bad_row(name)
+                    continue
                 raw = ingest_values(
                     np.asarray(vals), conf.expected_len, conf.int_cast_ingest
                 )

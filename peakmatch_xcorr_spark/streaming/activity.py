@@ -42,20 +42,29 @@ def streaming_activity_rollup(
     keyed on the event-time window)."""
     aggs = [F.count(F.lit(1)).alias("turns")]
     if value_col:
+        # no F.avg: it would keep its own sum+count in the state store
+        # per (conv_id, window) on top of vsum/vcount — derive instead,
+        # same as the batch rollup
         aggs += [
             F.count(value_col).alias("vcount"),
             F.sum(value_col).alias("vsum"),
             F.min(value_col).alias("vmin"),
             F.max(value_col).alias("vmax"),
-            F.avg(value_col).alias("vavg"),
         ]
-    return (
+    out = (
         stream.withWatermark("ts", watermark)
         .groupBy("conv_id", F.window("ts", bucket).alias("w"))
         .agg(*aggs)
-        .select("conv_id", F.col("w.start").alias("bucket_start"),
-                *[c for c in ("turns", "vcount", "vsum", "vmin", "vmax", "vavg")
-                  if value_col or c == "turns"])
+    )
+    if value_col:
+        out = out.withColumn(
+            "vavg",
+            F.when(F.col("vcount") > 0, F.col("vsum") / F.col("vcount")),
+        )
+    return out.select(
+        "conv_id", F.col("w.start").alias("bucket_start"),
+        *[c for c in ("turns", "vcount", "vsum", "vmin", "vmax", "vavg")
+          if value_col or c == "turns"],
     )
 
 

@@ -111,3 +111,18 @@ def test_random_fuzz_vs_port(rng):
                 loop_featurize(raw, conf)
             continue
         assert_features_equal(got, loop_featurize(raw, conf))
+
+
+def test_ingest_java_int_cast_nan_and_saturation():
+    """JLS narrowing: (int)NaN == 0; +/-inf and out-of-range values
+    saturate to Integer.MIN/MAX_VALUE (code-review r2: np.trunc alone
+    propagated NaN through the whole series)."""
+    from peakmatch_xcorr_spark.kernels.signal import ingest_values
+
+    out = ingest_values(
+        np.array([float("nan"), float("inf"), float("-inf"), 3e9, -3e9, 1.9]),
+        6,
+    )
+    np.testing.assert_array_equal(
+        out, [0.0, 2147483647.0, -2147483648.0, 2147483647.0, -2147483648.0, 1.0]
+    )

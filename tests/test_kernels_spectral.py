@@ -129,3 +129,30 @@ def test_batched_spectra_match_scalar_path(rng):
         b_b, m_b = band_means_from_half(half, n, CONF)
         np.testing.assert_array_equal(b_b, b_s)
         np.testing.assert_allclose(m_b, m_s, rtol=1e-12)
+
+
+def test_spectrogram_emits_zero_padded_partial_final_bucket():
+    """Plot2DProcessor.java:50-52 zero-pads past the end, so a final
+    partial bucket IS emitted (code-review r2: it was dropped)."""
+    d = sine(5.0, m=1000)  # 2.5 buckets of 400 samples
+    conf = SpectralConf(sample_rate=100, filter_below_hz=1.0, filter_above_hz=40.0)
+    buckets = spectrogram_buckets(d, 4.0, conf)
+    assert len(buckets) == 3
+    # shorter than one bucket still yields one (zero-padded) bucket
+    assert len(spectrogram_buckets(d[:100], 4.0, conf)) == 1
+    # the padded partial bucket still sees the 5 Hz tone
+    b2, m2 = buckets[2]
+    assert b2[int(np.argmax(m2))] == pytest.approx(5.0, abs=0.5)
+
+
+def test_stddev_of_single_bin_is_zero_like_commons_math():
+    """commons-math SummaryStatistics: variance of one value is 0.0,
+    NaN only for n==0 (code-review r2)."""
+    from peakmatch_xcorr_spark.kernels.spectral import dominant_frequencies
+
+    # narrow filter leaving exactly one bin: len=2 -> padded 4,
+    # base = 4 // 4 = 1, lo = 1*1.0 = 1, hi = min(2, 1*2.0) = 2 -> 1 bin
+    conf = SpectralConf(sample_rate=4, filter_below_hz=1.0,
+                        filter_above_hz=2.0, frequency_band_hz=0.5)
+    _, mean, std, _ = dominant_frequencies(np.array([1.0, 2.0]), conf)
+    assert std == 0.0 and not np.isnan(mean)
