@@ -114,6 +114,7 @@ class ContinuousAggregate:
         name: str = "rollup",
         retention_s: tuple[int | None, ...] | None = None,
         pack_tiers: tuple[str, ...] = (),
+        tier_write_partitions: int = 8,
     ):
         self.root = warehouse_root
         self.source = source
@@ -125,6 +126,7 @@ class ContinuousAggregate:
         self.name = name
         self.retention_s = retention_s or (None,) * len(tier_names)
         self.pack_tiers = pack_tiers
+        self.tier_write_partitions = tier_write_partitions
         self.tier_tables = {
             tn: WarehouseTable(warehouse_root, f"{name}_{tn}")
             for tn in tier_names
@@ -262,6 +264,80 @@ class ContinuousAggregate:
             *self.keys, "bucket_start"
         ).distinct()
 
+    def _split_tier_files(
+        self,
+        table: WarehouseTable,
+        affected_vals: list[datetime.datetime],
+        cutoff: datetime.datetime | None,
+    ) -> tuple[list[str], list[str], list[str]] | None:
+        """File-level copy-on-write pruning: partition the tier's
+        current files into (carried, rewrite, dropped) using manifest
+        bucket_start bounds.  A file is REWRITTEN only when its bucket
+        range contains an affected bucket or straddles the retention
+        cutoff; fully-expired files are DROPPED (metadata-only); the
+        rest are carried verbatim — refresh cost ∝ delta, not tier.
+
+        Returns None when any live file lacks bounds (legacy manifest)
+        — the caller must fall back to a full read + overwrite."""
+        import bisect
+
+        files = table.snapshot(table.current_version()).files
+        carried: list[str] = []
+        rewrite: list[str] = []
+        dropped: list[str] = []
+        for f in files:
+            if f.get("rows", 1) == 0:
+                dropped.append(f["path"])
+                continue
+            b = f.get("bounds", {}).get("bucket_start")
+            mn = _parse_bound_ts(b[0]) if b else None
+            mx = _parse_bound_ts(b[1]) if b else None
+            if mn is None or mx is None:
+                return None
+            if cutoff is not None and mx < cutoff:
+                dropped.append(f["path"])
+                continue
+            i = bisect.bisect_left(affected_vals, mn)
+            touches = i < len(affected_vals) and affected_vals[i] <= mx
+            if touches or (cutoff is not None and mn < cutoff):
+                rewrite.append(f["path"])
+            else:
+                carried.append(f["path"])
+        return carried, rewrite, dropped
+
+    @staticmethod
+    def _collect_bucket_vals(df: DataFrame) -> list[datetime.datetime]:
+        """Distinct affected bucket values, driver-side (small: the
+        recent window touched by a delta), for manifest file pruning."""
+        return sorted(
+            r["bucket_start"]
+            for r in df.select("bucket_start").distinct().collect()
+        )
+
+    def _cutoff(
+        self, idx: int, hi: datetime.datetime | None
+    ) -> tuple[datetime.datetime | None, bool]:
+        """(cutoff, known): retention cutoff for tier idx from a
+        manifest-derived max bucket.  known=False means a horizon is
+        configured but the max is unavailable — COW can't be used."""
+        horizon = self.retention_s[idx]
+        if horizon is None:
+            return None, True
+        if hi is None:
+            return None, False
+        return hi - datetime.timedelta(seconds=horizon), True
+
+    def _time_clustered(self, df: DataFrame | None) -> DataFrame | None:
+        """Range-partition tier writes on bucket_start so data files
+        carry NARROW time ranges in their manifest bounds — the
+        precondition for file-level copy-on-write (hash-partitioned
+        files would each span the full range and every delta would
+        rewrite everything).  The TimescaleDB chunk layout, at file
+        granularity."""
+        if df is None:
+            return None
+        return df.repartitionByRange(self.tier_write_partitions, "bucket_start")
+
     def _maybe_pack(self, tn: str, tier_df: DataFrame, src_v: int) -> None:
         if tn not in self.pack_tiers:
             return
@@ -325,9 +401,11 @@ class ContinuousAggregate:
             if delta_raw is None:
                 delta_rolled = None
             else:
+                # cached: feeds the affected write, the file-pruning
+                # value collect, and the merge (3 actions)
                 delta_rolled = tumbling_rollup(
                     delta_raw, self.keys, self.ts_col, self.value_col, self.tiers[0]
-                )
+                ).cache()
             existing = (
                 None if full_rebuild
                 else t0.read(spark) if t0.current_version() is not None
@@ -375,14 +453,47 @@ class ContinuousAggregate:
                         max(hi_existing, hi_delta)
                         if hi_existing is not None else hi_delta
                     )
-                merged = self._apply_retention(merged, 0, hi_hint)
-                snap = t0.overwrite(
-                    merged, job_id=f"{self.name}_refresh",
-                    metrics={"source_version": src_v, "tier": tn0},
-                )
+                cutoff, cutoff_known = self._cutoff(0, hi_hint)
+                # file-level copy-on-write: rewrite ONLY the tier files
+                # whose bucket ranges the delta touches; carry the rest
+                split = None
+                if (
+                    not full_rebuild
+                    and existing is not None
+                    and delta_rolled is not None
+                    and cutoff_known
+                    and not (has_values and "vcount" not in existing.columns)
+                ):
+                    split = self._split_tier_files(
+                        t0, self._collect_bucket_vals(delta_rolled), cutoff
+                    )
+                if split is not None:
+                    carried, rewrite, _ = split
+                    merged_rw = merge_rollups(
+                        t0.read_paths(spark, rewrite), delta_rolled,
+                        self.keys, has_values,
+                    )
+                    if cutoff is not None:
+                        merged_rw = merged_rw.filter(
+                            F.col("bucket_start") >= F.lit(cutoff)
+                        )
+                    snap = t0.overwrite_with_carried(
+                        self._time_clustered(merged_rw), carried,
+                        job_id=f"{self.name}_refresh",
+                        metrics={"source_version": src_v, "tier": tn0},
+                    )
+                else:
+                    merged = self._apply_retention(merged, 0, hi_hint)
+                    snap = t0.overwrite(
+                        self._time_clustered(merged), job_id=f"{self.name}_refresh",
+                        metrics={"source_version": src_v, "tier": tn0},
+                    )
                 self._maybe_pack(tn0, t0.read(spark), src_v)
                 ckpt.mark_done(tn0, src_v, {"tier_version": snap.version})
-                metrics[tn0] = {"rows": snap.metrics.get("rows")}
+                metrics[tn0] = {
+                    "rows": snap.metrics.get("rows"),
+                    "carried_files": snap.metrics.get("carried_files", 0),
+                }
             if fail_after_phase == tn0:
                 raise RuntimeError(f"injected failure after phase {tn0}")
 
@@ -415,17 +526,25 @@ class ContinuousAggregate:
                 if tier_table.current_version() is not None
                 else None
             )
+            legacy_schema = (
+                existing is not None and has_values
+                and "vcount" not in existing.columns
+            )
             if existing is not None and has_values:
                 existing = ensure_vcount(existing)  # pre-vcount migration
-            if affected_fine is _EMPTY_DELTA and existing is not None:
-                merged = existing
-            elif existing is None or affected_fine is None:
-                merged = cascade_tier(finer, self.keys, bucket, has_values)
-            else:
+            # coarse-tier max bucket = finer tier's max, floored — the
+            # finer tier committed above, so its manifest bounds are fresh
+            hi_finer = self._tier_manifest_hi(self.tier_names[i - 1])
+            hi_hint = _floor_bucket(hi_finer, bucket) if hi_finer else None
+            cutoff, cutoff_known = self._cutoff(i, hi_hint)
+
+            affected_coarse = None
+            recomputed = None
+            if affected_fine not in (None, _EMPTY_DELTA) and existing is not None:
                 affected_coarse = affected_fine.select(
                     *self.keys,
                     F.window("bucket_start", bucket)["start"].alias("bucket_start"),
-                ).distinct()
+                ).distinct().cache()
                 # semi-join the finer tier down to rows inside affected
                 # coarse buckets (broadcastable: affected set is small
                 # relative to the tier)
@@ -440,22 +559,72 @@ class ContinuousAggregate:
                     "left_semi",
                 ).drop("cb")
                 recomputed = cascade_tier(recompute_src, self.keys, bucket, has_values)
-                untouched = existing.join(
-                    affected_coarse, [*self.keys, "bucket_start"], "left_anti"
+
+            # file-level copy-on-write when the delta is known and the
+            # manifest has bounds; else full recompute/overwrite
+            split = None
+            if (
+                existing is not None
+                and affected_fine is not None
+                and cutoff_known
+                and not legacy_schema
+            ):
+                aff_vals = (
+                    [] if affected_fine is _EMPTY_DELTA
+                    else self._collect_bucket_vals(affected_coarse)
                 )
-                merged = untouched.unionByName(recomputed)
-            # coarse-tier max bucket = finer tier's max, floored — the
-            # finer tier committed above, so its manifest bounds are fresh
-            hi_finer = self._tier_manifest_hi(self.tier_names[i - 1])
-            hi_hint = _floor_bucket(hi_finer, bucket) if hi_finer else None
-            merged = self._apply_retention(merged, i, hi_hint)
-            snap = tier_table.overwrite(
-                merged, job_id=f"{self.name}_refresh",
-                metrics={"source_version": src_v, "tier": tn},
-            )
+                split = self._split_tier_files(tier_table, aff_vals, cutoff)
+
+            if split is not None:
+                carried, rewrite, _ = split
+                existing_rw = tier_table.read_paths(spark, rewrite)
+                if existing_rw is not None and has_values:
+                    existing_rw = ensure_vcount(existing_rw)
+                parts = []
+                if existing_rw is not None:
+                    if affected_coarse is not None:
+                        existing_rw = existing_rw.join(
+                            affected_coarse, [*self.keys, "bucket_start"],
+                            "left_anti",
+                        )
+                    parts.append(existing_rw)
+                if recomputed is not None:
+                    parts.append(recomputed)
+                merged_rw = None
+                if parts:
+                    merged_rw = parts[0]
+                    for p in parts[1:]:
+                        merged_rw = merged_rw.unionByName(p)
+                    if cutoff is not None:
+                        merged_rw = merged_rw.filter(
+                            F.col("bucket_start") >= F.lit(cutoff)
+                        )
+                snap = tier_table.overwrite_with_carried(
+                    self._time_clustered(merged_rw), carried,
+                    job_id=f"{self.name}_refresh",
+                    metrics={"source_version": src_v, "tier": tn},
+                )
+            else:
+                if affected_fine is _EMPTY_DELTA and existing is not None:
+                    merged = existing
+                elif existing is None or affected_fine is None:
+                    merged = cascade_tier(finer, self.keys, bucket, has_values)
+                else:
+                    untouched = existing.join(
+                        affected_coarse, [*self.keys, "bucket_start"], "left_anti"
+                    )
+                    merged = untouched.unionByName(recomputed)
+                merged = self._apply_retention(merged, i, hi_hint)
+                snap = tier_table.overwrite(
+                    self._time_clustered(merged), job_id=f"{self.name}_refresh",
+                    metrics={"source_version": src_v, "tier": tn},
+                )
             self._maybe_pack(tn, tier_table.read(spark), src_v)
             ckpt.mark_done(tn, src_v, {"tier_version": snap.version})
-            metrics[tn] = {"rows": snap.metrics.get("rows")}
+            metrics[tn] = {
+                "rows": snap.metrics.get("rows"),
+                "carried_files": snap.metrics.get("carried_files", 0),
+            }
             if fail_after_phase == tn:
                 raise RuntimeError(f"injected failure after phase {tn}")
 

@@ -158,6 +158,11 @@ class WarehouseTable:
                 p = os.path.join(sub, fn)
                 full = os.path.join(self.data_dir, p)
                 md = pq.ParquetFile(full).metadata
+                if md.num_rows == 0:
+                    # empty range/shuffle partitions contribute nothing;
+                    # keep manifests to live data files only
+                    os.remove(full)
+                    continue
                 files.append(
                     {
                         "path": p,
@@ -198,6 +203,50 @@ class WarehouseTable:
         rows = sum(f["rows"] for f in files)
         m = {"rows": rows, "committed_at": time.time(), **(metrics or {})}
         return self._commit("overwrite", files, job_id, m, keep_parent_files=False)
+
+    def overwrite_with_carried(
+        self,
+        df: DataFrame | None,
+        carried_paths: list[str],
+        job_id: str | None = None,
+        metrics: dict | None = None,
+    ) -> Snapshot:
+        """File-level copy-on-write commit (Iceberg merge-on-write):
+        the new snapshot = the parent's ``carried_paths`` file records
+        verbatim (data untouched, bounds/rows reused) + the files of
+        ``df``.  This is how an incremental refresh keeps its cost
+        proportional to the DELTA instead of rewriting the whole tier."""
+        cur = self.current_version()
+        carried_set = set(carried_paths)
+        carried = (
+            [f for f in self.snapshot(cur).files if f["path"] in carried_set]
+            if cur is not None else []
+        )
+        if len(carried) != len(carried_set):
+            missing = carried_set - {f["path"] for f in carried}
+            raise ValueError(f"carried paths not in current snapshot: {missing}")
+        new_files = self._write_data(df) if df is not None else []
+        rows = sum(f["rows"] for f in carried) + sum(f["rows"] for f in new_files)
+        m = {
+            "rows": rows,
+            "committed_at": time.time(),
+            "carried_files": len(carried),
+            "rewritten_files": len(new_files),
+            **(metrics or {}),
+        }
+        snap = Snapshot(
+            version=(cur or 0) + 1,
+            parent=cur,
+            operation="merge",
+            files=carried + new_files,
+            job_id=job_id,
+            metrics=m,
+        )
+        _atomic_write_json(
+            os.path.join(self.snap_dir, f"v{snap.version:05d}.json"),
+            snap.to_json(),
+        )
+        return snap
 
     # ---- reads ----
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -286,6 +335,15 @@ class WarehouseTable:
         if from_version is not None:
             old = {f["path"] for f in self.snapshot(from_version).files}
         return sorted(new - old)
+
+    def read_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame | None:
+        """Read a subset of the table's data files (relative paths from
+        a snapshot's file records)."""
+        if not paths:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(self.data_dir, p) for p in paths]
+        )
 
     def read_diff(self, spark: SparkSession, from_version: int | None, to_version: int) -> DataFrame | None:
         added = self.diff_files(from_version, to_version)

@@ -401,3 +401,92 @@ def test_affected_delta_files_are_garbage_collected(spark, wh):
     leftover = [os.path.basename(p) for p in glob.glob(f"{t0dir}/affected_v*")]
     assert all(name.startswith("affected_v00002") or "v2" in name for name in leftover), leftover
     assert not any("affected_v1" == n or n.startswith("affected_v1.") for n in leftover), leftover
+
+
+def test_refresh_copy_on_write_carries_untouched_files(spark, wh):
+    """File-level COW: a delta touching only recent buckets must CARRY
+    the tier files for older time ranges verbatim (manifest record
+    reuse) and rewrite only the touched range — refresh cost ∝ delta.
+    Correctness: tiers still equal a full recompute."""
+
+    def day_frame(day, n=400):
+        ts = pd.date_range(f"2024-01-{day:02d}", periods=n, freq="3min").astype(
+            "datetime64[us]"
+        )
+        return pd.DataFrame(
+            {
+                "conv_id": [f"c{i % 5}" for i in range(n)],
+                "turn_idx": range(n),
+                "text": ["x"] * n,
+                "ts": ts,
+            }
+        )
+
+    d_old = pd.concat([day_frame(d) for d in (1, 2, 3, 4)])
+    d_new = day_frame(6)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+
+    src.append(spark.createDataFrame(d_old))
+    agg.refresh(spark)
+    src.append(spark.createDataFrame(d_new))
+    m = agg.refresh(spark)
+
+    # the 1m tier carried most of its files (old days untouched)
+    t0 = agg.tier_tables["1m"]
+    snap = t0.snapshot(t0.current_version())
+    assert snap.operation == "merge"
+    assert m["1m"]["carried_files"] > 0
+    # every file of the previous snapshot was carried verbatim (the
+    # day-6 delta touches no old ranges), and the rewritten data is a
+    # fraction of the carried data: refresh cost ∝ delta
+    prev = t0.snapshot(snap.parent)
+    prev_paths = {f["path"] for f in prev.files}
+    carried_rows = sum(f["rows"] for f in snap.files if f["path"] in prev_paths)
+    new_rows = sum(f["rows"] for f in snap.files if f["path"] not in prev_paths)
+    assert snap.metrics["carried_files"] == len(prev.files)
+    assert 0 < new_rows < carried_rows / 2
+
+    # and the content is exactly the full recompute
+    full = spark.createDataFrame(pd.concat([d_old, d_new]))
+    for tn, bucket in zip(("1m", "1h", "1d"), ("1 minute", "1 hour", "1 day")):
+        exp = (
+            tumbling_rollup(full, ["conv_id"], "ts", None, bucket)
+            .toPandas().sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+        )
+        got = (
+            agg.tier_tables[tn].read(spark).toPandas()
+            .sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_cow_retention_drops_expired_files_metadata_only(spark, wh):
+    """With retention, files wholly behind the cutoff are DROPPED from
+    the manifest without being read; the boundary file is rewritten."""
+
+    def hours_frame(start_h, n_h):
+        ts = pd.date_range(
+            f"2024-01-01 {start_h:02d}:00", periods=n_h * 12, freq="5min"
+        ).astype("datetime64[us]")
+        return pd.DataFrame(
+            {
+                "conv_id": ["c0"] * len(ts),
+                "turn_idx": range(len(ts)),
+                "text": ["x"] * len(ts),
+                "ts": ts,
+            }
+        )
+
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(
+        wh, src, keys=["conv_id"], ts_col="ts", value_col=None,
+        retention_s=(3600 * 6, None, None),  # keep last 6h of 1m
+    )
+    src.append(spark.createDataFrame(hours_frame(0, 12)))  # 00:00-11:55
+    agg.refresh(spark)
+    src.append(spark.createDataFrame(hours_frame(12, 6)))  # 12:00-17:55
+    agg.refresh(spark)
+    t1m = agg.tier_tables["1m"].read(spark).toPandas()
+    assert t1m.bucket_start.min() >= pd.Timestamp("2024-01-01 11:55")
+    assert t1m.bucket_start.max() == pd.Timestamp("2024-01-01 17:55")
