@@ -156,7 +156,9 @@ def featurize(
     WITHOUT re-padding to an unrelated configured length.
     """
     d = raw if pre_ingested else ingest_values(
-        raw, series_len or conf.expected_len, conf.int_cast_ingest
+        raw,
+        series_len if series_len is not None else conf.expected_len,
+        conf.int_cast_ingest,
     )
     d = crop(d, conf)
 

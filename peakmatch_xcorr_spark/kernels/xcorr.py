@@ -82,7 +82,7 @@ def brute_force_xcorr_best(a: np.ndarray, b: np.ndarray) -> float:
     """
     m = len(a)
     best = JAVA_DOUBLE_MIN_VALUE
-    if m == 0:  # np.correlate raises on empty input, guard first
+    if m == 0 or len(b) == 0:  # np.correlate raises on empty input
         return best
     full = np.correlate(a, b, mode="full")  # lags -(m-1)..(m-1)
     mx = float(full.max())

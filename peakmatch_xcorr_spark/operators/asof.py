@@ -7,10 +7,9 @@ rt <= lt per key — implemented JVM-side with the union+window trick
 right payload), not a per-group pandas merge_asof: one shuffle, no
 Python, and the window is the same partitioning later stages reuse.
 
-``time_weighted_avg``: per (key, bucket) average of a step function
-weighted by how long each observation was current (lead(ts) delta,
-clipped to the bucket) — the LOCF-consistent aggregate for irregular
-samples.
+``time_weighted_avg``: per (key, bucket) LOCF step-function integral —
+each observation covers [its ts, next obs ts), intersected with every
+bucket the segment spans (TimescaleDB time_weight('LOCF') semantics).
 """
 
 from __future__ import annotations
@@ -43,8 +42,10 @@ def asof_join(
     # stitch values from different rows whenever a right column is
     # null, and the tolerance check would compare against a newer row
     # than the one a value actually came from).
+    if "__asof_rts" in value_cols:
+        raise ValueError("value column name '__asof_rts' is reserved")
     rrow_t = StructType(
-        [StructField("rts", TimestampType())]
+        [StructField("__asof_rts", TimestampType())]
         + [StructField(c, right.schema[c].dataType) for c in value_cols]
     )
     lt = left.select(
@@ -60,7 +61,7 @@ def asof_join(
         F.lit(0).alias("_is_left"),
         F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
         F.struct(
-            F.col(right_ts).cast("timestamp").alias("rts"),
+            F.col(right_ts).cast("timestamp").alias("__asof_rts"),
             *[F.col(c) for c in value_cols],
         ).alias("_rrow"),
     )
@@ -78,7 +79,7 @@ def asof_join(
     if tolerance_s is not None:
         in_tol = (
             epoch_seconds(F.col("_ts").cast("timestamp"))
-            - epoch_seconds(F.col("_f")["rts"])
+            - epoch_seconds(F.col("_f")["__asof_rts"])
         ) <= tolerance_s
         picked = [
             F.when(in_tol, F.col("_f")[c]).alias(f"right_{c}")

@@ -115,7 +115,9 @@ def featurize_curves(
                     f = featurize(
                         arr, conf,
                         pre_ingested=not conf.int_cast_ingest,
-                        series_len=series_len or len(arr),
+                        series_len=(
+                            series_len if series_len is not None else len(arr)
+                        ),
                     )
                     out["series"].append(f.series)
                     out["max_peaks"].append(f.max_peaks)

@@ -308,10 +308,22 @@ class ContinuousAggregate:
     @staticmethod
     def _collect_bucket_vals(df: DataFrame) -> list[datetime.datetime]:
         """Distinct affected bucket values, driver-side (small: the
-        recent window touched by a delta), for manifest file pruning."""
+        recent window touched by a delta), for manifest file pruning.
+
+        Collected as epoch MICROS, not timestamps: PySpark converts
+        TimestampType to naive OS-local datetimes on collect(), which
+        silently disagrees with the naive-UTC manifest bounds on any
+        non-UTC driver — files would be misclassified as carried and
+        stale rows would duplicate recomputed buckets."""
+        rows = (
+            df.select(
+                F.unix_micros(F.col("bucket_start").cast("timestamp")).alias("us")
+            )
+            .distinct()
+            .collect()
+        )
         return sorted(
-            r["bucket_start"]
-            for r in df.select("bucket_start").distinct().collect()
+            _EPOCH + datetime.timedelta(microseconds=r["us"]) for r in rows
         )
 
     def _cutoff(
@@ -494,6 +506,10 @@ class ContinuousAggregate:
                     "rows": snap.metrics.get("rows"),
                     "carried_files": snap.metrics.get("carried_files", 0),
                 }
+            if delta_rolled is not None:
+                # all three consumers (affected write, value collect,
+                # merge) have run; don't leak cache across refreshes
+                delta_rolled.unpersist()
             if fail_after_phase == tn0:
                 raise RuntimeError(f"injected failure after phase {tn0}")
 
@@ -625,6 +641,8 @@ class ContinuousAggregate:
                 "rows": snap.metrics.get("rows"),
                 "carried_files": snap.metrics.get("carried_files", 0),
             }
+            if affected_coarse is not None:
+                affected_coarse.unpersist()
             if fail_after_phase == tn:
                 raise RuntimeError(f"injected failure after phase {tn}")
 

@@ -71,24 +71,19 @@ def read_event_dir(
                 raw = ingest_values(
                     np.asarray(vals), conf.expected_len, conf.int_cast_ingest
                 )
-                out["conv_id"].append(name)
                 try:
                     f = featurize(raw, conf, pre_ingested=True)
-                    out["series"].append(f.series)
-                    out["max_peaks"].append(f.max_peaks)
-                    out["min_peaks"].append(f.min_peaks)
-                    out["above_idx"].append(f.above_idx)
-                    out["peak_amp"].append(f.peak_amp)
-                    out["n_peaks"].append(f.n_peaks)
-                    out["ok"].append(True)
                 except ValueError:
-                    out["series"].append(np.zeros(0))
-                    out["max_peaks"].append(np.zeros(0, np.int32))
-                    out["min_peaks"].append(np.zeros(0, np.int32))
-                    out["above_idx"].append(np.zeros(0, np.int32))
-                    out["peak_amp"].append(float("nan"))
-                    out["n_peaks"].append(0)
-                    out["ok"].append(False)
+                    bad_row(name)
+                    continue
+                out["conv_id"].append(name)
+                out["series"].append(f.series)
+                out["max_peaks"].append(f.max_peaks)
+                out["min_peaks"].append(f.min_peaks)
+                out["above_idx"].append(f.above_idx)
+                out["peak_amp"].append(f.peak_amp)
+                out["n_peaks"].append(f.n_peaks)
+                out["ok"].append(True)
             yield pd.DataFrame(out)
 
     return files.select("path", "content").mapInPandas(parse, schema=FEATURE_SCHEMA)

@@ -153,15 +153,14 @@ class WarehouseTable:
         out = os.path.join(self.data_dir, sub)
         df.write.mode("overwrite").parquet(out)
         files = []
+        empties: list[str] = []
         for fn in sorted(os.listdir(out)):
             if fn.endswith(".parquet"):
                 p = os.path.join(sub, fn)
                 full = os.path.join(self.data_dir, p)
                 md = pq.ParquetFile(full).metadata
                 if md.num_rows == 0:
-                    # empty range/shuffle partitions contribute nothing;
-                    # keep manifests to live data files only
-                    os.remove(full)
+                    empties.append(p)
                     continue
                 files.append(
                     {
@@ -171,6 +170,16 @@ class WarehouseTable:
                         "bounds": self._footer_bounds(md),
                     }
                 )
+        # drop empty range/shuffle partitions from the manifest — but
+        # when the WHOLE write is empty keep one as the schema carrier,
+        # so read() on an empty snapshot still returns a typed frame
+        keep_one = empties[:1] if not files else []
+        for p in empties:
+            if p in keep_one:
+                full = os.path.join(self.data_dir, p)
+                files.append({"path": p, "bytes": os.path.getsize(full), "rows": 0})
+            else:
+                os.remove(os.path.join(self.data_dir, p))
         return files
 
     def manifest_column_max(self, col: str, version: int | None = None):
@@ -234,19 +243,9 @@ class WarehouseTable:
             "rewritten_files": len(new_files),
             **(metrics or {}),
         }
-        snap = Snapshot(
-            version=(cur or 0) + 1,
-            parent=cur,
-            operation="merge",
-            files=carried + new_files,
-            job_id=job_id,
-            metrics=m,
+        return self._commit(
+            "merge", carried + new_files, job_id, m, keep_parent_files=False
         )
-        _atomic_write_json(
-            os.path.join(self.snap_dir, f"v{snap.version:05d}.json"),
-            snap.to_json(),
-        )
-        return snap
 
     # ---- reads ----
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
