@@ -146,14 +146,36 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def _shingles(text_col: str, k: int = 5):
-    """Character k-shingle array (lowercased, whitespace-collapsed) —
-    JVM-side: regexp + sequence/transform, no UDF."""
-    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), n), lambda i: norm.substr(i, F.lit(k)))
+def _shingle_rows(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    distinct: bool = True,
+) -> DataFrame:
+    """Character k-shingle rows ``(id, g)`` (lowercased,
+    whitespace-collapsed), whole-stage codegen end to end: normalize
+    once per row, explode start positions, substr.  The
+    higher-order-function form (``transform`` + lambda) evaluates the
+    lambda interpreted per array element — measured ~5x slower than
+    this generator shape, which stays inside codegen.
+
+    Inputs narrower than the session's core count (one small parquet
+    file → one partition) are respread so the shingle scan
+    parallelizes; at scale the input already has >= cores partitions
+    and the guard is a no-op."""
+    spread = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if spread.rdd.getNumPartitions() < target:
+        spread = spread.repartition(target)
+    normed = spread.select(
+        "id", F.lower(F.regexp_replace(F.col("txt"), r"\s+", " ")).alias("nrm")
     )
+    n = F.greatest(F.length("nrm") - F.lit(k - 1), F.lit(1))
+    rows = normed.select(
+        "id", "nrm", F.explode(F.sequence(F.lit(1), n)).alias("i")
+    ).select("id", F.col("nrm").substr(F.col("i"), F.lit(k)).alias("g"))
+    return rows.distinct() if distinct else rows
 
 
 def ngram_jaccard_pairs(
@@ -176,10 +198,11 @@ def ngram_jaccard_pairs(
     — at 100 TB the cap is mandatory; high-Jaccard recall is unchanged
     because near-dup pairs share many informative shingles (tested
     with a planted stop-shingle)."""
-    sh = docs.select(
-        F.col(id_col).alias("id"), _shingles(text_col, k).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    inv = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    from pyspark.sql import Window
+
+    inv = _shingle_rows(docs, id_col, text_col, k).withColumn(
+        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    )
     if max_shingle_df is not None:
         keep = (
             inv.groupBy("g")
@@ -229,9 +252,8 @@ def minhash_lsh_candidates(
             f"({bands}); trailing hashes would be computed but unused"
         )
     rows_per_band = num_hashes // bands
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(_shingles(text_col, k)).alias("g")
-    )
+    # duplicate shingles can't change a min, so skip the distinct shuffle
+    sh = _shingle_rows(docs, id_col, text_col, k, distinct=False)
     # minhash_i = min over shingles of xxhash64(shingle, seed=i)
     mh = sh.groupBy("id").agg(
         *[
