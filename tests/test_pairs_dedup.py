@@ -175,6 +175,39 @@ def test_connected_components(spark):
     assert comps["a"] == comps["b"] == comps["c"] == "a"
     assert comps["x"] == comps["y"] == comps["z"] == "x"
     assert comps["p"] == comps["q"] == "p"
+    # the distributed loop (forced) must agree with the driver fast path
+    loop = (
+        connected_components(edges, driver_max_edges=0)
+        .toPandas().set_index("id")["component"]
+    )
+    assert loop.sort_index().equals(comps.sort_index())
+
+
+def test_connected_components_paths_agree_random(spark):
+    """Driver union-find fast path ≡ forced distributed min-label loop
+    on a seeded random graph (chains, cliques, isolated edges, and
+    numeric ids exercising non-lexicographic min)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.integers(0, 400, size=600)
+    b = rng.integers(0, 400, size=600)
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": a, "id_b": b})
+    ).filter("id_a != id_b")
+    fast = (
+        connected_components(edges)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    loop = (
+        connected_components(edges, driver_max_edges=0)
+        .toPandas().sort_values("id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(fast, loop, check_dtype=False)
+    # every edge internally consistent: endpoints share a component
+    comp = fast.set_index("id")["component"]
+    for ea, eb in edges.toPandas().itertuples(index=False):
+        assert comp[ea] == comp[eb]
 
 
 def test_dedup_preserves_survivor_rows_exactly(spark, tdf, synth):
