@@ -54,7 +54,8 @@ def band_features(
                 ids.append(i)
                 bands_out.append(b)
                 vecs.append(normalise_band_means(m))
-            yield pd.DataFrame({"id": ids, "bands": bands_out, "vec": vecs})
+            if ids:  # empty frames mistype array columns (see multimodal)
+                yield pd.DataFrame({"id": ids, "bands": bands_out, "vec": vecs})
 
     return events.select(id_col, series_col).mapInPandas(
         run, schema=BAND_FEATURE_SCHEMA

@@ -135,7 +135,8 @@ def featurize_curves(
                     out["n_peaks"].append(0)
                     out["ok"].append(False)
                 out["conv_id"].append(conv)
-            yield pd.DataFrame(out)
+            if out["conv_id"]:  # empty frames mistype array columns
+                yield pd.DataFrame(out)
 
     return curves.mapInPandas(run, schema=FEATURE_SCHEMA)
 

@@ -86,7 +86,12 @@ def image_features(
                 # pyarrow can't build array<float> cells from ndarray
                 # objects (NumPyConverter limitation) — plain lists only.
                 rows["feature"].append((pooled / 255.0).tolist())
-            yield pd.DataFrame(rows)
+            # never yield an empty frame: pandas types an empty
+            # "feature" column float64, and pyarrow can't convert an
+            # empty float64 ndarray to array<float> (partitions with
+            # no image rows crash the whole job otherwise)
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
@@ -124,7 +129,8 @@ def audio_features(media: DataFrame, strict: bool = False) -> DataFrame:
                 rows["duration_s"].append(len(sig) / sr if sr else float("nan"))
                 rows["rms"].append(float(np.sqrt((sig**2).mean())) if len(sig) else 0.0)
                 rows["dominant_hz"].append(dom)
-            yield pd.DataFrame(rows)
+            if rows["media_id"]:  # see image_features: no empty frames
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
 
@@ -148,7 +154,8 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
                     rows["media_id"].append(r.media_id)
                     rows["frame_idx"].append(i)
                     rows["frame"].append(payload[i * fsize : (i + 1) * fsize])
-            yield pd.DataFrame(rows)
+            if rows["media_id"]:  # see image_features: no empty frames
+                yield pd.DataFrame(rows)
 
     return media.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 

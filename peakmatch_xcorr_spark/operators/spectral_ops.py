@@ -77,10 +77,14 @@ def dominant_freq_table(
                 amps.append(float(pa[i]))
                 stds.append(std)
                 bands.append(band_amps.tolist())
-            yield pd.DataFrame(
-                {"id": ids, "top_freqs": tops, "peak_amp": amps,
-                 "stddev": stds, "band_mean_amps": bands}
-            )
+            # a batch whose rows were all filtered (zero-length series)
+            # must not yield: pandas types empty array-columns float64
+            # and pyarrow can't convert that to array<double>
+            if ids:
+                yield pd.DataFrame(
+                    {"id": ids, "top_freqs": tops, "peak_amp": amps,
+                     "stddev": stds, "band_mean_amps": bands}
+                )
 
     return events.select(*cols).mapInPandas(run, schema=DOMFREQ_SCHEMA)
 

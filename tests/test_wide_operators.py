@@ -170,6 +170,25 @@ def test_multimodal_plumbing(spark):
     assert set(fr.frame_idx) == {0, 10, 20}
 
 
+def test_multimodal_survives_kind_free_partitions(spark):
+    """Partitions holding no rows of the UDF's kind must not crash the
+    job: an empty pandas frame types its array columns float64, which
+    pyarrow can't convert to array<float>.  Repartitioning 24 rows
+    over 24 partitions guarantees several image-free partitions (the
+    original failure appeared only at high parallelism)."""
+    from peakmatch_xcorr_spark.operators.multimodal import (
+        audio_features,
+        image_features,
+        sample_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=24).repartition(24).cache()
+    assert len(image_features(media).toPandas()) == 8
+    assert len(audio_features(media).toPandas()) == 8
+    assert len(sample_frames(media, every_n=10).toPandas()) == 24
+
+
 def test_multimodal_strict_mode_raises(spark):
     from peakmatch_xcorr_spark.operators.multimodal import (
         image_features,
