@@ -167,18 +167,34 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     spark = build_session(cpus)
     qs, extra_qs, events = headline_queries(spark, sf_dir)
     n_events = events.count()
+    # Pass 1 (the headline): every query once, in order, fresh JVM —
+    # methodology identical to round 1, so round-over-round deltas
+    # reflect code changes, not measurement changes.  Pass 2+ re-runs
+    # the same queries warm (JIT/codegen compiled, page cache hot)
+    # with the catalog cache cleared between passes — operators cache
+    # intermediates internally and Spark's CacheManager matches
+    # plan-identical reruns against them (measured 5.9s -> 0.4s on
+    # dedup_xcorr), which would time a cache hit, not the query.
+    # Warm numbers are the steady-state (long-lived cluster) figure.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for name, fn in qs.items():
+    warm: dict[str, float] = {}
+    all_qs = {**qs, **extra_qs}
+    for name, fn in all_qs.items():
         t0 = time.perf_counter()
         rows[name] = fn()
         times[name] = round(time.perf_counter() - t0, 3)
-    total = round(sum(times.values()), 3)
-    extra_times: dict[str, float] = {}
-    for name, fn in extra_qs.items():
-        t0 = time.perf_counter()
-        rows[name] = fn()
-        extra_times[name] = round(time.perf_counter() - t0, 3)
+    for _ in range(repeats - 1):
+        spark.catalog.clearCache()
+        for name, fn in all_qs.items():
+            t0 = time.perf_counter()
+            rows[name] = fn()
+            dt = time.perf_counter() - t0
+            warm[name] = round(min(warm.get(name, float("inf")), dt), 3)
+    total = round(sum(times[n] for n in qs), 3)
+    extra_times = {n: times[n] for n in extra_qs}
+    times = {n: times[n] for n in qs}
     rollup_t = times["rollup_cascade"]
     from pyspark.sql import functions as F
 
@@ -195,6 +211,8 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         "unit": "sec",
         "queries": times,
         "extra_queries": extra_times,
+        "queries_warm": warm,
+        "repeats": repeats,
         "sf": _sf_from_dir(sf_dir),
         "cpus": cpus,
         "rows": rows,

@@ -59,14 +59,20 @@ def connected_components(
     # scale pass a larger ``loop_partitions``
     spark = edges.sparkSession
     loop_parts = max(4, spark.sparkContext.defaultParallelism // 4)
+    # a null endpoint is not a vertex: drop such edges up front so both
+    # paths agree (null join keys never match in the loop; pd.factorize
+    # would encode None as -1 and corrupt the union-find)
+    non_null = edges.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
     sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        non_null.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(non_null.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
         .repartition(loop_parts, "u")
         .localCheckpoint()
     )
-    if driver_max_edges and sym.count() <= driver_max_edges:
+    # bounded size probe: limit-then-count reads at most the threshold,
+    # not the whole (possibly billion-edge) list
+    if driver_max_edges and sym.limit(driver_max_edges + 1).count() <= driver_max_edges:
         return _driver_union_find(sym)
     # init with min(id, min neighbour): star components converge at
     # init, saving one full propagate round (≈3 jobs) on the loop path
@@ -256,10 +262,16 @@ def ngram_jaccard_pairs(
     — at 100 TB the cap is mandatory; high-Jaccard recall is unchanged
     because near-dup pairs share many informative shingles (tested
     with a planted stop-shingle)."""
-    from pyspark.sql import Window
-
-    inv = _shingle_rows(docs, id_col, text_col, k).withColumn(
-        "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id"))
+    # one shuffle for dedup + per-doc count: collect_set inside the
+    # groupBy dedups shingles and sizes the set in the same exchange
+    # (distinct + window would shuffle the exploded table twice more)
+    sets = (
+        _shingle_rows(docs, id_col, text_col, k, distinct=False)
+        .groupBy("id")
+        .agg(F.collect_set("g").alias("sh"))
+    )
+    inv = sets.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("g")
     )
     if max_shingle_df is not None:
         keep = (

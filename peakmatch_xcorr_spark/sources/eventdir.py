@@ -84,7 +84,7 @@ def read_event_dir(
                 out["peak_amp"].append(f.peak_amp)
                 out["n_peaks"].append(f.n_peaks)
                 out["ok"].append(True)
-            if out["conv_id"]:  # all-bad batch: empty frames mistype array cols
+            if out["conv_id"]:  # zero-row input batch: empty frames mistype array cols
                 yield pd.DataFrame(out)
 
     return files.select("path", "content").mapInPandas(parse, schema=FEATURE_SCHEMA)

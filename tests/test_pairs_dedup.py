@@ -183,6 +183,21 @@ def test_connected_components(spark):
     assert loop.sort_index().equals(comps.sort_index())
 
 
+def test_connected_components_null_endpoints_dropped(spark):
+    """Edges with a null endpoint are not edges: both paths ignore
+    them (pd.factorize would otherwise encode None as -1 and corrupt
+    the driver union-find)."""
+    edges = spark.createDataFrame(
+        pd.DataFrame({"id_a": ["a", "a", None], "id_b": ["b", None, "c"]})
+    )
+    for dme in (1_000_000, 0):
+        comps = (
+            connected_components(edges, driver_max_edges=dme)
+            .toPandas().set_index("id")["component"]
+        )
+        assert dict(comps) == {"a": "a", "b": "a"}
+
+
 def test_connected_components_paths_agree_random(spark):
     """Driver union-find fast path ≡ forced distributed min-label loop
     on a seeded random graph (chains, cliques, isolated edges, and
