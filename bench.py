@@ -96,7 +96,10 @@ def headline_queries(spark, sf_dir: str):
                      F.pmod(F.col("event_id"), F.lit(8)).cast("string")).alias("conv_id"),
             "ts",
         )
-        return find_duplicate_conversations(transcripts, conf, n_blocks=8).count()
+        # n_blocks=None → auto_blocks keeps ~300 events/block so the
+        # per-task gather set stays cache-resident (8 blocks = 1500
+        # events/block measured 3x slower)
+        return find_duplicate_conversations(transcripts, conf, n_blocks=None).count()
 
     qs = {
         "rollup_cascade": q_rollup_cascade,

@@ -33,7 +33,7 @@ def auto_blocks(n_events: int, target_block: int = 300) -> int:
 def find_duplicate_conversations(
     transcripts: DataFrame,
     conf: EngineConf,
-    n_blocks: int | None = 8,
+    n_blocks: int | None = None,
     fused: bool = True,
 ) -> DataFrame:
     """transcripts → activity curves → featurize → peakmatch prune →
@@ -69,7 +69,7 @@ def find_duplicate_conversations(
 def dedup_then_rollup(
     transcripts: DataFrame,
     conf: EngineConf,
-    n_blocks: int | None = 8,
+    n_blocks: int | None = None,
 ) -> tuple[DataFrame, dict[str, DataFrame]]:
     """The flagship flow: dedup near-duplicate conversations, then the
     full retention cascade over survivors.  Returns (deduped, tiers)."""
