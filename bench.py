@@ -228,6 +228,139 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
     }
 
 
+# ------------------------------------------------------------- stress mode
+
+def _gen_stress_input(workdir: str) -> None:
+    """~18M turns / 101k conversations, deterministic: one order of
+    magnitude above the sf0.1 bench and 5x the scaling input."""
+    import json as _json
+
+    path = f"{workdir}/transcripts.parquet"
+    if os.path.exists(path):
+        return
+    from peakmatch_xcorr_spark.synth import SynthConf, write_transcripts_parquet
+
+    os.makedirs(workdir, exist_ok=True)
+    res = write_transcripts_parquet(
+        path,
+        SynthConf(n_convs=100_000, n_dup_pairs=1000, mean_rate=1.0, seed=21),
+    )
+    with open(f"{workdir}/dup_pairs.json", "w") as f:
+        _json.dump(sorted(tuple(sorted(p)) for p in res.dup_pairs), f)
+
+
+def _stress(spark, workdir: str) -> dict:
+    """Scale-up evidence: the headline operator family at ~10x the
+    bench's sf0.1 row count, reporting per-phase throughput so
+    linearity (or its absence) is visible.  Dedup runs through the
+    LSH-scoped tier — the 10^9-conversation path — with recall
+    against the generator's planted near-duplicate pairs."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+    from peakmatch_xcorr_spark.operators.features import conversation_features
+    from peakmatch_xcorr_spark.operators.pairs import lsh_scoped_matches
+    from peakmatch_xcorr_spark.operators.rollup import (
+        gap_fill_locf,
+        pack_tier,
+        rollup_cascade,
+        tumbling_rollup,
+    )
+
+    conf = EngineConf(
+        peakmatch=PeakmatchConf(expected_len=256),
+        rollup=RollupConf(activity_curve_len=256),
+    )
+    par = spark.sparkContext.defaultParallelism
+    transcripts = (
+        spark.read.parquet(f"{workdir}/transcripts.parquet")
+        .repartition(par * 2)
+        .cache()
+    )
+    n_turns = transcripts.count()
+    phases: dict[str, dict] = {}
+
+    def phase(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        phases[name] = {
+            "sec": round(dt, 2), "rows": out,
+            "turns_per_sec": round(n_turns / dt),
+        }
+
+    phase("rollup_cascade", lambda: sum(
+        t.count() for t in rollup_cascade(transcripts, ["conv_id"], "ts", None).values()
+    ))
+    rolled = tumbling_rollup(transcripts, ["conv_id"], "ts", None, "1 hour").cache()
+    rolled.count()
+    phase("gapfill_locf_1h", lambda: gap_fill_locf(
+        rolled, ["conv_id"], "1 hour", fill_cols=()
+    ).count())
+    # pack the per-conv turn counts (the transcript table has no
+    # numeric value column; turns is the tier's series)
+    phase("pack_1h", lambda: pack_tier(
+        rolled.withColumn("turns", F.col("turns").cast("double")),
+        ["conv_id"], value_col="turns",
+    ).count())
+    feats = conversation_features(
+        transcripts, conf.peakmatch,
+        bucket=conf.rollup.activity_bucket,
+        curve_len=conf.rollup.activity_curve_len,
+    ).cache()
+    phase("featurize", lambda: feats.count())
+    matches = lsh_scoped_matches(feats, conf.peakmatch).cache()
+    phase("lsh_dedup", lambda: matches.count())
+    planted = {tuple(p) for p in _json.load(open(f"{workdir}/dup_pairs.json"))}
+    found = {
+        tuple(sorted((r["id_a"], r["id_b"])))
+        for r in matches.select("id_a", "id_b").collect()
+    }
+    recovered = len(planted & found)
+    total = round(sum(p["sec"] for p in phases.values()), 2)
+    return {
+        "metric": "stress_total",
+        "value": total,
+        "unit": "sec",
+        "n_turns": n_turns,
+        "n_convs": transcripts.select("conv_id").distinct().count(),
+        "phases": phases,
+        "lsh_recall_planted": round(recovered / len(planted), 4),
+        "lsh_matches": phases["lsh_dedup"]["rows"],
+        "cpus": par,
+    }
+
+
+def _stress_md(r: dict) -> str:
+    rows = "\n".join(
+        f"| {name} | {v['sec']} | {v['rows']} | {v['turns_per_sec']} |"
+        for name, v in r["phases"].items()
+    )
+    return f"""# BENCH — scale-up stress (10x the sf0.1 bench)
+
+One deterministic synthetic transcript table, {r['n_turns']:,} turns /
+{r['n_convs']:,} conversations (~10x the sf0.1 events row count, 5x the
+scaling input), run once cold on local[{r['cpus']}].  Dedup goes through
+the LSH-scoped tier — the 10^9-conversation path that bounds the pair
+universe before the quadratic kernel — and is scored for recall
+against the generator's planted near-duplicate pairs.
+
+| phase | wall (s) | output rows | turns/sec |
+|---|---|---|---|
+{rows}
+
+- LSH-scoped dedup recall on planted near-dups:
+  **{r['lsh_recall_planted']}** ({r['lsh_matches']} match edges).
+  Bounded recall is the documented tradeoff of the scoped tier (the
+  reference documents FN the same way, README.md:22); blocked
+  all-pairs (the exact path) is the fallback when recall must be 1.
+- Reproduce: `python bench.py --stress` (input generated once under
+  `$SPARK_GRAFT_STRESS_DIR`, default /tmp/pxs_stress).
+"""
+
+
 # ------------------------------------------------------------- scaling mode
 
 def _scaling_workload(spark, workdir: str) -> dict:
@@ -302,6 +435,17 @@ def main() -> None:
         workdir = sys.argv[sys.argv.index("--scaling-child") + 1]
         spark = build_session(cpus)
         print("SCALING_RESULT " + json.dumps(_scaling_workload(spark, workdir)))
+        return
+
+    if "--stress" in sys.argv:
+        workdir = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/pxs_stress")
+        _gen_stress_input(workdir)
+        spark = build_session(cpus)
+        report = _stress(spark, workdir)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/STRESS.md", "w") as f:
+            f.write(_stress_md(report))
+        print(json.dumps(report))
         return
 
     if "--scaling" in sys.argv:

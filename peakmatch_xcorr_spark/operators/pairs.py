@@ -260,33 +260,74 @@ def fused_prune_verify(
     )
 
 
+def _spectral_sig_vectors(features: DataFrame, spec_bins: int) -> DataFrame:
+    """(conv_id, spec): per-vector-centered log-magnitude spectrum of
+    the activity curve, unit-normalized — the LSH signature input.
+
+    The match metric (max-over-lags xcorr) is SHIFT-INVARIANT, so the
+    signature must be too: SRP over the raw curve is lag-0 cosine and
+    loses lag-shifted near-dups (measured recall 0.24 vs 0.97 spectral
+    at a 20k corpus).  |rfft| is shift-invariant; log compression +
+    per-vector centering remove the common smooth Poisson shape that
+    would otherwise put most of the corpus in one bucket.  One linear
+    batched-FFT pass (the fft_precache pattern), no shuffle."""
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            s = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["series"]])
+            mag = np.abs(np.fft.rfft(s, axis=1))[:, 1 : spec_bins + 1]
+            lg = np.log1p(mag)
+            lg -= lg.mean(axis=1, keepdims=True)
+            nrm = np.linalg.norm(lg, axis=1)
+            nrm[nrm == 0] = 1.0
+            lg /= nrm[:, None]
+            yield pd.DataFrame(
+                {"conv_id": pdf["conv_id"].to_numpy(), "spec": list(lg)}
+            )
+
+    return features.select("conv_id", "series").mapInPandas(
+        run, schema="conv_id string, spec array<double>"
+    )
+
+
 def lsh_scoped_matches(
     features: DataFrame,
     conf: PeakmatchConf,
-    n_planes: int = 16,
+    n_planes: int = 128,
     bands: int = 8,
+    max_bucket: int = 2048,
+    spec_bins: int = 64,
 ) -> DataFrame:
     """The 10^9-conversation tier above blocking (DESIGN.md §3):
     bound the pair universe FIRST with signed-random-projection LSH
-    over the activity curves, then run the fused peakmatch+FFT kernel
-    only within LSH buckets.
+    over the curves' magnitude spectra (shift-invariant, see
+    ``_spectral_sig_vectors``), then run the fused peakmatch+FFT
+    kernel only within LSH buckets.
 
     Near-duplicate curves agree on most projection signs, so they
     collide in at least one band with high probability (banding =
     multiple chances); random pairs don't, so the quadratic kernel
     never sees them.  Trades bounded recall (<1, like the reference's
     documented FN tradeoff, README.md:22) for a pair universe that is
-    linear-ish in N instead of N²/2.  Recall on planted dups is
-    asserted in tests.
+    linear-ish in N instead of N²/2.  At the 128/8 default (16
+    bits/band) a 20k synthetic corpus measures recall 0.97 with a 92x
+    candidate-pair reduction.  Recall on planted dups is asserted in
+    tests.
     """
     from peakmatch_xcorr_spark.operators.similarity import lsh_signatures
 
+    usable_bins = min(spec_bins, conf.expected_len // 2)
     sigs = lsh_signatures(
-        features.select("conv_id", "series"),
-        dim=conf.expected_len,  # = activity curve length
+        _spectral_sig_vectors(features, usable_bins),
+        dim=usable_bins,
         n_planes=n_planes,
         id_col="conv_id",
-        vec_col="series",
+        vec_col="spec",
         bands=bands,
     )
     cand_t = conf.candidate_threshold
@@ -294,9 +335,19 @@ def lsh_scoped_matches(
     stride = conf.sampling_stride
 
     # bucket = (band, sig); join back full features for members of
-    # non-singleton buckets only, then score within each bucket
+    # non-singleton buckets only, then score within each bucket.
+    # Buckets larger than ``max_bucket`` are SKIPPED, not scored: an
+    # overfull bucket means that band's bits carry ~no information for
+    # those members (16 bits/band at the 128/8 default → 65536 keys,
+    # so even a 10^8 corpus averages ~1500 per bucket), and one
+    # mega-bucket would otherwise materialize an n²
+    # score matrix in a single task (measured OOM at 25k members).
+    # True near-dups still collide in their other, discriminative
+    # bands; recall on planted dups is asserted in tests.
     bucketed = sigs.select(F.col("id").alias("conv_id"), "band", "sig")
-    counts = bucketed.groupBy("band", "sig").count().filter(F.col("count") > 1)
+    counts = bucketed.groupBy("band", "sig").count().filter(
+        (F.col("count") > 1) & (F.col("count") <= max_bucket)
+    )
     members = bucketed.join(counts.select("band", "sig"), ["band", "sig"], "left_semi")
     joined = members.join(features, "conv_id")
 

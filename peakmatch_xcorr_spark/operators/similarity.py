@@ -87,17 +87,20 @@ def cosine_topk(
 
 
 def _hyperplane(dim: int, plane: int, seed: int = 41) -> list[float]:
-    """Deterministic pseudo-random unit hyperplane from a hash chain
-    (no RNG state, reproducible across executors)."""
-    import math
+    """Deterministic pseudo-random unit hyperplane, seeded per plane.
 
-    vals = []
-    x = (plane * 2654435761 + seed) & 0xFFFFFFFF
-    for _ in range(dim):
-        x = (x * 1103515245 + 12345) & 0x7FFFFFFF
-        vals.append((x / 0x7FFFFFFF) * 2.0 - 1.0)
-    n = math.sqrt(sum(v * v for v in vals)) or 1.0
-    return [v / n for v in vals]
+    Gaussian via PCG64 keyed on (seed, plane) — planes are mutually
+    independent.  (The previous LCG hash chain produced correlated
+    consecutive planes — LCG streams with nearby seeds overlap — which
+    silently cost LSH recall: planes that agree in direction are fewer
+    effective bits per band AND correlate the misses across bands.)
+    Driver-side only: the planes are folded into the plan as literals,
+    so reproducibility across executors is free."""
+    import numpy as np
+
+    v = np.random.default_rng([seed, plane]).standard_normal(dim)
+    n = float(np.linalg.norm(v)) or 1.0
+    return (v / n).tolist()
 
 
 def lsh_signatures(
@@ -143,10 +146,25 @@ def embedding_near_dups(
     bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int | None = 65536,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold, candidate-blocked
-    by SRP-LSH band buckets, exact re-rank inside buckets."""
+    by SRP-LSH band buckets, exact re-rank inside buckets.
+
+    ``max_bucket`` skips buckets whose membership exceeds it: an
+    overfull bucket means that band's bits are non-discriminative for
+    those vectors (a near-identical cluster, or too few planes for
+    the corpus), and its self-join would be quadratic.  Real near-dup
+    pairs still meet in their other, tighter bands; None disables."""
     sig = lsh_signatures(df, dim, n_planes, id_col, vec_col, bands)
+    if max_bucket is not None:
+        ok = (
+            sig.groupBy("band", "sig")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "sig")
+        )
+        sig = sig.join(ok, ["band", "sig"], "left_semi")
     a = sig.alias("a")
     b = sig.alias("b")
     cands = (
