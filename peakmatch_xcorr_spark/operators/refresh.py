@@ -305,10 +305,19 @@ class ContinuousAggregate:
                 carried.append(f["path"])
         return carried, rewrite, dropped
 
-    @staticmethod
-    def _collect_bucket_vals(df: DataFrame) -> list[datetime.datetime]:
+    # above this many distinct affected buckets, COW bookkeeping (a
+    # driver collect + forced broadcast) costs more than it saves — the
+    # delta is a backfill touching most of history, and the honest plan
+    # is a full recompute/overwrite
+    max_affected_buckets: int = 200_000
+
+    def _collect_bucket_vals(self, df: DataFrame) -> list[datetime.datetime] | None:
         """Distinct affected bucket values, driver-side (small: the
         recent window touched by a delta), for manifest file pruning.
+        Returns None when the set exceeds ``max_affected_buckets`` —
+        callers must fall back to the full recompute/overwrite path
+        (the limit bounds driver memory; a backfill-sized delta would
+        rewrite every file regardless).
 
         Collected as epoch MICROS, not timestamps: PySpark converts
         TimestampType to naive OS-local datetimes on collect(), which
@@ -320,8 +329,11 @@ class ContinuousAggregate:
                 F.unix_micros(F.col("bucket_start").cast("timestamp")).alias("us")
             )
             .distinct()
+            .limit(self.max_affected_buckets + 1)
             .collect()
         )
+        if len(rows) > self.max_affected_buckets:
+            return None
         return sorted(
             _EPOCH + datetime.timedelta(microseconds=r["us"]) for r in rows
         )
@@ -476,9 +488,9 @@ class ContinuousAggregate:
                     and cutoff_known
                     and not (has_values and "vcount" not in existing.columns)
                 ):
-                    split = self._split_tier_files(
-                        t0, self._collect_bucket_vals(delta_rolled), cutoff
-                    )
+                    vals = self._collect_bucket_vals(delta_rolled)
+                    if vals is not None:  # else backfill-sized: overwrite
+                        split = self._split_tier_files(t0, vals, cutoff)
                 if split is not None:
                     carried, rewrite, _ = split
                     merged_rw = merge_rollups(
@@ -556,25 +568,39 @@ class ContinuousAggregate:
 
             affected_coarse = None
             recomputed = None
+            aff_vals: list | None = None
             if affected_fine not in (None, _EMPTY_DELTA) and existing is not None:
                 affected_coarse = affected_fine.select(
                     *self.keys,
                     F.window("bucket_start", bucket)["start"].alias("bucket_start"),
                 ).distinct().cache()
-                # semi-join the finer tier down to rows inside affected
-                # coarse buckets (broadcastable: affected set is small
-                # relative to the tier)
-                finer_cb = finer.withColumn(
-                    "cb", F.window("bucket_start", bucket)["start"]
-                )
-                recompute_src = finer_cb.join(
-                    F.broadcast(
-                        affected_coarse.withColumnRenamed("bucket_start", "cb")
-                    ),
-                    [*self.keys, "cb"],
-                    "left_semi",
-                ).drop("cb")
-                recomputed = cascade_tier(recompute_src, self.keys, bucket, has_values)
+                # bounded collect BEFORE planning the forced broadcast:
+                # a backfill-sized delta (affected set over the cap)
+                # demotes to a full recompute — broadcasting millions of
+                # affected buckets would OOM, and such a delta rewrites
+                # ~every file anyway
+                aff_vals = self._collect_bucket_vals(affected_coarse)
+                if aff_vals is None:
+                    affected_coarse.unpersist()
+                    affected_coarse = None
+                    affected_fine = None
+                else:
+                    # semi-join the finer tier down to rows inside
+                    # affected coarse buckets (broadcast is safe: the
+                    # set is at most max_affected_buckets)
+                    finer_cb = finer.withColumn(
+                        "cb", F.window("bucket_start", bucket)["start"]
+                    )
+                    recompute_src = finer_cb.join(
+                        F.broadcast(
+                            affected_coarse.withColumnRenamed("bucket_start", "cb")
+                        ),
+                        [*self.keys, "cb"],
+                        "left_semi",
+                    ).drop("cb")
+                    recomputed = cascade_tier(
+                        recompute_src, self.keys, bucket, has_values
+                    )
 
             # file-level copy-on-write when the delta is known and the
             # manifest has bounds; else full recompute/overwrite
@@ -585,11 +611,11 @@ class ContinuousAggregate:
                 and cutoff_known
                 and not legacy_schema
             ):
-                aff_vals = (
-                    [] if affected_fine is _EMPTY_DELTA
-                    else self._collect_bucket_vals(affected_coarse)
+                split = self._split_tier_files(
+                    tier_table,
+                    [] if affected_fine is _EMPTY_DELTA else aff_vals,
+                    cutoff,
                 )
-                split = self._split_tier_files(tier_table, aff_vals, cutoff)
 
             if split is not None:
                 carried, rewrite, _ = split

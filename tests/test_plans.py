@@ -89,6 +89,38 @@ def test_anti_join_is_broadcast_in_dedup(spark):
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
+def test_shingle_scan_is_generator_not_hof(spark):
+    """Shingle rows must come from an explode(sequence)+substr
+    generator (whole-stage codegen), never a transform() lambda —
+    higher-order functions evaluate interpreted per element (~5x
+    slower, measured)."""
+    from peakmatch_xcorr_spark.operators.dedup import _shingle_rows
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = plan(_shingle_rows(docs, "doc_id", "text", 5))
+    assert "Generate" in p and "explode" in p
+    assert "lambdafunction" not in p and "transform" not in p
+
+
+def test_lsh_scoped_matches_no_bnlj_and_capped(spark):
+    """The scoped dedup tier must stay a bucket equi-join (no
+    BroadcastNestedLoopJoin) with the bucket-size cap visible as a
+    count filter in the plan."""
+    from peakmatch_xcorr_spark.config import PeakmatchConf
+    from peakmatch_xcorr_spark.operators.features import conversation_features
+    from peakmatch_xcorr_spark.operators.pairs import lsh_scoped_matches
+
+    t = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.concat(F.lit("c"), (F.col("event_id") % 50).cast("string")).alias("conv_id"),
+        "ts",
+    )
+    conf = PeakmatchConf(expected_len=64)
+    feats = conversation_features(t, conf, curve_len=64)
+    p = plan(lsh_scoped_matches(feats, conf, n_planes=16, bands=4, max_bucket=100))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "count" in p  # the bucket-size gate aggregates counts
+
+
 def test_blocked_similarity_queries_have_no_bnlj(spark):
     """The headline similarity contract entries must be the blocked
     cogroup plans — a BroadcastNestedLoopJoin anywhere means the theta

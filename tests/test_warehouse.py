@@ -99,6 +99,32 @@ def test_incremental_refresh_matches_full_recompute(spark, wh):
     assert m3["status"] == "up-to-date"
 
 
+def test_backfill_sized_delta_demotes_cow_to_full_recompute(spark, wh):
+    """A delta whose affected-bucket set exceeds max_affected_buckets
+    must not be collected/broadcast: the refresh demotes to the full
+    recompute path and still produces exact tiers."""
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    agg.max_affected_buckets = 2  # force the demotion path
+
+    src.append(d1)
+    assert agg.refresh(spark)["status"] == "refreshed"
+    src.append(d2)
+    assert agg.refresh(spark)["status"] == "refreshed"
+    got = _tiers_as_pandas(spark, agg)
+    for tn, bucket in zip(("1m", "1h", "1d"), ("1 minute", "1 hour", "1 day")):
+        exp = (
+            tumbling_rollup(full, ["conv_id"], "ts", None, bucket)
+            .toPandas()
+            .sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        g = got[tn]
+        assert len(g) == len(exp), tn
+        assert (g.turns.to_numpy() == exp.turns.to_numpy()).all(), tn
+
+
 def test_resume_after_mid_cascade_kill(spark, wh):
     """Kill the cascade after the 1h phase commits; restart must skip
     committed phases and produce tiers identical to an uninterrupted
