@@ -236,17 +236,22 @@ def _gen_stress_input(workdir: str) -> None:
     import json as _json
 
     path = f"{workdir}/transcripts.parquet"
-    if os.path.exists(path):
+    pairs_path = f"{workdir}/dup_pairs.json"
+    if os.path.exists(path) and os.path.exists(pairs_path):
         return
     from peakmatch_xcorr_spark.synth import SynthConf, write_transcripts_parquet
 
     os.makedirs(workdir, exist_ok=True)
+    # write to a temp name and rename LAST: a kill during the
+    # multi-minute generation must not leave a half-written parquet
+    # that later runs mistake for a complete input
     res = write_transcripts_parquet(
-        path,
+        path + ".tmp",
         SynthConf(n_convs=100_000, n_dup_pairs=1000, mean_rate=1.0, seed=21),
     )
-    with open(f"{workdir}/dup_pairs.json", "w") as f:
+    with open(pairs_path, "w") as f:
         _json.dump(sorted(tuple(sorted(p)) for p in res.dup_pairs), f)
+    os.replace(path + ".tmp", path)
 
 
 def _stress(spark, workdir: str) -> dict:

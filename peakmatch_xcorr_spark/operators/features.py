@@ -2,10 +2,10 @@
 P1-P7 and S9: the reference's BasicEvent construction and FFT
 precache, re-expressed over tables).
 
-Dense curve assembly is pure Catalyst (map_from_entries + transform
-over sequence — no Python), so whole-stage codegen covers everything
-up to the numeric featurization, which is one Arrow-batched
-mapInPandas calling the numpy kernels.
+Dense curve assembly is a change-point mapInPandas scatter over
+conversation-sorted rollup rows (see ``activity_curves``); numeric
+featurization is a second Arrow-batched mapInPandas calling the numpy
+kernels.  Both are narrow stages over the single rollup shuffle.
 
 Scale notes: curves are one row per conversation (10^12 turns →
 ~10^8-10^9 convs); the rollup shuffle is the only wide stage; the
@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from peakmatch_xcorr_spark.config import PeakmatchConf
 from peakmatch_xcorr_spark.operators.rollup import (
     bucket_seconds,
+    epoch_seconds,
     tumbling_rollup,
 )
 
@@ -68,10 +69,7 @@ def activity_curves(
 
         def emit(pdf):
             convs = pdf[conv_col].to_numpy()
-            ts = (
-                pdf["bucket_start"].astype("datetime64[us]").astype("int64").to_numpy()
-                // 1_000_000
-            )
+            ts = pdf["bs"].to_numpy()
             turns = pdf["turns"].astype("float64").to_numpy()
             change = np.zeros(len(pdf), dtype=bool)
             change[0] = True
@@ -81,7 +79,10 @@ def activity_curves(
             out_conv, out_curve = [], []
             for s, e in zip(starts, ends):
                 idx = (ts[s:e] - ts[s]) // step
-                keep = idx < curve_len  # truncate, as the reference does
+                # truncate, as the reference does; idx < 0 can only
+                # come from a non-monotonic epoch mapping (NTZ in a
+                # DST-ambiguous session TZ) — never wrap-write
+                keep = (idx >= 0) & (idx < curve_len)
                 curve = np.zeros(curve_len)
                 curve[idx[keep]] = turns[s:e][keep]
                 out_conv.append(convs[s])
@@ -104,10 +105,16 @@ def activity_curves(
         if carry is not None and len(carry):
             yield emit(carry)
 
+    # epoch seconds are derived JVM-SIDE: pandas converts instant
+    # timestamps to naive session-local datetimes, which goes
+    # non-monotonic across DST in a non-UTC session (the refresh
+    # module documents the same trap for manifest bounds)
     slim = (
-        rolled.select(conv_col, "bucket_start", "turns")
+        rolled.select(
+            conv_col, epoch_seconds("bucket_start").alias("bs"), "turns"
+        )
         .repartition(conv_col)
-        .sortWithinPartitions(conv_col, "bucket_start")
+        .sortWithinPartitions(conv_col, "bs")
     )
     return slim.mapInPandas(
         assemble, schema=f"{conv_col} string, curve array<double>"

@@ -22,7 +22,7 @@ the exact kernel over all pairs (BruteForceProcessor.java:51-88).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from peakmatch_xcorr_spark.config import PeakmatchConf
@@ -286,6 +286,13 @@ def _spectral_sig_vectors(features: DataFrame, spec_bins: int) -> DataFrame:
             nrm = np.linalg.norm(lg, axis=1)
             nrm[nrm == 0] = 1.0
             lg /= nrm[:, None]
+            if lg.shape[1] < spec_bins:
+                # short series yield fewer bins than the hyperplane
+                # dim; zero-pad AFTER the stats so every spec is
+                # exactly spec_bins wide — a ragged vector would
+                # null-pad inside the JVM dot and every LSH bit (and
+                # so every signature) would go null
+                lg = np.pad(lg, ((0, 0), (0, spec_bins - lg.shape[1])))
             yield pd.DataFrame(
                 {"conv_id": pdf["conv_id"].to_numpy(), "spec": list(lg)}
             )
@@ -321,10 +328,12 @@ def lsh_scoped_matches(
     """
     from peakmatch_xcorr_spark.operators.similarity import lsh_signatures
 
-    usable_bins = min(spec_bins, conf.expected_len // 2)
+    # spec vectors are padded to exactly spec_bins inside the UDF, so
+    # the hyperplane dim never depends on the (possibly differing)
+    # conf.expected_len vs actual curve length
     sigs = lsh_signatures(
-        _spectral_sig_vectors(features, usable_bins),
-        dim=usable_bins,
+        _spectral_sig_vectors(features, spec_bins),
+        dim=spec_bins,
         n_planes=n_planes,
         id_col="conv_id",
         vec_col="spec",
@@ -344,8 +353,17 @@ def lsh_scoped_matches(
     # score matrix in a single task (measured OOM at 25k members).
     # True near-dups still collide in their other, discriminative
     # bands; recall on planted dups is asserted in tests.
-    bucketed = sigs.select(F.col("id").alias("conv_id"), "band", "sig")
-    counts = bucketed.groupBy("band", "sig").count().filter(
+    # (conv_id, band, sig) is n*bands small rows but is referenced by
+    # BOTH the in-cap scoring branch and the overfull star branch
+    # (members/over_m/reps/star) — without truncation every reference
+    # re-derives the spectral-FFT + 128-plane subtree and plan
+    # analysis multiplies (measured: minutes for a 30-row input).
+    # Lazy localCheckpoint computes it once at first action.
+    bucketed = sigs.select(
+        F.col("id").alias("conv_id"), "band", "sig"
+    ).localCheckpoint(eager=False)
+    all_counts = bucketed.groupBy("band", "sig").count()
+    counts = all_counts.filter(
         (F.col("count") > 1) & (F.col("count") <= max_bucket)
     )
     members = bucketed.join(counts.select("band", "sig"), ["band", "sig"], "left_semi")
@@ -391,9 +409,58 @@ def lsh_scoped_matches(
     out = joined.groupBy("band", "sig").applyInPandas(
         compute, schema="id_a string, id_b string, score double, xcorr double"
     )
+
+    # Overfull buckets are NOT simply dropped: a uniform duplicate
+    # cluster (bot traffic — identical curves, identical signatures)
+    # lands over-cap in EVERY band, so skipping those buckets would
+    # silently lose the cluster entirely.  Instead each overfull
+    # bucket is STAR-scored — every member against the bucket's
+    # minimum-id representative, exact FFT xcorr via the persisted-fft
+    # pair path — which is O(n) per bucket and still chains the whole
+    # cluster into one dedup component.  (Member pairs that resemble
+    # each other but not the representative are precisely the pairs
+    # with discriminative bits, which meet in a tighter band.)
+    over = all_counts.filter(F.col("count") > max_bucket).select("band", "sig")
+    over_m = bucketed.join(over, ["band", "sig"], "left_semi")
+    reps = over_m.groupBy("band", "sig").agg(F.min("conv_id").alias("rep"))
+    star = (
+        over_m.join(reps, ["band", "sig"])
+        .filter(F.col("conv_id") != F.col("rep"))
+        .select(
+            F.least("rep", "conv_id").alias("id_a"),
+            F.greatest("rep", "conv_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    from peakmatch_xcorr_spark.operators.features import fft_precache
+
+    star_ids = star.select(F.col("id_a").alias("conv_id")).union(
+        star.select("id_b")
+    ).distinct()
+    needed = features.join(star_ids, "conv_id", "left_semi")
+    star_scored = (
+        exact_pair_scores(star, fft_precache(needed))
+        .filter(F.col("xcorr") > final_t)
+        # the peakmatch prune score is not computed on the star path
+        .withColumn("score", F.lit(None).cast("double"))
+        .select("id_a", "id_b", "score", "xcorr")
+    )
     # a pair colliding in several bands is scored identically each
-    # time — keep one
-    return out.dropDuplicates(["id_a", "id_b"])
+    # time — keep one; star edges lose to bucket edges (same xcorr,
+    # bucket rows also carry the prune score)
+    return (
+        out.unionByName(star_scored)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("id_a", "id_b").orderBy(
+                    F.col("score").asc_nulls_last()
+                )
+            ),
+        )
+        .filter(F.col("rnk") == 1)
+        .drop("rnk")
+    )
 
 
 def peakmatch_candidates(

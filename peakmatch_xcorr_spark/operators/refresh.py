@@ -574,12 +574,19 @@ class ContinuousAggregate:
                     *self.keys,
                     F.window("bucket_start", bucket)["start"].alias("bucket_start"),
                 ).distinct().cache()
-                # bounded collect BEFORE planning the forced broadcast:
-                # a backfill-sized delta (affected set over the cap)
-                # demotes to a full recompute — broadcasting millions of
-                # affected buckets would OOM, and such a delta rewrites
-                # ~every file anyway
+                # bounded checks BEFORE planning the forced broadcast:
+                # a backfill-sized delta demotes to a full recompute.
+                # BOTH bounds matter — distinct bucket values bound the
+                # driver collect for file pruning, and the ROW count
+                # bounds the broadcast itself (one coarse bucket across
+                # 10M keys is 2 distinct values but a 10M-row set)
                 aff_vals = self._collect_bucket_vals(affected_coarse)
+                if aff_vals is not None:
+                    n_rows = affected_coarse.limit(
+                        self.max_affected_buckets + 1
+                    ).count()
+                    if n_rows > self.max_affected_buckets:
+                        aff_vals = None
                 if aff_vals is None:
                     affected_coarse.unpersist()
                     affected_coarse = None

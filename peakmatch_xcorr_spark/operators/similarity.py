@@ -155,7 +155,12 @@ def embedding_near_dups(
     overfull bucket means that band's bits are non-discriminative for
     those vectors (a near-identical cluster, or too few planes for
     the corpus), and its self-join would be quadratic.  Real near-dup
-    pairs still meet in their other, tighter bands; None disables."""
+    pairs still meet in their other, tighter bands; None disables.
+    CAVEAT: a single uniform cluster LARGER than max_bucket has the
+    same signature in every band and loses all its pairs — for
+    cluster-forming dedup at that scale use ``lsh_scoped_matches``'s
+    star-scoring pattern (pairs.py), which connects an overfull
+    bucket through a representative at O(n)."""
     sig = lsh_signatures(df, dim, n_planes, id_col, vec_col, bands)
     if max_bucket is not None:
         ok = (

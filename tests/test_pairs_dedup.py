@@ -330,6 +330,36 @@ def test_lsh_scoped_matches_recover_planted_dups(spark, feats, synth):
         assert pair in found, f"planted pair {pair} missed by LSH scoping"
 
 
+def test_lsh_overfull_bucket_cluster_star_scored(spark, feats):
+    """A duplicate cluster larger than max_bucket lands over-cap in
+    EVERY band (identical curves → identical signatures); it must be
+    star-scored against a representative, not silently dropped."""
+    from pyspark.sql import functions as F
+
+    from peakmatch_xcorr_spark.operators.dedup import connected_components
+    from peakmatch_xcorr_spark.operators.pairs import lsh_scoped_matches
+
+    one = feats.orderBy("conv_id").limit(1)
+    clones = None
+    for i in range(10):
+        c = one.withColumn("conv_id", F.concat(F.lit(f"clone{i:02d}-"), "conv_id"))
+        clones = c if clones is None else clones.unionByName(c)
+    aug = feats.unionByName(clones).cache()
+    matches = lsh_scoped_matches(
+        aug, CONF.peakmatch, n_planes=16, bands=4, max_bucket=4
+    )
+    comps = (
+        connected_components(matches).toPandas().set_index("id")["component"]
+    )
+    clone_ids = [r["conv_id"] for r in clones.select("conv_id").collect()]
+    assert all(cid in comps.index for cid in clone_ids)
+    assert len({comps[cid] for cid in clone_ids}) == 1  # one cluster
+    # star rows carry no prune score but a real xcorr
+    star_rows = matches.filter(F.col("score").isNull())
+    assert star_rows.count() > 0
+    assert star_rows.filter(F.col("xcorr") <= 0.9).count() == 0
+
+
 def test_empty_and_degenerate_inputs(spark):
     """Empty transcripts and single-turn conversations flow through the
     whole pipeline without errors (continue-on-error policy)."""
