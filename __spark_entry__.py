@@ -888,7 +888,9 @@ WHERE inter::DOUBLE / (na + nb - inter) >= 0.5
 def _q_band_mean_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exploded band-mean spectrum rows (A1/A4 surface of the
     FFTDOMINANTFREQ output, DominantFreqProcessor.java:114-140) —
-    rows-only (DuckDB has no FFT)."""
+    rows-only (DuckDB has no FFT).  Uses the reference-default bands
+    [1-5] [5-8.5] [8.5-10] (xcorr.conf:58, now the SpectralConf
+    default), so every event emits 3 band rows."""
     _utc(spark)
     from peakmatch_xcorr_spark.config import PeakmatchConf, SpectralConf
     from peakmatch_xcorr_spark.operators.features import conversation_features
@@ -1217,15 +1219,51 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH-blocked embedding near-duplicates with exact re-rank
-    (bucket recall is probabilistic — rows-only; the exact threshold
-    variant is oracle-checked as cosine_pairs)."""
+    """SRP-LSH-blocked embedding near-duplicates with exact re-rank,
+    over the base table UNION planted scaled copies (vec_id+1000,
+    embedding doubled) of every vec_id % 10 == 0.
+
+    Planting makes the check non-vacuous AND fully oracle-able: SRP
+    bits are exactly scale-invariant (sign(w·2v) == sign(w·v) — float
+    doubling is an exponent bump, every partial sum doubles exactly),
+    so a scaled copy lands in the SAME bucket in EVERY band and LSH
+    recall on the planted pairs is deterministically 1.0, not
+    probabilistic.  The sf0.01 natural cosine max is 0.513, far below
+    the 0.9 threshold, so the result set == the exact-cosine set and
+    DuckDB can derive it (see the oracle SQL)."""
     _utc(spark)
     from peakmatch_xcorr_spark.operators.similarity import embedding_near_dups
 
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(emb.first()["embedding"])
-    return embedding_near_dups(emb, dim=dim, threshold=0.9, n_planes=16, bands=8)
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: (x * F.lit(2.0)).cast("float")
+        ).alias("embedding"),
+    )
+    out = embedding_near_dups(
+        emb.unionByName(planted), dim=dim, threshold=0.9, n_planes=16, bands=8
+    )
+    return out.select(
+        "id_a", "id_b", F.round(F.col("cosine") + 1e-9, 6).alias("cosine")
+    )
+
+
+_SQL_LSH_NEAR_DUPS = """
+WITH planted AS (
+  SELECT vec_id + 1000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x * 2) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+), alls AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL SELECT vec_id, v FROM planted
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v) + 1e-9, 6) AS cosine
+FROM alls a JOIN alls b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+"""
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1317,7 +1355,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F
 
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
-    return _O5()
+    out = _O5()
+    out["lsh_near_dups"] = _SQL_LSH_NEAR_DUPS
+    return out
 
 
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -52,6 +52,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--bucket", default="1 minute")
     p.add_argument("--events", nargs="+", help="conv_ids for xcorr (2) / fftdom modes")
     p.add_argument("--sample-rate", type=int, default=100, help="spectral sample rate (fftdom/cluster)")
+    p.add_argument("--bands", nargs="+", default=None, metavar="[LO-HI]",
+                   help="mean-amplitude hz bands for fftdom, reference "
+                        "syntax eg [1-5] [5-8.5] [8.5-10] "
+                        "(dominantfreq.mean-frequency-amplitude-bands, "
+                        "xcorr.conf:58); default = the reference defaults")
     p.add_argument("--cores", default=None, help="local[N] when set; else use spark-submit master")
     args = p.parse_args(argv)
     if args.mode == "xcorr" and len(args.events or []) != 2:
@@ -209,7 +214,26 @@ def main(argv: list[str] | None = None) -> None:
         feats = conversation_features(
             load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
         )
-        spectral = SpectralConf(sample_rate=args.sample_rate)
+        if args.bands is None:
+            spectral = SpectralConf(sample_rate=args.sample_rate)
+        else:
+            # reference band-spec syntax "[1-5] [5-8.5]"
+            # (DominantFreqProcessor.java:114-140)
+            try:
+                bands = tuple(
+                    (float(lo), float(hi))
+                    for lo, hi in (
+                        b.strip("[]").split("-", 1) for b in args.bands
+                    )
+                )
+            except ValueError:
+                p.error(
+                    f"invalid --bands {args.bands!r} - expecting hz ranges "
+                    "eg [1.5-5] [5-7.8]"
+                )
+            spectral = SpectralConf(
+                sample_rate=args.sample_rate, mean_amplitude_bands=bands
+            )
         if args.events:
             feats = feats.filter(feats.conv_id.isin(list(args.events)))
         dom = dominant_freq_table(feats, spectral)

@@ -56,7 +56,14 @@ class SpectralConf:
     filter_above_hz: float = 10.0
     top_freq_count: int = 5
     frequency_band_hz: float = 0.5  # frequency-band-hz (band-mean rollup width)
-    mean_amplitude_bands: tuple[tuple[float, float], ...] = ()
+    # xcorr.conf:58 dominantfreq.mean-frequency-amplitude-bands
+    # "[1-5] [5-8.5] [8.5-10]" (parsed at EventProcessorConf.java:97,
+    # consumed DominantFreqProcessor.java:114-140)
+    mean_amplitude_bands: tuple[tuple[float, float], ...] = (
+        (1.0, 5.0),
+        (5.0, 8.5),
+        (8.5, 10.0),
+    )
 
 
 @dataclass(frozen=True)

@@ -70,6 +70,20 @@ def test_cli_fftdom_table_and_stdout(capsys, cli_env):
     a, b = cli_env["dup"]
     line = _run(capsys, cli_env, "fftdom", "--events", a)
     assert line.startswith(a + "\t")
+    # reference-default bands [1-5] [5-8.5] [8.5-10] (xcorr.conf:58)
+    # print three band columns like DominantFreqProcessor.java:142-159:
+    # id, freqs, peak_amp, stddev, then 3 tab-separated band means
+    assert len(line.split("\t")) == 4 + 3
+
+
+def test_cli_fftdom_bands_flag(capsys, cli_env):
+    a, _ = cli_env["dup"]
+    line = _run(capsys, cli_env, "fftdom", "--events", a,
+                "--bands", "[1-5]", "[5-7.8]")
+    assert len(line.split("\t")) == 4 + 2
+    with pytest.raises(SystemExit):
+        main(["fftdom", "--input", cli_env["input"], "--bands", "[bad]"])
+    assert "expecting hz ranges" in capsys.readouterr().err
 
 
 def test_cli_cluster(capsys, cli_env):

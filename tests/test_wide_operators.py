@@ -71,6 +71,21 @@ def test_lsh_near_dups_cover_exact_high_cosine(spark, embeddings):
         assert len(got_set & truth) / len(truth) >= 0.9
 
 
+def test_lsh_near_dups_contract_recall_on_planted(spark):
+    """The contract query plants scaled copies (vec_id+1000, x2) of
+    every vec_id % 10 == 0 in the sf0.01 embeddings.  SRP signatures
+    are exactly scale-invariant, so LSH must recover EVERY planted
+    pair: documented recall == 1.0 (50/50), not a probabilistic bound.
+    Natural sf0.01 cosine max is 0.513 < 0.9, so nothing else appears."""
+    from __spark_entry__ import _q_lsh_near_dups
+
+    got = _q_lsh_near_dups(spark, "/root/testdata/sf0.01").toPandas()
+    planted = {(i, i + 1000) for i in range(0, 500, 10)}
+    got_set = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    assert got_set == planted  # recall 1.0, precision 1.0
+    assert (got.cosine == 1.0).all()
+
+
 # ------------------------------------------------------------- textstats
 
 def test_language_id(spark):
@@ -404,3 +419,38 @@ def test_percentile_approx_within_tolerance(spark):
         # rank error <= n/accuracy; translate to a loose value bound
         lo, hi = np.quantile(vals, max(q - 0.01, 0)), np.quantile(vals, min(q + 0.01, 1))
         assert lo <= a <= hi, f"q={q}: {a} not in [{lo}, {hi}] (exact {exact})"
+
+
+def test_percentiles_approx_contract_vs_exact_by_type(spark):
+    """The CONTRACT query `percentiles_approx` (per-event-type GK
+    sketch, accuracy=10000) must sit within the documented rank-error
+    bound eps = 1/accuracy = 1e-4 of the exact per-type quantiles —
+    widened to a +/-0.01 quantile window to absorb interpolation
+    differences at sf0.01 group sizes (~12k rows/type, so 1e-4 rank
+    error is ~1 row; the window is the conservative envelope).  This
+    is the companion check that makes the `no_oracle` CORRECTNESS row
+    a bounded-error claim rather than rows-only."""
+    import numpy as np
+
+    from __spark_entry__ import _q_percentiles_approx
+
+    approx = (
+        _q_percentiles_approx(spark, "/root/testdata/sf0.01")
+        .toPandas()
+        .set_index("event_type")
+    )
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select("event_type", "value")
+        .toPandas()
+    )
+    assert len(approx) == ev.event_type.nunique()
+    for etype, grp in ev.groupby("event_type"):
+        vals = np.sort(grp.value.to_numpy())
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            a = approx.loc[etype, col]
+            lo = np.quantile(vals, max(q - 0.01, 0))
+            hi = np.quantile(vals, min(q + 0.01, 1))
+            assert lo - 1e-4 <= a <= hi + 1e-4, (
+                f"{etype} {col}: {a} not in [{lo}, {hi}]"
+            )
