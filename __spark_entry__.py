@@ -690,45 +690,132 @@ def _q_dedup_xcorr_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_pack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gorilla/delta-of-delta packed 1h tier + in-plan decode check
-    (non-SQL: bit-packing codecs)."""
+    """Gorilla/delta-of-delta codec ROUND-TRIP, oracle-checked: the 1h
+    tier is packed (even user_ids with the columnar codec, odd with the
+    stream codec, so the union exercises the per-row codec dispatch on
+    the read path), then unpacked back to rows and hash-compared
+    against DuckDB's direct 1h rollup.  Codec losslessness becomes a
+    value-level green row instead of a rows-only self-check."""
     _utc(spark)
-    from peakmatch_xcorr_spark.operators.rollup import pack_tier, tumbling_rollup
+    from peakmatch_xcorr_spark.operators.rollup import (
+        pack_tier,
+        tumbling_rollup,
+        unpack_tier,
+    )
 
     rolled = tumbling_rollup(
         _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour"
     ).withColumn("user_id", F.col("user_id").cast("string"))
-    packed = pack_tier(rolled, ["user_id"])
-
-    def check(batches):
-        import numpy as np
-        import pandas as pd
-
-        from peakmatch_xcorr_spark.kernels import codecs
-
-        decoders = {
-            "columnar": (codecs.dod_decode_columnar, codecs.gorilla_decode_columnar),
-            "stream": (codecs.dod_decode, codecs.gorilla_decode),
-        }
-        for pdf in batches:
-            ok = []
-            for r in pdf.itertuples(index=False):
-                dod_decode, gorilla_decode = decoders[r.codec]
-                ts = dod_decode(bytes(r.ts_packed))
-                vals = gorilla_decode(bytes(r.val_packed))
-                ok.append(
-                    len(ts) == r.n_buckets
-                    and len(vals) == r.n_buckets
-                    and bool(np.all(np.diff(ts) > 0))
-                )
-            yield pd.DataFrame(
-                {"user_id": pdf["user_id"], "n_buckets": pdf["n_buckets"],
-                 "roundtrip_ok": ok}
-            )
-
-    return packed.mapInPandas(
-        check, schema="user_id string, n_buckets long, roundtrip_ok boolean"
+    even = rolled.filter(F.col("user_id").cast("int") % 2 == 0)
+    odd = rolled.filter(F.col("user_id").cast("int") % 2 == 1)
+    packed = pack_tier(even, ["user_id"], codec="columnar").unionByName(
+        pack_tier(odd, ["user_id"], codec="stream")
     )
+    out = unpack_tier(packed, ["user_id"])
+    return out.select(
+        F.col("user_id").cast("int").alias("user_id"),
+        "bucket_start",
+        F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+    )
+
+
+_SQL_PACK_ROUNDTRIP = """
+SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+       round(avg(value) + 1e-9, 6) AS vavg
+FROM events GROUP BY 1, 2
+"""
+
+
+# Planted dedup copies: explicit user_ids, all verified PEAK-ELIGIBLE
+# at sf0.01 (featurize emits >=2 peaks, so the kernel never drops
+# them; curve-equal partners of an eligible user are automatically
+# eligible because eligibility is a function of the curve).  Includes
+# both halves of the curve-equal class {48, 77} and one half of
+# {88, 94}; excludes the natural SHIFT-equal pair (128, 68), whose
+# xcorr is 1.0 without curve equality and would break SQL
+# derivability.
+_PLANTED_DEDUP_USERS = (0, 3, 15, 43, 48, 66, 77, 87, 94, 132)
+
+
+def _q_dedup_components_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL peakmatch->FFT-verify->connected-components dedup path
+    as a HASH-CHECKED row: transcripts are the events-derived convs
+    plus planted exact copies (conv 'd<id>' duplicating 'u<id>' for
+    each id in _PLANTED_DEDUP_USERS), final_threshold=0.999 so only
+    exact-equal (xcorr 1.0) curves match, and the output is the
+    (conv_id, keeper) table of components that contain a planted copy.
+
+    Why this is SQL-derivable: at threshold 0.999 the match relation
+    on THIS data is curve equality plus one natural shift-equal pair
+    (u128~u68, neither planted nor curve-equal to a planted user), so
+    the planted-component filter reduces the answer to curve-equality
+    classes containing a planted user — computable in DuckDB with a
+    group-by on the per-user (bucket_idx, turns) curve list.  The FFT
+    kernels stay in the pipeline; only the expected answer is
+    equality-join-derivable."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+    from peakmatch_xcorr_spark.operators.dedup import connected_components
+    from peakmatch_xcorr_spark.operators.pipeline import (
+        find_duplicate_conversations,
+    )
+
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
+    )
+    copies = events.filter(
+        F.col("user_id").isin(*_PLANTED_DEDUP_USERS)
+    ).select(
+        F.concat(F.lit("d"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
+    )
+    conf = EngineConf(
+        peakmatch=PeakmatchConf(expected_len=256, final_threshold=0.999),
+        rollup=RollupConf(activity_curve_len=256),
+    )
+    matches = find_duplicate_conversations(
+        base.unionByName(copies), conf, n_blocks=4
+    )
+    comps = connected_components(matches)  # (id, component=min reachable)
+    planted_roots = (
+        comps.filter(F.col("id").startswith("d")).select("component").distinct()
+    )
+    return (
+        comps.join(planted_roots, "component", "left_semi")
+        .select(F.col("id").alias("conv_id"), F.col("component").alias("keeper"))
+    )
+
+
+_SQL_DEDUP_COMPONENTS_PLANTED = """
+WITH r AS (
+  SELECT user_id, date_trunc('minute', ts) AS bs, count(*) AS turns
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT user_id,
+         CAST((epoch(bs) - min(epoch(bs)) OVER (PARTITION BY user_id)) / 60
+              AS BIGINT) AS i,
+         turns
+  FROM r
+), curves AS (
+  SELECT user_id, list(struct_pack(i := i, t := turns) ORDER BY i) AS curve
+  FROM idx WHERE i < 256 GROUP BY user_id
+), classes AS (
+  SELECT user_id, min(user_id) OVER (PARTITION BY curve) AS class_root
+  FROM curves
+), planted_classes AS (
+  SELECT DISTINCT class_root FROM classes
+  WHERE user_id IN (0, 3, 15, 43, 48, 66, 77, 87, 94, 132)
+), members AS (
+  SELECT 'u' || CAST(c.user_id AS VARCHAR) AS conv_id, c.class_root
+  FROM classes c JOIN planted_classes p USING (class_root)
+  UNION ALL
+  SELECT 'd' || CAST(c.user_id AS VARCHAR) AS conv_id, c.class_root
+  FROM classes c JOIN planted_classes p USING (class_root)
+  WHERE c.user_id IN (0, 3, 15, 43, 48, 66, 77, 87, 94, 132)
+)
+SELECT conv_id, min(conv_id) OVER (PARTITION BY class_root) AS keeper
+FROM members
+"""
 
 
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -920,7 +1007,10 @@ _WIDE_QUERIES = {
     "pivot_event_types": (_q_pivot_event_types, _SQL_PIVOT),
     "retention_1h": (_q_retention_1h, _SQL_RETENTION_1H),
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
-    "pack_roundtrip": (_q_pack_roundtrip, None),
+    "dedup_components_planted": (
+        _q_dedup_components_planted, _SQL_DEDUP_COMPONENTS_PLANTED
+    ),
+    "pack_roundtrip": (_q_pack_roundtrip, _SQL_PACK_ROUNDTRIP),
     "minhash_candidates": (_q_minhash_candidates, None),
     "simhash_fingerprints": (_q_simhash, None),
     "dominant_freq": (_q_dominant_freq, None),

@@ -24,6 +24,35 @@ from peakmatch_xcorr_spark.operators.pairs import peakmatch_scores
 from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
 
 
+def blocked_pair_keys(features: DataFrame, n_blocks: int) -> DataFrame:
+    """The canonical (id_a < id_b) pair-key universe, enumerated as a
+    BLOCKED equi-join on (bi, bj) hash-block pairs — one shuffled join,
+    n_blocks·(n_blocks+1)/2 co-partitioned cells, each pair emitted
+    exactly once.  Never a crossJoin: Spark plans an unconditioned
+    id×id cross as BroadcastNestedLoopJoin, which is driver-bound and
+    quadratic in one task at scale."""
+    from peakmatch_xcorr_spark.operators.pairs import _replicated_sides
+
+    left, right = _replicated_sides(features.select("conv_id"), n_blocks)
+    joined = left.select(F.col("conv_id").alias("id_a"), "bi", "bj").join(
+        right.select(F.col("conv_id").alias("id_b"), "bi", "bj"),
+        ["bi", "bj"],
+    )
+    # cross-block cells (bi < bj) hold each unordered pair exactly once
+    # but in BLOCK orientation, not id orientation — canonicalize with
+    # least/greatest.  Same-block cells (bi == bj) hold both
+    # orientations — the id filter keeps one.
+    return (
+        joined.filter(
+            (F.col("bi") < F.col("bj")) | (F.col("id_a") < F.col("id_b"))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+
+
 def refresh_saved_xcorr(
     spark: SparkSession,
     features: DataFrame,
@@ -33,12 +62,17 @@ def refresh_saved_xcorr(
 ) -> DataFrame:
     """Exact xcorr for every pair NOT already in the saved table;
     append the delta (xcorr.saved semantics, AnalyseProcessor.java:
-    166-258).  Returns the full up-to-date pair table."""
-    all_pairs_needed = (
-        features.select(F.col("conv_id").alias("id_a"))
-        .crossJoin(features.select(F.col("conv_id").alias("id_b")))
-        .filter(F.col("id_a") < F.col("id_b"))
-    )
+    166-258).  Returns the full up-to-date pair table.
+
+    The pair-key universe is enumerated BLOCKED (the J1 hash-block
+    replication, pairs._replicated_sides): the id×id join is an
+    equi-join on the (bi, bj) block pair, never a driver-planned
+    BroadcastNestedLoopJoin — the same plan shape that keeps the
+    kernel stage scalable holds for the key enumeration, so the
+    missing-list derivation survives a features table that outgrows
+    the ANALYSE sample scope (plan-gated in
+    tests/test_partitioning_analyse.py)."""
+    all_pairs_needed = blocked_pair_keys(features, n_blocks)
     if saved.current_version() is not None:
         existing = saved.read(spark)
         missing = all_pairs_needed.join(

@@ -135,6 +135,26 @@ def test_saved_xcorr_delta_is_join_path_with_exact_parity(spark, feats, tmp_path
     assert "FlatMapCoGroupsInPandas" not in plan
 
 
+def test_pair_key_universe_is_blocked_no_bnlj(spark, feats):
+    """The xcorr.saved missing-list derivation enumerates the pair-key
+    universe through the hash-block equi-join (blocked_pair_keys), so
+    the plan must contain NO BroadcastNestedLoopJoin or
+    CartesianProduct — the r2 crossJoin shape was driver-plannable as
+    BNLJ.  Coverage must stay exact: every unordered pair exactly
+    once."""
+    from peakmatch_xcorr_spark.operators.analyse import blocked_pair_keys
+
+    keys = blocked_pair_keys(feats, n_blocks=4)
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    pdf = keys.toPandas()
+    n = feats.count()
+    assert len(pdf) == n * (n - 1) // 2
+    assert not pdf.duplicated(["id_a", "id_b"]).any()
+    assert (pdf.id_a < pdf.id_b).all()
+
+
 def test_featurize_uses_curve_length_not_expected_len(spark):
     """Code-review r2: a conf whose expected_len differs from the
     activity-curve length (the EngineConf default: 4000 vs 256) must
