@@ -122,6 +122,59 @@ def headline_queries(spark, sf_dir: str):
     return qs, extra, events
 
 
+def _lsh_tier_bench(spark, sf_dir: str, n_events: int) -> dict:
+    """The LSH-scoped dedup tier (the 10^9-conversation path) timed at
+    the bench's own data scale, with recall scored against the exact
+    fused blocked path on the SAME conversations — so BENCH_r{N}.json
+    carries the scale tier's throughput AND its quality, not just the
+    64-block exact path's."""
+    from pyspark.sql import functions as F
+
+    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+    from peakmatch_xcorr_spark.operators.features import conversation_features
+    from peakmatch_xcorr_spark.operators.pairs import (
+        fused_prune_verify,
+        lsh_scoped_matches,
+    )
+    from peakmatch_xcorr_spark.operators.pipeline import auto_blocks
+
+    conf = EngineConf(
+        peakmatch=PeakmatchConf(expected_len=256),
+        rollup=RollupConf(activity_curve_len=256),
+    )
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    transcripts = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string"), F.lit("-"),
+                 F.pmod(F.col("event_id"), F.lit(8)).cast("string")).alias("conv_id"),
+        "ts",
+    )
+    feats = conversation_features(
+        transcripts, conf.peakmatch,
+        bucket=conf.rollup.activity_bucket,
+        curve_len=conf.rollup.activity_curve_len,
+    ).cache()
+    feats.count()  # featurize outside the timing: shared by both paths
+    t0 = time.perf_counter()
+    lsh = lsh_scoped_matches(feats, conf.peakmatch).cache()
+    n_lsh = lsh.count()
+    lsh_sec = time.perf_counter() - t0
+    exact = fused_prune_verify(
+        feats, conf.peakmatch, auto_blocks(feats.count())
+    ).cache()
+    n_exact = exact.count()
+    hits = lsh.select("id_a", "id_b").join(
+        exact.select("id_a", "id_b"), ["id_a", "id_b"]
+    ).count()
+    feats.unpersist()
+    return {
+        "sec": round(lsh_sec, 3),
+        "matches": n_lsh,
+        "exact_matches": n_exact,
+        "recall_vs_exact": round(hits / n_exact, 4) if n_exact else None,
+        "turns_per_sec": round(n_events / lsh_sec),
+    }
+
+
 def _kernel_microbench() -> dict:
     """Single-core per-pair kernel timings, directly comparable to the
     reference's published numbers (README.md:24: peakmatch ~1-2 us per
@@ -224,6 +277,7 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         "dedup_pairs_considered": n_pairs,
         "dedup_matches": rows.get("dedup_xcorr"),
         "dedup_match_density": round(rows.get("dedup_xcorr", 0) / n_pairs, 5),
+        "lsh_tier": _lsh_tier_bench(spark, sf_dir, n_events),
         "kernel_microbench": _kernel_microbench(),
     }
 
@@ -338,7 +392,73 @@ def _stress(spark, workdir: str) -> dict:
     }
 
 
+def _skew_experiment(spark) -> dict:
+    """Skew evidence (VERDICT r2 item 5): a fixture where ONE
+    conversation (<0.1% of convs) holds ~half of all turns, measuring
+    (a) the shuffle straggler ratio — max partition rows / mean — when
+    partitioning by conv_id plain vs salted, and (b) rollup wall time
+    through the plain vs the salted two-phase path.
+
+    The straggler ratio is the mechanism: a task stream is as slow as
+    its fattest partition, so bounding max/mean bounds the straggler.
+    Map-side partial aggregation already collapses the rollup's OWN
+    shuffle (keys are (conv, bucket), and partials combine before the
+    exchange), which is why the wall-time delta is modest here — the
+    salted path is the escape hatch for per-conv stages whose state
+    does NOT combine (raw repartition(conv_id) + Python kernels)."""
+    from pyspark.sql import functions as F
+
+    from peakmatch_xcorr_spark.operators.partitioning import (
+        salted_two_phase_rollup,
+        with_salt,
+    )
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.synth import SynthConf, generate_transcripts
+
+    res = generate_transcripts(SynthConf(
+        n_convs=2000, n_dup_pairs=0, mean_rate=1.0,
+        giant_conv=True, giant_scale=2000, seed=11,
+    ))
+    t = spark.createDataFrame(res.transcripts).cache()
+    n = t.count()
+    giant = t.filter(F.col("conv_id") == "conv-giant").count()
+    n_parts = 32
+    salt_buckets = 32
+
+    def straggler(df, *cols):
+        counts = (
+            df.repartition(n_parts, *cols)
+            .withColumn("_p", F.spark_partition_id())
+            .groupBy("_p").count()
+            .toPandas()["count"]
+        )
+        return round(float(counts.max()) / (n / n_parts), 2)
+
+    plain_ratio = straggler(t, "conv_id")
+    salted_ratio = straggler(with_salt(t, salt_buckets, ("ts",)),
+                             "conv_id", "_salt")
+    t0 = time.perf_counter()
+    tumbling_rollup(t, ["conv_id"], "ts", None, "1 minute").count()
+    plain_sec = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    salted_two_phase_rollup(t, "1 minute", salt_buckets=salt_buckets).count()
+    salted_sec = round(time.perf_counter() - t0, 2)
+    t.unpersist()
+    return {
+        "n_turns": n,
+        "giant_turns": giant,
+        "giant_share": round(giant / n, 3),
+        "n_partitions": n_parts,
+        "salt_buckets": salt_buckets,
+        "straggler_ratio_plain": plain_ratio,
+        "straggler_ratio_salted": salted_ratio,
+        "rollup_sec_plain": plain_sec,
+        "rollup_sec_salted": salted_sec,
+    }
+
+
 def _stress_md(r: dict) -> str:
+    s = r["skew"]
     rows = "\n".join(
         f"| {name} | {v['sec']} | {v['rows']} | {v['turns_per_sec']} |"
         for name, v in r["phases"].items()
@@ -363,6 +483,28 @@ against the generator's planted near-duplicate pairs.
   all-pairs (the exact path) is the fallback when recall must be 1.
 - Reproduce: `python bench.py --stress` (input generated once under
   `$SPARK_GRAFT_STRESS_DIR`, default /tmp/pxs_stress).
+
+## Skew: one giant conversation ({s['giant_share']:.0%} of all turns)
+
+Fixture: {s['n_turns']:,} turns across 2,001 conversations where
+`conv-giant` alone holds {s['giant_turns']:,} turns
+({s['giant_share']:.0%}).  Straggler ratio = max partition rows /
+mean, over {s['n_partitions']} shuffle partitions.
+
+| layout | straggler ratio | 1m rollup wall (s) |
+|---|---|---|
+| hash(conv_id), plain | {s['straggler_ratio_plain']} | {s['rollup_sec_plain']} |
+| hash(conv_id, salt), {s['salt_buckets']} salts | **{s['straggler_ratio_salted']}** | {s['rollup_sec_salted']} |
+
+The salted layout bounds the fattest partition to ~mean, so no task
+can run {s['straggler_ratio_plain']}x longer than the pack.  The
+rollup's own wall barely moves because its map-side partial
+aggregation combines (conv, bucket) state BEFORE the exchange — the
+salted two-phase path is the escape hatch for per-conversation stages
+whose state does not combine (raw repartition(conv_id) feeding Python
+kernels), and the engine's curve assembly avoids the problem
+structurally by rolling up to (conv, bucket) rows first
+(features.py docstring).
 """
 
 
@@ -406,6 +548,34 @@ def _scaling_workload(spark, workdir: str) -> dict:
     out_rows += sum(t.count() for t in tiers.values())
     phases["cascade"] = round(time.perf_counter() - t1, 2)
     wall = time.perf_counter() - t0
+
+    # LSH-scoped tier (the 10^9-conversation path), timed end-to-end
+    # INCLUDING its own featurize pass — this is the job a huge corpus
+    # actually runs, so its scaling efficiency is reported alongside
+    # the blocked-exact path's (VERDICT r2 item 6)
+    import json as _json
+
+    from peakmatch_xcorr_spark.operators.features import conversation_features
+    from peakmatch_xcorr_spark.operators.pairs import lsh_scoped_matches
+
+    t1 = time.perf_counter()
+    feats = conversation_features(
+        transcripts, conf.peakmatch,
+        bucket=conf.rollup.activity_bucket,
+        curve_len=conf.rollup.activity_curve_len,
+    )
+    lsh = lsh_scoped_matches(feats, conf.peakmatch).cache()
+    n_lsh = lsh.count()
+    lsh_wall = time.perf_counter() - t1
+    lsh_recall = None
+    pairs_path = f"{workdir}/dup_pairs.json"
+    if os.path.exists(pairs_path):
+        planted = {tuple(p) for p in _json.load(open(pairs_path))}
+        found = {
+            tuple(sorted((r["id_a"], r["id_b"])))
+            for r in lsh.select("id_a", "id_b").collect()
+        }
+        lsh_recall = round(len(planted & found) / len(planted), 4)
     return {
         "n_turns": n_turns,
         "wall_sec": round(wall, 3),
@@ -413,6 +583,10 @@ def _scaling_workload(spark, workdir: str) -> dict:
         "out_rows": out_rows,
         "n_matches": n_matches,
         "phases": phases,
+        "lsh_wall_sec": round(lsh_wall, 3),
+        "lsh_turns_per_sec": round(n_turns / lsh_wall),
+        "lsh_matches": n_lsh,
+        "lsh_recall_planted": lsh_recall,
     }
 
 
@@ -420,16 +594,28 @@ def _gen_scaling_input(workdir: str) -> None:
     # sized so per-core compute (≈200M blocked pair kernels + a 4M-turn
     # rollup cascade) dominates Spark's fixed stage overhead — the
     # scaling-efficiency measurement needs a compute-bound job
+    import json as _json
+
     path = f"{workdir}/transcripts.parquet"
-    if os.path.exists(path):
+    pairs_path = f"{workdir}/dup_pairs.json"
+    if os.path.exists(path) and os.path.exists(pairs_path):
         return
-    from peakmatch_xcorr_spark.synth import SynthConf, write_transcripts_parquet
+    from peakmatch_xcorr_spark.synth import (
+        SynthConf,
+        generate_transcripts,
+        write_transcripts_parquet,
+    )
 
     os.makedirs(workdir, exist_ok=True)
-    write_transcripts_parquet(
-        path,
-        SynthConf(n_convs=20000, n_dup_pairs=200, mean_rate=1.0, seed=7),
-    )
+    synth_conf = SynthConf(n_convs=20000, n_dup_pairs=200, mean_rate=1.0, seed=7)
+    if not os.path.exists(path):
+        res = write_transcripts_parquet(path, synth_conf)
+    else:
+        # parquet from an earlier round without the truth file: the
+        # generator is seeded, so regenerating yields the same pairs
+        res = generate_transcripts(synth_conf)
+    with open(pairs_path, "w") as f:
+        _json.dump(sorted(tuple(sorted(p)) for p in res.dup_pairs), f)
 
 
 def main() -> None:
@@ -447,6 +633,7 @@ def main() -> None:
         _gen_stress_input(workdir)
         spark = build_session(cpus)
         report = _stress(spark, workdir)
+        report["skew"] = _skew_experiment(spark)
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/STRESS.md", "w") as f:
             f.write(_stress_md(report))
@@ -485,11 +672,17 @@ def main() -> None:
         for lo, hi in zip(levels, levels[1:]):
             if hi == 4 * lo:
                 tl, th = results[lo]["turns_per_sec"], results[hi]["turns_per_sec"]
-                pairs.append({
+                p = {
                     "n": lo, "four_n": hi,
                     "speedup": round(th / tl, 3),
                     "efficiency": round((th / tl) / 4, 3),
-                })
+                }
+                ll = results[lo].get("lsh_turns_per_sec")
+                lh = results[hi].get("lsh_turns_per_sec")
+                if ll and lh:
+                    p["lsh_speedup"] = round(lh / ll, 3)
+                    p["lsh_efficiency"] = round((lh / ll) / 4, 3)
+                pairs.append(p)
         report["n_to_4n"] = pairs
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/BASELINE.md", "w") as f:
@@ -508,9 +701,16 @@ def _scaling_md(r: dict) -> str:
         f"{v['phases'].get('cascade', '')} |"
         for name, v in r["levels"].items()
     )
+    lsh_rows = "\n".join(
+        f"| {name} | {v.get('lsh_wall_sec', '')} | "
+        f"{v.get('lsh_turns_per_sec', '')} | {v.get('lsh_matches', '')} | "
+        f"{v.get('lsh_recall_planted', '')} |"
+        for name, v in r["levels"].items()
+    )
     pair_rows = "\n".join(
         f"| local[{p['n']}] → local[{p['four_n']}] | {p['speedup']}× | "
-        f"**{p['efficiency']}** |"
+        f"**{p['efficiency']}** | "
+        f"{p.get('lsh_speedup', '—')}× | **{p.get('lsh_efficiency', '—')}** |"
         for p in r["n_to_4n"]
     )
     return f"""# BENCH — scaling evidence (north rule)
@@ -527,8 +727,18 @@ as local[N] vs local[4N] per the round brief.
 |---|---|---|---|---|---|
 {rows}
 
-| N → 4N | speedup | scaling efficiency (target ≥ 0.8) |
-|---|---|---|
+The LSH-scoped tier — the path a 10^9-conversation corpus actually
+runs, which bounds the pair universe BEFORE the quadratic kernel — is
+timed end-to-end (featurize + signatures + bucketed fused kernel) at
+the same levels, with recall against the generator's 200 planted
+near-duplicate pairs:
+
+| parallelism | lsh wall (s) | lsh turns/sec | matches | recall (planted) |
+|---|---|---|---|---|
+{lsh_rows}
+
+| N → 4N | blocked speedup | blocked efficiency (≥ 0.8) | lsh speedup | lsh efficiency |
+|---|---|---|---|---|
 {pair_rows}
 
 Notes
