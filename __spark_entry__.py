@@ -1628,3 +1628,58 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["band_range_join"] = _SQL_BAND_JOIN
     out["distinct_counts"] = _SQL_DISTINCT
     return out
+
+
+def _q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24h moving aggregates over the 1h tier
+    (rollup.sliding_window_agg): true point-weighted moving average
+    (sum-of-vsum / sum-of-vcount) + moving max + moving turn count per
+    user at every 1h bucket.  One window shuffle, range frame over
+    epoch seconds — DuckDB's RANGE BETWEEN window is the oracle."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import (
+        sliding_window_agg,
+        tumbling_rollup,
+    )
+
+    tier = tumbling_rollup(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour"
+    )
+    out = sliding_window_agg(tier, ["user_id"], "1 day", "1 hour")
+    return out.select(
+        "user_id", "bucket_start", "mturns",
+        F.round(F.col("mavg") + 1e-9, 6).alias("mavg"),
+        F.round(F.col("mmax") + 1e-9, 6).alias("mmax"),
+    )
+
+
+_SQL_ROLLING_24H = """
+WITH t AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         count(*) AS turns, count(value) AS vcount, sum(value) AS vsum,
+         max(value) AS vmax
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, bucket_start,
+       CAST(sum(turns) OVER w AS BIGINT) AS mturns,
+       round(sum(vsum) OVER w / sum(vcount) OVER w + 1e-9, 6) AS mavg,
+       round(max(vmax) OVER w + 1e-9, 6) AS mmax
+FROM t
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(bucket_start)
+             RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
+"""
+
+_Q8 = queries
+_O8 = oracle_sql
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _Q8()
+    out["rolling_24h"] = _q_rolling_24h
+    return out
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _O8()
+    out["rolling_24h"] = _SQL_ROLLING_24H
+    return out

@@ -563,10 +563,15 @@ def _scaling_workload(spark, workdir: str) -> dict:
         transcripts, conf.peakmatch,
         bucket=conf.rollup.activity_bucket,
         curve_len=conf.rollup.activity_curve_len,
-    )
+    ).cache()
+    feats.count()  # inside the timing: featurize is part of the tier's
+    # job — but cached, because lsh_scoped_matches references the
+    # features THREE times (bucket join, star branch, fft precache)
+    # and an uncached subtree re-runs featurize per reference
     lsh = lsh_scoped_matches(feats, conf.peakmatch).cache()
     n_lsh = lsh.count()
     lsh_wall = time.perf_counter() - t1
+    feats.unpersist()
     lsh_recall = None
     pairs_path = f"{workdir}/dup_pairs.json"
     if os.path.exists(pairs_path):

@@ -260,22 +260,49 @@ def fused_prune_verify(
     )
 
 
-def _spectral_sig_vectors(features: DataFrame, spec_bins: int) -> DataFrame:
-    """(conv_id, spec): per-vector-centered log-magnitude spectrum of
-    the activity curve, unit-normalized — the LSH signature input.
+def _spectral_band_sigs(
+    features: DataFrame, spec_bins: int, n_planes: int, bands: int
+) -> DataFrame:
+    """(conv_id, band, sig): SRP-LSH band signatures of the activity
+    curve's per-vector-centered log-magnitude spectrum.
 
     The match metric (max-over-lags xcorr) is SHIFT-INVARIANT, so the
     signature must be too: SRP over the raw curve is lag-0 cosine and
     loses lag-shifted near-dups (measured recall 0.24 vs 0.97 spectral
     at a 20k corpus).  |rfft| is shift-invariant; log compression +
     per-vector centering remove the common smooth Poisson shape that
-    would otherwise put most of the corpus in one bucket.  One linear
-    batched-FFT pass (the fft_precache pattern), no shuffle."""
+    would otherwise put most of the corpus in one bucket.
+
+    The random projection runs INSIDE the same Arrow UDF as the
+    spectrum — one (batch x spec_bins) @ (spec_bins x n_planes) numpy
+    matmul, sign bits packed into one int64 per band — rather than as
+    JVM column expressions.  The expression form (128 plane dots with
+    8k folded literals through higher-order functions) cost ~20 s of
+    SERIAL driver analysis/codegen per query and evaluated interpreted
+    per element; that serial floor capped the LSH tier's measured
+    scaling efficiency at 0.52 on the r3 sweep.  One linear batched
+    pass, no shuffle.  Hyperplanes are the same per-plane PCG draws as
+    similarity._hyperplane (independent planes; an LCG chain
+    correlates them and silently costs recall)."""
+    import numpy as np
+
+    from peakmatch_xcorr_spark.operators.similarity import _hyperplane
+
+    if n_planes % bands != 0:
+        raise ValueError(
+            f"n_planes ({n_planes}) must be divisible by bands ({bands}); "
+            "trailing planes would be computed but silently unused"
+        )
+    rows_per_band = n_planes // bands
+    planes = np.stack(
+        [np.asarray(_hyperplane(spec_bins, p)) for p in range(n_planes)]
+    )
 
     def run(batches):
         import numpy as np
         import pandas as pd
 
+        weights = 1 << np.arange(rows_per_band, dtype=np.int64)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -289,16 +316,19 @@ def _spectral_sig_vectors(features: DataFrame, spec_bins: int) -> DataFrame:
             if lg.shape[1] < spec_bins:
                 # short series yield fewer bins than the hyperplane
                 # dim; zero-pad AFTER the stats so every spec is
-                # exactly spec_bins wide — a ragged vector would
-                # null-pad inside the JVM dot and every LSH bit (and
-                # so every signature) would go null
+                # exactly spec_bins wide
                 lg = np.pad(lg, ((0, 0), (0, spec_bins - lg.shape[1])))
-            yield pd.DataFrame(
-                {"conv_id": pdf["conv_id"].to_numpy(), "spec": list(lg)}
-            )
+            n = len(lg)
+            bits = (lg @ planes.T) > 0  # n x n_planes
+            sigs = bits.reshape(n, bands, rows_per_band).astype(np.int64) @ weights
+            yield pd.DataFrame({
+                "conv_id": np.repeat(pdf["conv_id"].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "sig": sigs.reshape(-1),
+            })
 
     return features.select("conv_id", "series").mapInPandas(
-        run, schema="conv_id string, spec array<double>"
+        run, schema="conv_id string, band int, sig long"
     )
 
 
@@ -313,7 +343,7 @@ def lsh_scoped_matches(
     """The 10^9-conversation tier above blocking (DESIGN.md §3):
     bound the pair universe FIRST with signed-random-projection LSH
     over the curves' magnitude spectra (shift-invariant, see
-    ``_spectral_sig_vectors``), then run the fused peakmatch+FFT
+    ``_spectral_band_sigs``), then run the fused peakmatch+FFT
     kernel only within LSH buckets.
 
     Near-duplicate curves agree on most projection signs, so they
@@ -326,19 +356,10 @@ def lsh_scoped_matches(
     candidate-pair reduction.  Recall on planted dups is asserted in
     tests.
     """
-    from peakmatch_xcorr_spark.operators.similarity import lsh_signatures
-
     # spec vectors are padded to exactly spec_bins inside the UDF, so
     # the hyperplane dim never depends on the (possibly differing)
     # conf.expected_len vs actual curve length
-    sigs = lsh_signatures(
-        _spectral_sig_vectors(features, spec_bins),
-        dim=spec_bins,
-        n_planes=n_planes,
-        id_col="conv_id",
-        vec_col="spec",
-        bands=bands,
-    )
+    sigs = _spectral_band_sigs(features, spec_bins, n_planes, bands)
     cand_t = conf.candidate_threshold
     final_t = conf.final_threshold
     stride = conf.sampling_stride
@@ -359,9 +380,7 @@ def lsh_scoped_matches(
     # re-derives the spectral-FFT + 128-plane subtree and plan
     # analysis multiplies (measured: minutes for a 30-row input).
     # Lazy localCheckpoint computes it once at first action.
-    bucketed = sigs.select(
-        F.col("id").alias("conv_id"), "band", "sig"
-    ).localCheckpoint(eager=False)
+    bucketed = sigs.localCheckpoint(eager=False)
     all_counts = bucketed.groupBy("band", "sig").count()
     counts = all_counts.filter(
         (F.col("count") > 1) & (F.col("count") <= max_bucket)

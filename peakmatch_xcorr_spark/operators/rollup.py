@@ -136,6 +136,54 @@ def cascade_tier(
     return out.select(*keys, "bucket_start", *cols)
 
 
+def sliding_window_agg(
+    tier: DataFrame,
+    keys: list[str],
+    span: str | int,
+    bucket: str,
+    ts_col: str = "bucket_start",
+) -> DataFrame:
+    """Trailing time-window aggregates over a rolled tier: for every
+    (key, bucket) row, the aggregate of all tier rows whose bucket
+    start lies in ``(t - span, t]`` — a moving average / moving
+    extrema surface (``mavg``/``mmin``/``mmax``/``mturns``) computed
+    from the tier's decomposable stats, so the moving average is the
+    TRUE point average (sum-of-vsum / sum-of-vcount), not an
+    average-of-averages.
+
+    Implementation: ONE window shuffle on ``keys``; the frame is a
+    ``rangeBetween`` over epoch seconds, so gaps in the tier cost
+    nothing (no scaffold needed — absent buckets contribute nothing,
+    exactly like a time-predicated self-join, without the join).
+    Range frames evaluate in O(rows) per partition via the sliding
+    frame state; skew is bounded per key like every tier op.
+    """
+    span_s = bucket_seconds(span) if isinstance(span, str) else int(span)
+    step = bucket_seconds(bucket)
+    if span_s % step or span_s < step:
+        raise ValueError(
+            f"span {span_s}s must be a positive multiple of bucket {step}s"
+        )
+    tier = ensure_vcount(tier)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(epoch_seconds(ts_col).alias("_es"))
+        # starts >= t - span + step  <=>  starts > t - span
+        .rangeBetween(-(span_s - step), 0)
+    )
+    return tier.select(
+        *keys,
+        ts_col,
+        F.sum("turns").over(w).alias("mturns"),
+        F.when(
+            F.sum("vcount").over(w) > 0,
+            F.sum("vsum").over(w) / F.sum("vcount").over(w),
+        ).alias("mavg"),
+        F.min("vmin").over(w).alias("mmin"),
+        F.max("vmax").over(w).alias("mmax"),
+    )
+
+
 def rollup_cascade(
     df: DataFrame,
     keys: list[str],

@@ -281,3 +281,47 @@ def test_unpack_legacy_codecless_payload_uses_stream(spark, events):
         .toPandas().sort_values(["user_id", "bucket_start"]).reset_index(drop=True)
     )
     np.testing.assert_array_equal(unpacked.vavg.to_numpy(), exp.vavg.to_numpy())
+
+
+def test_sliding_window_agg_semantics(spark):
+    """Hand-built 1h tier: the trailing 3h frame is (t-3h, t] — the
+    current bucket plus the two preceding hours, gaps contribute
+    nothing, and mavg is the POINT-weighted mean (sum vsum / sum
+    vcount), not an average of bucket averages."""
+    import datetime as dt
+
+    from peakmatch_xcorr_spark.operators.rollup import sliding_window_agg
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    # buckets at 00,01,03 (02 missing): frame at 03 must include 01
+    # and 03 but NOT 00 (outside (00:00, 03:00] ... 00 is at t-3h,
+    # which the half-open frame excludes)
+    rows = [
+        ("u", ts(0), 1, 1, 10.0, 10.0, 10.0, 10.0),
+        ("u", ts(1), 3, 3, 30.0, 0.0, 20.0, 10.0),
+        ("u", ts(3), 1, 1, 2.0, 2.0, 2.0, 2.0),
+    ]
+    tier = spark.createDataFrame(
+        rows,
+        "user_id string, bucket_start timestamp, turns long, vcount long,"
+        " vsum double, vmin double, vmax double, vavg double",
+    )
+    out = (
+        sliding_window_agg(tier, ["user_id"], 3 * 3600, "1 hour")
+        .toPandas()
+        .set_index("bucket_start")
+        .sort_index()
+    )
+    assert out.loc[ts(0)].mturns == 1 and out.loc[ts(0)].mavg == 10.0
+    # at 01: both buckets; point-weighted mean = 40/4, NOT (10+10)/2
+    assert out.loc[ts(1)].mturns == 4
+    assert out.loc[ts(1)].mavg == pytest.approx(10.0)
+    assert out.loc[ts(1)].mmax == 20.0
+    # at 03: bucket 00 fell out of the frame, gap at 02 contributes 0
+    assert out.loc[ts(3)].mturns == 4
+    assert out.loc[ts(3)].mavg == pytest.approx(32.0 / 4)
+    assert out.loc[ts(3)].mmax == 20.0
+    with pytest.raises(ValueError):
+        sliding_window_agg(tier, ["user_id"], 5400, "1 hour")
