@@ -1669,6 +1669,50 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch(bucket_start)
              RANGE BETWEEN 82800 PRECEDING AND CURRENT ROW)
 """
 
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape (shipping-priority): segment-filtered customers
+    x orders x lineitem, revenue per order, top 10.  Exercises the
+    multi-way broadcast-then-shuffle join + agg + global top-k path;
+    the tiebreak on the unique l_orderkey makes the LIMIT set
+    deterministic on both engines."""
+    _utc(spark)
+    cutoff = "1998-06-15"
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-9, 2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+_SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-15'
+  AND l_shipdate > TIMESTAMP '1998-06-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
 _Q8 = queries
 _O8 = oracle_sql
 
@@ -1676,10 +1720,12 @@ _O8 = oracle_sql
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
     out = _Q8()
     out["rolling_24h"] = _q_rolling_24h
+    out["tpch_q3"] = _q_tpch_q3
     return out
 
 
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _O8()
     out["rolling_24h"] = _SQL_ROLLING_24H
+    out["tpch_q3"] = _SQL_TPCH_Q3
     return out
