@@ -132,3 +132,41 @@ def test_blocked_similarity_queries_have_no_bnlj(spark):
         p = plan(qs[name](spark, SF))
         assert "BroadcastNestedLoopJoin" not in p, name
         assert "FlatMapCoGroupsInPandas" in p, name
+
+
+def test_sliding_window_single_exchange_and_pruned_scan(spark, events):
+    """sliding_window_agg = ONE window exchange on the keys beyond the
+    rollup's own; the range frame must appear as a RANGE BETWEEN
+    specification, not a self-join (no Join operator at all)."""
+    from peakmatch_xcorr_spark.operators.rollup import (
+        sliding_window_agg,
+        tumbling_rollup,
+    )
+
+    tier = tumbling_rollup(events, ["user_id"], "ts", "value", "1 hour")
+    df = sliding_window_agg(tier, ["user_id"], "1 day", "1 hour")
+    p = plan(df)
+    assert "Window" in p
+    assert "Join" not in p  # moving agg via frame, never a self-join
+    # rollup shuffle + window repartition on user_id only (formatted
+    # output prints each operator twice: tree line + detail header)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema
+
+
+def test_tpch_q3_broadcasts_customer(spark):
+    """The dimension side of the Q3 join must broadcast; the fact-side
+    date filters must push to the scans."""
+    from __spark_entry__ import _q_tpch_q3
+
+    df = _q_tpch_q3(spark, SF)
+    p = plan(df)
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "PushedFilters" in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    assert any("l_shipdate" in s for s in pushed)
