@@ -481,6 +481,16 @@ against the generator's planted near-duplicate pairs.
   Bounded recall is the documented tradeoff of the scoped tier (the
   reference documents FN the same way, README.md:22); blocked
   all-pairs (the exact path) is the fallback when recall must be 1.
+- Decomposition (measured r3, this input): end-to-end recall =
+  bucket recall **0.971** (planted pair lands in a shared
+  under-cap bucket) × peakmatch-prune pass rate **0.884** (the
+  reference's own approximation FN at candidate-threshold 0.55 —
+  every planted pair scores above final-threshold in EXACT xcorr,
+  ceiling 1.0) ≈ 0.86.  The blocked exact-verify path pays the same
+  0.884 prune factor, so the LSH tier's own incremental loss is only
+  ~3 points; query-directed multiprobe (weakest-bit flip per band)
+  measured bucket recall 1.0 but at 2.9x the candidate pairs — not
+  worth the default.
 - Reproduce: `python bench.py --stress` (input generated once under
   `$SPARK_GRAFT_STRESS_DIR`, default /tmp/pxs_stress).
 
