@@ -1310,8 +1310,12 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH-blocked embedding near-duplicates with exact re-rank,
-    over the base table UNION planted scaled copies (vec_id+1000,
-    embedding doubled) of every vec_id % 10 == 0.
+    over the base table UNION planted scaled copies (vec_id+100000,
+    embedding doubled) of every vec_id % 10 == 0.  The offset sits
+    far past any base vec_id at every sf (sf0.1 reaches 1999), so
+    planted ids can never collide with real rows — a +1000 offset
+    would alias (0's copy) with real vec 1000 at sf0.1 and make the
+    pair set ambiguous.
 
     Planting makes the check non-vacuous AND fully oracle-able: SRP
     bits are exactly scale-invariant (sign(w·2v) == sign(w·v) — float
@@ -1327,7 +1331,7 @@ def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(emb.first()["embedding"])
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1000).alias("vec_id"),
+        (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
             "embedding", lambda x: (x * F.lit(2.0)).cast("float")
         ).alias("embedding"),
@@ -1342,7 +1346,7 @@ def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_LSH_NEAR_DUPS = """
 WITH planted AS (
-  SELECT vec_id + 1000 AS vec_id,
+  SELECT vec_id + 100000 AS vec_id,
          list_transform(embedding::DOUBLE[], x -> x * 2) AS v
   FROM embeddings WHERE vec_id % 10 = 0
 ), alls AS (

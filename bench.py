@@ -166,6 +166,8 @@ def _lsh_tier_bench(spark, sf_dir: str, n_events: int) -> dict:
         exact.select("id_a", "id_b"), ["id_a", "id_b"]
     ).count()
     feats.unpersist()
+    lsh.unpersist()
+    exact.unpersist()
     return {
         "sec": round(lsh_sec, 3),
         "matches": n_lsh,

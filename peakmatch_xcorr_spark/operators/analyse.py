@@ -20,37 +20,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from peakmatch_xcorr_spark.config import PeakmatchConf
-from peakmatch_xcorr_spark.operators.pairs import peakmatch_scores
+from peakmatch_xcorr_spark.operators.pairs import (
+    blocked_pair_keys,
+    peakmatch_scores,
+)
 from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
-
-
-def blocked_pair_keys(features: DataFrame, n_blocks: int) -> DataFrame:
-    """The canonical (id_a < id_b) pair-key universe, enumerated as a
-    BLOCKED equi-join on (bi, bj) hash-block pairs — one shuffled join,
-    n_blocks·(n_blocks+1)/2 co-partitioned cells, each pair emitted
-    exactly once.  Never a crossJoin: Spark plans an unconditioned
-    id×id cross as BroadcastNestedLoopJoin, which is driver-bound and
-    quadratic in one task at scale."""
-    from peakmatch_xcorr_spark.operators.pairs import _replicated_sides
-
-    left, right = _replicated_sides(features.select("conv_id"), n_blocks)
-    joined = left.select(F.col("conv_id").alias("id_a"), "bi", "bj").join(
-        right.select(F.col("conv_id").alias("id_b"), "bi", "bj"),
-        ["bi", "bj"],
-    )
-    # cross-block cells (bi < bj) hold each unordered pair exactly once
-    # but in BLOCK orientation, not id orientation — canonicalize with
-    # least/greatest.  Same-block cells (bi == bj) hold both
-    # orientations — the id filter keeps one.
-    return (
-        joined.filter(
-            (F.col("bi") < F.col("bj")) | (F.col("id_a") < F.col("id_b"))
-        )
-        .select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-        )
-    )
 
 
 def refresh_saved_xcorr(

@@ -53,6 +53,34 @@ def _replicated_sides(features: DataFrame, n_blocks: int) -> tuple[DataFrame, Da
     return left, right
 
 
+def blocked_pair_keys(features: DataFrame, n_blocks: int) -> DataFrame:
+    """The canonical (id_a < id_b) pair-key universe, enumerated as a
+    BLOCKED equi-join on (bi, bj) hash-block pairs — one shuffled join,
+    n_blocks·(n_blocks+1)/2 co-partitioned cells, each pair emitted
+    exactly once.  Never a crossJoin: Spark plans an unconditioned
+    id×id cross as BroadcastNestedLoopJoin, which is driver-bound and
+    quadratic in one task at scale.  (Used by the xcorr.saved
+    missing-list derivation, operators/analyse.py.)"""
+    left, right = _replicated_sides(features.select("conv_id"), n_blocks)
+    joined = left.select(F.col("conv_id").alias("id_a"), "bi", "bj").join(
+        right.select(F.col("conv_id").alias("id_b"), "bi", "bj"),
+        ["bi", "bj"],
+    )
+    # cross-block cells (bi < bj) hold each unordered pair exactly once
+    # but in BLOCK orientation, not id orientation — canonicalize with
+    # least/greatest.  Same-block cells (bi == bj) hold both
+    # orientations — the id filter keeps one.
+    return (
+        joined.filter(
+            (F.col("bi") < F.col("bj")) | (F.col("id_a") < F.col("id_b"))
+        )
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+
+
 def peakmatch_scores(
     features: DataFrame,
     conf: PeakmatchConf,

@@ -72,7 +72,7 @@ def test_lsh_near_dups_cover_exact_high_cosine(spark, embeddings):
 
 
 def test_lsh_near_dups_contract_recall_on_planted(spark):
-    """The contract query plants scaled copies (vec_id+1000, x2) of
+    """The contract query plants scaled copies (vec_id+100000, x2) of
     every vec_id % 10 == 0 in the sf0.01 embeddings.  SRP signatures
     are exactly scale-invariant, so LSH must recover EVERY planted
     pair: documented recall == 1.0 (50/50), not a probabilistic bound.
@@ -80,7 +80,7 @@ def test_lsh_near_dups_contract_recall_on_planted(spark):
     from __spark_entry__ import _q_lsh_near_dups
 
     got = _q_lsh_near_dups(spark, "/root/testdata/sf0.01").toPandas()
-    planted = {(i, i + 1000) for i in range(0, 500, 10)}
+    planted = {(i, i + 100000) for i in range(0, 500, 10)}
     got_set = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
     assert got_set == planted  # recall 1.0, precision 1.0
     assert (got.cosine == 1.0).all()
