@@ -1733,3 +1733,27 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["rolling_24h"] = _SQL_ROLLING_24H
     out["tpch_q3"] = _SQL_TPCH_Q3
     return out
+
+
+def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (rsd=0.02) — the
+    100 TB path for distinct counts: one mergeable-sketch pass,
+    map-side combinable, vs exact countDistinct's expand + two-phase
+    shuffle.  Rows-only (the sketch estimate is algorithm-specific);
+    the companion pytest bounds |approx - exact| / exact by 3*rsd
+    against the oracle-checked exact `distinct_counts`."""
+    _utc(spark)
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_Q9 = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _Q9()
+    out["approx_distinct_users"] = _q_approx_distinct_users
+    return out

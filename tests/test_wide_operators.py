@@ -454,3 +454,25 @@ def test_percentiles_approx_contract_vs_exact_by_type(spark):
             assert lo - 1e-4 <= a <= hi + 1e-4, (
                 f"{etype} {col}: {a} not in [{lo}, {hi}]"
             )
+
+
+def test_approx_distinct_within_hll_error_bound(spark):
+    """The `approx_distinct_users` contract query (HLL++, rsd=0.02)
+    must sit within 3*rsd = 6% of the exact per-type distinct counts
+    that the oracle-checked `distinct_counts` query verifies — the
+    companion assertion that makes the rows-only sketch a
+    bounded-error claim."""
+    from __spark_entry__ import _q_approx_distinct_users
+
+    approx = (
+        _q_approx_distinct_users(spark, "/root/testdata/sf0.01")
+        .toPandas().set_index("event_type")
+    )
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        .select("event_type", "user_id").toPandas()
+    )
+    for etype, grp in ev.groupby("event_type"):
+        true_n = grp.user_id.nunique()
+        a = approx.loc[etype, "approx_users"]
+        assert abs(a - true_n) / true_n <= 0.06, f"{etype}: {a} vs {true_n}"
