@@ -56,7 +56,13 @@ def refresh_saved_xcorr(
         existing = None
         missing = all_pairs_needed
     if missing.limit(1).count() == 0:
-        return existing
+        if existing is not None:
+            return existing
+        # cold table AND zero pairs (0/1-conversation features): an
+        # empty typed frame, never None — callers chain DataFrame ops
+        return spark.createDataFrame(
+            [], "id_a string, id_b string, score double"
+        )
     if existing is None:
         # cold start: ALL pairs are missing — the blocked cogroup is
         # the cheap plan (per-block FFT batching, zero per-pair FFT

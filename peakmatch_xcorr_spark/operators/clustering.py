@@ -71,16 +71,9 @@ def pair_distances(
     euclidean = sqrt(Σ(a-b)²); cosine = 1 - Σ a·b (unit vectors), the
     reference's two distance functions (ClusteringProcessor.java:199-239).
     """
-    fb = feats.withColumn(
-        "block", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int")
-    )
-    blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
-    left = fb.withColumn(
-        "bj", F.explode(F.filter(blocks, lambda x: x >= F.col("block")))
-    ).withColumnRenamed("block", "bi")
-    right = fb.withColumn(
-        "bi", F.explode(F.filter(blocks, lambda x: x <= F.col("block")))
-    ).withColumnRenamed("block", "bj")
+    from peakmatch_xcorr_spark.operators.pairs import _replicated_sides
+
+    left, right = _replicated_sides(feats, n_blocks, id_col="id")
 
     def compute(key, lpdf, rpdf):
         import numpy as np

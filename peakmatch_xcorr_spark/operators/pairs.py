@@ -30,19 +30,23 @@ from peakmatch_xcorr_spark.config import PeakmatchConf
 PAIR_SCORE_SCHEMA = "id_a string, id_b string, score double"
 
 
-def _with_block(features: DataFrame, n_blocks: int) -> DataFrame:
+def _with_block(
+    features: DataFrame, n_blocks: int, id_col: str = "conv_id"
+) -> DataFrame:
     """Deterministic hash block per event — no global sort, no skew
     (vs. rank-based blocking which would need a total order)."""
     return features.withColumn(
-        "block", F.pmod(F.xxhash64("conv_id"), F.lit(n_blocks)).cast("int")
+        "block", F.pmod(F.xxhash64(id_col), F.lit(n_blocks)).cast("int")
     )
 
 
-def _replicated_sides(features: DataFrame, n_blocks: int) -> tuple[DataFrame, DataFrame]:
+def _replicated_sides(
+    features: DataFrame, n_blocks: int, id_col: str = "conv_id"
+) -> tuple[DataFrame, DataFrame]:
     """Left side: event of block b participates in block pairs (b, bj)
     for all bj >= b.  Right side: (bi, b) for all bi <= b.  Every
     unordered block pair is covered exactly once."""
-    fb = _with_block(features, n_blocks)
+    fb = _with_block(features, n_blocks, id_col)
     blocks = F.sequence(F.lit(0), F.lit(n_blocks - 1))
     left = fb.withColumn(
         "bj", F.explode(F.filter(blocks, lambda x: x >= F.col("block")))
@@ -51,6 +55,56 @@ def _replicated_sides(features: DataFrame, n_blocks: int) -> tuple[DataFrame, Da
         "bi", F.explode(F.filter(blocks, lambda x: x <= F.col("block")))
     ).withColumnRenamed("block", "bj")
     return left, right
+
+
+def _empty_pairs(*value_cols: str):
+    """Typed empty (id_a, id_b, *value_cols) frame — the zero-row
+    return of every cogroup kernel.  Explicit dtypes: pandas types
+    fresh empty columns float64/object arbitrarily, and pyarrow
+    rejects mistyped empties at the Arrow boundary."""
+    import pandas as pd
+
+    d = {"id_a": pd.Series(dtype="object"), "id_b": pd.Series(dtype="object")}
+    for c in value_cols:
+        d[c] = pd.Series(dtype="float64")
+    return pd.DataFrame(d)
+
+
+def _guard_payload(same: bool, lpdf, rpdf) -> None:
+    """Fail loudly if Spark 4.1's ColumnPruning ever strips the
+    cogroup payload struct again (non-grouping child columns of a
+    cogroup are pruned when downstream references don't name them; the
+    single-struct payload survives — tested)."""
+    if "p" not in lpdf.columns or (not same and "p" not in rpdf.columns):
+        raise RuntimeError("cogroup payload pruned by optimizer")
+
+
+def _unpack_payload(pdf):
+    """Struct payload column -> (ids, series, max_peaks, min_peaks,
+    above_idx) in STABLE id order (the kernels' canonical-orientation
+    masks assume both sides sorted the same way)."""
+    import numpy as np
+
+    p = list(pdf["p"])
+    ids = np.array([r["conv_id"] for r in p])
+    order = np.argsort(ids, kind="stable")
+    return (
+        ids[order],
+        np.stack([np.asarray(p[i]["series"], dtype=np.float64) for i in order]),
+        np.stack([np.asarray(p[i]["max_peaks"], dtype=np.int64) for i in order]),
+        np.stack([np.asarray(p[i]["min_peaks"], dtype=np.int64) for i in order]),
+        [np.asarray(p[i]["above_idx"], dtype=np.int64) for i in order],
+    )
+
+
+def _grouped_payload(left: DataFrame, right: DataFrame):
+    """Pack the feature columns into ONE struct per side and group by
+    the block-pair cell (see _guard_payload for why a struct)."""
+    cols = ["conv_id", "series", "max_peaks", "min_peaks", "above_idx"]
+    payload = F.struct(*cols).alias("p")
+    lg = left.select("bi", "bj", payload).groupBy("bi", "bj")
+    rg = right.select("bi", "bj", payload).groupBy("bi", "bj")
+    return lg, rg
 
 
 def blocked_pair_keys(features: DataFrame, n_blocks: int) -> DataFrame:
@@ -107,31 +161,12 @@ def peakmatch_scores(
 
         bi, bj = key
         same = bi == bj
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="object"),
-                              "id_b": pd.Series(dtype="object"),
-                              "score": pd.Series(dtype="float64")})
+        empty = _empty_pairs("score")
         # an absent cogroup side arrives as a zero-column frame
         if len(lpdf) == 0 or (not same and len(rpdf) == 0):
             return empty
-        if "p" not in lpdf.columns or (not same and "p" not in rpdf.columns):
-            # guard: Spark 4.1's ColumnPruning can strip non-grouping
-            # child columns of a cogroup; the single-struct payload
-            # survives it (see tests) — fail loudly if that changes
-            raise RuntimeError("cogroup payload pruned by optimizer")
-
-        def unpack(pdf):
-            p = list(pdf["p"])
-            ids = np.array([r["conv_id"] for r in p])
-            order = np.argsort(ids, kind="stable")
-            return (
-                ids[order],
-                np.stack([np.asarray(p[i]["series"], dtype=np.float64) for i in order]),
-                np.stack([np.asarray(p[i]["max_peaks"], dtype=np.int64) for i in order]),
-                np.stack([np.asarray(p[i]["min_peaks"], dtype=np.int64) for i in order]),
-                [np.asarray(p[i]["above_idx"], dtype=np.int64) for i in order],
-            )
-
-        l_ids, l_series, l_max, l_min, l_above = unpack(lpdf)
+        _guard_payload(same, lpdf, rpdf)
+        l_ids, l_series, l_max, l_min, l_above = _unpack_payload(lpdf)
 
         def emit(mat, a_ids, b_ids, mask):
             ii, jj = np.nonzero(mask)
@@ -158,7 +193,7 @@ def peakmatch_scores(
                 )
             return emit(mat, l_ids, l_ids, tri)
 
-        r_ids, r_series, r_max, r_min, r_above = unpack(rpdf)
+        r_ids, r_series, r_max, r_min, r_above = _unpack_payload(rpdf)
         lt = l_ids[:, None] < r_ids[None, :]
         if exact:
             mat = fft_xcorr_block(l_series, r_series)
@@ -179,10 +214,7 @@ def peakmatch_scores(
             emit(mat_rl, r_ids, l_ids, ~lt.T),
         ], ignore_index=True)
 
-    cols = ["conv_id", "series", "max_peaks", "min_peaks", "above_idx"]
-    payload = F.struct(*cols).alias("p")
-    lg = left.select("bi", "bj", payload).groupBy("bi", "bj")
-    rg = right.select("bi", "bj", payload).groupBy("bi", "bj")
+    lg, rg = _grouped_payload(left, right)
     return lg.cogroup(rg).applyInPandas(compute, schema=PAIR_SCORE_SCHEMA)
 
 
@@ -220,28 +252,11 @@ def fused_prune_verify(
 
         bi, bj = key
         same = bi == bj
-        empty = pd.DataFrame({"id_a": pd.Series(dtype="object"),
-                              "id_b": pd.Series(dtype="object"),
-                              "score": pd.Series(dtype="float64"),
-                              "xcorr": pd.Series(dtype="float64")})
+        empty = _empty_pairs("score", "xcorr")
         if len(lpdf) == 0 or (not same and len(rpdf) == 0):
             return empty
-        if "p" not in lpdf.columns or (not same and "p" not in rpdf.columns):
-            raise RuntimeError("cogroup payload pruned by optimizer")
-
-        def unpack(pdf):
-            p = list(pdf["p"])
-            ids = np.array([r["conv_id"] for r in p])
-            order = np.argsort(ids, kind="stable")
-            return (
-                ids[order],
-                np.stack([np.asarray(p[i]["series"], dtype=np.float64) for i in order]),
-                np.stack([np.asarray(p[i]["max_peaks"], dtype=np.int64) for i in order]),
-                np.stack([np.asarray(p[i]["min_peaks"], dtype=np.int64) for i in order]),
-                [np.asarray(p[i]["above_idx"], dtype=np.int64) for i in order],
-            )
-
-        l_ids, l_series, l_max, l_min, l_above = unpack(lpdf)
+        _guard_payload(same, lpdf, rpdf)
+        l_ids, l_series, l_max, l_min, l_above = _unpack_payload(lpdf)
 
         def finish(mat, a_ids, a_series, b_ids, b_series, mask):
             cand = mask & (mat > cand_t)
@@ -265,7 +280,7 @@ def fused_prune_verify(
             )
             return finish(mat, l_ids, l_series, l_ids, l_series, tri)
 
-        r_ids, r_series, r_max, r_min, r_above = unpack(rpdf)
+        r_ids, r_series, r_max, r_min, r_above = _unpack_payload(rpdf)
         lt = l_ids[:, None] < r_ids[None, :]
         mat_lr = peakmatch_block(
             l_series, l_max, l_min, r_series, r_max, r_min, r_above, stride,
@@ -279,10 +294,7 @@ def fused_prune_verify(
         out_rl = finish(mat_rl, r_ids, r_series, l_ids, l_series, ~lt.T)
         return pd.concat([out_lr, out_rl], ignore_index=True)
 
-    cols = ["conv_id", "series", "max_peaks", "min_peaks", "above_idx"]
-    payload = F.struct(*cols).alias("p")
-    lg = left.select("bi", "bj", payload).groupBy("bi", "bj")
-    rg = right.select("bi", "bj", payload).groupBy("bi", "bj")
+    lg, rg = _grouped_payload(left, right)
     return lg.cogroup(rg).applyInPandas(
         compute, schema="id_a string, id_b string, score double, xcorr double"
     )
@@ -434,7 +446,9 @@ def lsh_scoped_matches(
         ids = pdf["conv_id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
-        series = np.stack([np.asarray(pdf["series"].iloc[i]) for i in order])
+        series = np.stack(
+            [np.asarray(pdf["series"].iloc[i], dtype=np.float64) for i in order]
+        )
         mx = np.stack([np.asarray(pdf["max_peaks"].iloc[i]) for i in order])
         mn = np.stack([np.asarray(pdf["min_peaks"].iloc[i]) for i in order])
         ab = [np.asarray(pdf["above_idx"].iloc[i]) for i in order]

@@ -257,6 +257,11 @@ class ContinuousAggregate:
                 break
             if fv is None or fv < (target or 0):
                 return None  # chain jumps past the tier's version
+            if fv >= v:
+                # non-decreasing link (e.g. a clobbered meta with
+                # from_version == to_version): broken chain — fall back
+                # to a full recompute rather than walking forever
+                return None
             v = fv
         if not paths:
             return _EMPTY_DELTA
@@ -367,9 +372,15 @@ class ContinuousAggregate:
             return
         from peakmatch_xcorr_spark.operators.rollup import pack_tier
 
+        # pack on EVERY key: grouping on keys[0] alone would merge
+        # rows of different composite keys into one payload run, whose
+        # duplicate/non-monotonic timestamps corrupt the DoD stream
         packed = pack_tier(
-            tier_df.withColumn(self.keys[0], F.col(self.keys[0]).cast("string")),
-            [self.keys[0]],
+            tier_df.select(
+                *[F.col(k).cast("string").alias(k) for k in self.keys],
+                *[c for c in tier_df.columns if c not in self.keys],
+            ),
+            list(self.keys),
             value_col="vavg" if self.value_col else "turns",
         )
         self.packed_tables[tn].overwrite(
@@ -448,9 +459,20 @@ class ContinuousAggregate:
                 affected.write.mode("overwrite").parquet(
                     f"{t0.dir}/affected_v{src_v}"
                 )
-            self._write_affected_meta(
-                src_v, prev_v, empty=delta_rolled is None, full=full_rebuild
-            )
+            # No-clobber on crash-resume: if the previous attempt died
+            # AFTER t0.overwrite (which advances last_processed_version
+            # to src_v) but BEFORE mark_done, this rerun sees
+            # prev_v == src_v and an EMPTY diff — rewriting the meta as
+            # {from_version: src_v, empty: true} would destroy the
+            # recorded (true_prev, src_v] delta that coarse tiers still
+            # need, and a from_version == to_version meta self-loops
+            # the chain walk.  The crashed attempt's meta (written
+            # atomically before the tier commit) is the truth — keep it.
+            mp = self._affected_meta_path(src_v)
+            if prev_v != src_v or not os.path.exists(mp):
+                self._write_affected_meta(
+                    src_v, prev_v, empty=delta_rolled is None, full=full_rebuild
+                )
             if merged is None:
                 # no prior tier AND an empty diff: clean no-op phase
                 ckpt.mark_done(tn0, src_v, {"tier_version": None, "noop": True})

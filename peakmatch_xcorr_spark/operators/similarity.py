@@ -45,14 +45,28 @@ def with_unit_vectors(
     Zero-norm vectors (missing-embedding placeholders) map to the zero
     vector — cosine 0 against everything — instead of crashing: Spark
     4 runs ANSI mode by default, where an unguarded x/0 aborts the
-    whole job with DIVIDE_BY_ZERO."""
+    whole job with DIVIDE_BY_ZERO.
+
+    The norm is materialized as its own column FIRST: embedding the
+    _norm aggregate inside the transform lambda re-evaluates the full
+    O(dim) reduction per element (higher-order lambdas are interpreted
+    per call, not common-subexpression-eliminated), turning
+    normalization O(dim^2) per row — ~590k multiply-adds at dim=768
+    where ~1.5k suffice."""
     v = F.col(vec_col)
-    n = _norm(F.transform(v, lambda x: x.cast("double")))
-    return df.withColumn(
-        out_col,
-        F.transform(
-            v, lambda x: F.when(n > 0, x.cast("double") / n).otherwise(0.0)
-        ),
+    ncol = f"_{out_col}_norm"
+    return (
+        df.withColumn(
+            ncol, _norm(F.transform(v, lambda x: x.cast("double")))
+        )
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(ncol) > 0,
+                F.transform(v, lambda x: x.cast("double") / F.col(ncol)),
+            ).otherwise(F.transform(v, lambda x: F.lit(0.0))),
+        )
+        .drop(ncol)
     )
 
 
@@ -212,7 +226,9 @@ def kmeans_fit(
     driver (k × dim floats), not in a growing plan."""
     from pyspark.sql import functions as F
 
-    unit = with_unit_vectors(df, vec_col).select(F.col("unit"))
+    # cached: the seed collect + every Lloyd iteration's collect would
+    # otherwise re-scan the source and re-normalize per action
+    unit = with_unit_vectors(df, vec_col).select(F.col("unit")).cache()
     # deterministic seed sample: first k rows under a hash order
     seeds = (
         unit.withColumn("h", F.xxhash64(F.col("unit").cast("string"), F.lit(seed)))
@@ -247,6 +263,7 @@ def kmeans_fit(
         centroids = new_centroids
         if moved < 1e-12:
             break
+    unit.unpersist()
     return centroids
 
 

@@ -120,9 +120,15 @@ def token_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
     runs) + a chars/4 heuristic."""
     t = F.col(text_col)
     ws = F.size(_tokens(text_col))
+    # \p{L}\p{N} like _tokens above: Java \w is ASCII-only, so the
+    # [^\w\s] form split EVERY accented/CJK character into its own
+    # piece — 2-3x overcount on French/German, one piece per CJK char
     bpe_ish = F.size(
         F.filter(
-            F.split(t, r"(?=\s)|(?<=\s)|(?=[^\w\s])|(?<=[^\w\s])"),
+            F.split(
+                t,
+                r"(?=\s)|(?<=\s)|(?=[^\p{L}\p{N}_\s])|(?<=[^\p{L}\p{N}_\s])",
+            ),
             lambda x: F.length(F.trim(x)) > 0,
         )
     )

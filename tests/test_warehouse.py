@@ -516,3 +516,57 @@ def test_cow_retention_drops_expired_files_metadata_only(spark, wh):
     t1m = agg.tier_tables["1m"].read(spark).toPandas()
     assert t1m.bucket_start.min() >= pd.Timestamp("2024-01-01 11:55")
     assert t1m.bucket_start.max() == pd.Timestamp("2024-01-01 17:55")
+
+
+def test_crash_between_tier_commit_and_checkpoint_keeps_delta_meta(spark, wh):
+    """Code-review r3 (top finding): a crash AFTER t0.overwrite (which
+    advances last_processed_version to src_v) but BEFORE mark_done
+    makes the rerun see prev_v == src_v with an empty diff.  The rerun
+    must NOT clobber affected_v{src_v}.meta.json with
+    {from_version: src_v, empty: true} — that both loses the recorded
+    delta for coarse tiers AND self-loops _affected_union's chain
+    walk.  Injection point: _maybe_pack raises once (it runs exactly
+    between the tier commit and the checkpoint mark)."""
+    import json as _json
+
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+
+    src.append(d1)
+    agg.refresh(spark)  # tiers fully at source v1
+    v1 = src.current_version()
+
+    src.append(d2)  # source v2
+    real_pack = agg._maybe_pack
+
+    def exploding_pack(*a, **k):
+        raise RuntimeError("injected failure inside commit window")
+
+    agg._maybe_pack = exploding_pack
+    with pytest.raises(RuntimeError, match="commit window"):
+        agg.refresh(spark)
+    agg._maybe_pack = real_pack
+
+    v2 = src.current_version()
+    meta_path = agg._affected_meta_path(v2)
+    with open(meta_path) as f:
+        before = _json.load(f)
+    assert before["from_version"] == v1  # written by the crashed attempt
+
+    m = agg.refresh(spark)  # must terminate AND keep the delta meta
+    assert m["status"] == "refreshed"
+    with open(meta_path) as f:
+        after = _json.load(f)
+    assert after["from_version"] == v1, "rerun clobbered the delta meta"
+    assert not after.get("empty")
+
+    got = _tiers_as_pandas(spark, agg)
+    for tn, bucket in zip(("1m", "1h", "1d"), ("1 minute", "1 hour", "1 day")):
+        exp = (
+            tumbling_rollup(full, ["conv_id"], "ts", None, bucket)
+            .toPandas()
+            .sort_values(["conv_id", "bucket_start"])
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got[tn], exp[got[tn].columns], check_dtype=False)

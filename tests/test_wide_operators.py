@@ -143,6 +143,14 @@ def test_token_counts(spark):
     assert out.ws_tokens == 4
     assert out.subword_pieces >= 6  # words + punctuation pieces
     assert out.approx_gpt_tokens == int(np.ceil(len("Hello, world! 123 test.") / 4))
+    # unicode letters are word chars, not punctuation: 'café résumé'
+    # must split into 2 pieces, not shatter at every accent
+    uni = token_counts(
+        df.sparkSession.createDataFrame(
+            pd.DataFrame({"doc_id": [1], "text": ["café résumé"]})
+        )
+    ).toPandas().iloc[0]
+    assert uni.subword_pieces == 2
 
 
 def test_fingerprint_normalization(spark):
