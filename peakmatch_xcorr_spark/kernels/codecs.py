@@ -31,24 +31,79 @@ _U64 = np.uint64
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def _emit_bitstream(fields: np.ndarray, lens: np.ndarray) -> bytes:
+def _emit_bitstream(
+    fields: np.ndarray, lens: np.ndarray, chunk: int = 1 << 15
+) -> bytes:
     """Pack (value, nbits) fields MSB-first into bytes, vectorized.
 
     fields: uint64 values (only the low ``lens`` bits are written);
     lens: uint64 bit widths, each <= 64.
-    """
+
+    Chunked: the per-bit scatter materializes four int64 temporaries
+    per emitted BIT (~33 bytes/bit); unchunked, a 1M-value series
+    (~40M bits) would allocate ~1.3 GB of transients for a ~5 MB
+    output — enough to OOM an executor mid-pack.  Chunking at field
+    boundaries with a <8-bit carry bounds the peak at ~40 MB while
+    producing byte-identical output (packbits zero-pads only the
+    final partial byte, exactly as the single-shot form did)."""
     lens = lens.astype(np.int64)
-    total = int(lens.sum())
-    if total == 0:
+    if int(lens.sum()) == 0:
         return b""
-    # global bit position of each emitted bit
-    rep_vals = np.repeat(fields, lens)
-    rep_lens = np.repeat(lens, lens)
-    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
-    within = np.arange(total, dtype=np.int64) - np.repeat(offs, lens)
-    shift = (rep_lens - 1 - within).astype(np.uint64)
-    bits = ((rep_vals >> shift) & _U64(1)).astype(np.uint8)
-    return np.packbits(bits).tobytes()
+    out = []
+    carry = np.zeros(0, dtype=np.uint8)
+    for s in range(0, len(fields), chunk):
+        f = fields[s:s + chunk]
+        ln = lens[s:s + chunk]
+        tot = int(ln.sum())
+        if tot == 0:
+            continue
+        rep_vals = np.repeat(f, ln)
+        rep_lens = np.repeat(ln, ln)
+        offs = np.concatenate(([0], np.cumsum(ln)[:-1]))
+        within = np.arange(tot, dtype=np.int64) - np.repeat(offs, ln)
+        shift = (rep_lens - 1 - within).astype(np.uint64)
+        bits = ((rep_vals >> shift) & _U64(1)).astype(np.uint8)
+        bits = np.concatenate((carry, bits)) if len(carry) else bits
+        nbytes_bits = len(bits) // 8 * 8
+        out.append(np.packbits(bits[:nbytes_bits]).tobytes())
+        carry = bits[nbytes_bits:]
+    if len(carry):
+        out.append(np.packbits(carry).tobytes())
+    return b"".join(out)
+
+
+def _window_table(raw: np.ndarray) -> np.ndarray:
+    """win[i] = big-endian uint64 starting at byte i (8-lane widened
+    window; shared by the sequential reader and the vectorized
+    gather)."""
+    padded = np.concatenate((raw, np.zeros(8, dtype=np.uint8)))
+    return sum(
+        padded[k : k + len(raw) + 1].astype(np.uint64) << np.uint64(8 * (7 - k))
+        for k in range(8)
+    )
+
+
+def _clz_tz(xs: np.ndarray, lz_cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """Leading/trailing-zero counts of NONZERO uint64 xors via 32-bit
+    halves — float64 log2 is unsafe for >53-bit values, so bit_length
+    cannot be taken in one double.  ``lz_cap`` caps the leading-zero
+    count to the layout's field width (31 for the 5-bit stream field,
+    62 for the columnar layout, whose 63 is the zero-XOR sentinel)."""
+    hi = (xs >> _U64(32)).astype(np.uint32)
+    lo = (xs & _U64(0xFFFFFFFF)).astype(np.uint32)
+    lz32_hi = 31 - np.floor(np.log2(hi + (hi == 0))).astype(np.int64)
+    lz32_lo = 31 - np.floor(np.log2(lo + (lo == 0))).astype(np.int64)
+    lzv = np.where(hi != 0, lz32_hi, 32 + np.where(lo != 0, lz32_lo, 32))
+    lzv = np.minimum(lzv, lz_cap)
+    low = xs & (~xs + _U64(1))
+    t_hi = (low >> _U64(32)).astype(np.uint32)
+    t_lo = (low & _U64(0xFFFFFFFF)).astype(np.uint32)
+    tzv = np.where(
+        t_lo != 0,
+        np.floor(np.log2(t_lo + (t_lo == 0))).astype(np.int64),
+        32 + np.floor(np.log2(t_hi + (t_hi == 0))).astype(np.int64),
+    )
+    return lzv, tzv
 
 
 class _BitReader:
@@ -64,15 +119,7 @@ class _BitReader:
     def __init__(self, data: bytes):
         raw = np.frombuffer(data, dtype=np.uint8)
         self.nbits = len(raw) * 8
-        # pad so every starting byte has 8 bytes available
-        padded = np.concatenate((raw, np.zeros(8, dtype=np.uint8)))
-        # win[i] = big-endian uint64 starting at byte i
-        self.win = (
-            sum(
-                padded[k : k + len(raw) + 1].astype(np.uint64) << np.uint64(8 * (7 - k))
-                for k in range(8)
-            )
-        )
+        self.win = _window_table(raw)
         self.pos = 0
 
     def read(self, n: int) -> int:
@@ -98,23 +145,7 @@ def gorilla_encode(values: np.ndarray) -> bytes:
     tz = np.zeros(len(x), dtype=np.uint64)
     if nz.any():
         xs = x[nz]
-        # bit_length via float64 log2 is unsafe for >53-bit values;
-        # compute leading zeros by checking high/low 32-bit halves
-        hi = (xs >> _U64(32)).astype(np.uint32)
-        lo = (xs & _U64(0xFFFFFFFF)).astype(np.uint32)
-        lz32_hi = 31 - np.floor(np.log2(hi + (hi == 0))).astype(np.int64)
-        lz32_lo = 31 - np.floor(np.log2(lo + (lo == 0))).astype(np.int64)
-        lzv = np.where(hi != 0, lz32_hi, 32 + np.where(lo != 0, lz32_lo, 32))
-        lzv = np.minimum(lzv, 31)  # 5-bit field cap, per the paper
-        # trailing zeros: isolate lowest set bit, its log2 = tz
-        low = xs & (~xs + _U64(1))
-        t_hi = (low >> _U64(32)).astype(np.uint32)
-        t_lo = (low & _U64(0xFFFFFFFF)).astype(np.uint32)
-        tzv = np.where(
-            t_lo != 0,
-            np.floor(np.log2(t_lo + (t_lo == 0))).astype(np.int64),
-            32 + np.floor(np.log2(t_hi + (t_hi == 0))).astype(np.int64),
-        )
+        lzv, tzv = _clz_tz(xs, lz_cap=31)  # 5-bit field cap, per the paper
         lz[nz] = lzv.astype(np.uint64)
         tz[nz] = tzv.astype(np.uint64)
     mlen = np.where(nz, 64 - lz - tz, 0).astype(np.uint64)
@@ -245,11 +276,7 @@ def _extract_fields(payload: bytes, offs_bits: np.ndarray, lens: np.ndarray) -> 
     the decode-side dual of _emit_bitstream.  lens <= 57 per field
     (callers split wider fields)."""
     raw = np.frombuffer(payload, dtype=np.uint8)
-    padded = np.concatenate((raw, np.zeros(8, dtype=np.uint8)))
-    win = sum(
-        padded[k : k + len(raw) + 1].astype(np.uint64) << np.uint64(8 * (7 - k))
-        for k in range(8)
-    )
+    win = _window_table(raw)
     byte = (offs_bits // 8).astype(np.int64)
     bit = (offs_bits % 8).astype(np.uint64)
     lens_u = lens.astype(np.uint64)
@@ -286,20 +313,7 @@ def gorilla_encode_columnar(values: np.ndarray) -> bytes:
     tz = np.zeros(len(x), dtype=np.uint64)
     if nz.any():
         xs = x[nz]
-        hi = (xs >> _U64(32)).astype(np.uint32)
-        lo = (xs & _U64(0xFFFFFFFF)).astype(np.uint32)
-        lz32_hi = 31 - np.floor(np.log2(hi + (hi == 0))).astype(np.int64)
-        lz32_lo = 31 - np.floor(np.log2(lo + (lo == 0))).astype(np.int64)
-        lzv = np.where(hi != 0, lz32_hi, 32 + np.where(lo != 0, lz32_lo, 32))
-        lzv = np.minimum(lzv, 62)  # keep 63 reserved for the sentinel
-        low = xs & (~xs + _U64(1))
-        t_hi = (low >> _U64(32)).astype(np.uint32)
-        t_lo = (low & _U64(0xFFFFFFFF)).astype(np.uint32)
-        tzv = np.where(
-            t_lo != 0,
-            np.floor(np.log2(t_lo + (t_lo == 0))).astype(np.int64),
-            32 + np.floor(np.log2(t_hi + (t_hi == 0))).astype(np.int64),
-        )
+        lzv, tzv = _clz_tz(xs, lz_cap=62)  # 63 reserved for the sentinel
         lz[nz] = lzv.astype(np.uint64)
         tz[nz] = tzv.astype(np.uint64)
         ml[nz] = np.uint64(64) - lz[nz] - tz[nz]

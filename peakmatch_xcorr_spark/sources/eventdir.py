@@ -58,14 +58,18 @@ def read_event_dir(
 
             for r in pdf.itertuples(index=False):
                 name = os.path.basename(r.path)
-                lines = bytes(r.content).decode("ascii", "ignore").splitlines()
                 # parse INSIDE the continue-on-error boundary: one
                 # malformed or blank line marks THIS file ok=false (a
                 # blank line must not silently shift later samples one
-                # index earlier — it would move every peak offset)
+                # index earlier — it would move every peak offset).
+                # decode strict, NOT 'ignore': stripping a corrupt byte
+                # from inside a number ('12\\xb34' -> '124') would feed
+                # a silently WRONG sample through the ok=true path,
+                # where the reference's Double.parseDouble throws
                 try:
+                    lines = bytes(r.content).decode("ascii").splitlines()
                     vals = [float(line.strip()) for line in lines[: conf.expected_len]]
-                except ValueError:
+                except (UnicodeDecodeError, ValueError):
                     bad_row(name)
                     continue
                 raw = ingest_values(

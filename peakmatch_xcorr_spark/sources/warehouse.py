@@ -35,6 +35,31 @@ def _atomic_write_json(path: str, obj: dict) -> None:
     os.replace(tmp, path)  # atomic on POSIX
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
+def _exclusive_write_json(path: str, obj: dict) -> None:
+    """Create-exclusive manifest write: two committers that both read
+    current_version == N race to create vN+1; os.replace would let the
+    second silently CLOBBER the first (orphaning its data files), so
+    the loser must fail instead — the same contract as an Iceberg
+    commit conflict.  os.link(tmp, path) is atomic and raises
+    FileExistsError when the winner's manifest is already there."""
+    tmp = path + f".tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        raise ConcurrentCommitError(
+            f"snapshot manifest {path} already committed by another "
+            "writer; re-read current_version and retry the commit"
+        ) from None
+    finally:
+        os.remove(tmp)
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -67,8 +92,12 @@ class WarehouseTable:
 
     # ---- snapshot chain ----
     def versions(self) -> list[int]:
+        # int(f[1:-5]) not a fixed width: v100000.json (6+ digits,
+        # f-string widens past :05d) must parse as 100000, not 10000 —
+        # a fixed slice made current_version lag and let the next
+        # commit silently overwrite an existing manifest
         return sorted(
-            int(f[1:6])
+            int(f[1:-5])
             for f in os.listdir(self.snap_dir)
             if f.startswith("v") and f.endswith(".json")
         )
@@ -104,7 +133,7 @@ class WarehouseTable:
             job_id=job_id,
             metrics=metrics,
         )
-        _atomic_write_json(
+        _exclusive_write_json(
             os.path.join(self.snap_dir, f"v{snap.version:05d}.json"),
             snap.to_json(),
         )
@@ -312,6 +341,16 @@ class WarehouseTable:
         the full current content)."""
         if from_version is None:
             return True
+        # the walk below stops AT from_version without opening it, but
+        # diff_files reads from_version's manifest — if snapshot expiry
+        # removed exactly that boundary manifest, the incremental path
+        # would crash on every retry instead of falling back to a full
+        # rebuild (the intermediate-expiry case was covered; the
+        # boundary case was not)
+        if not os.path.exists(
+            os.path.join(self.snap_dir, f"v{from_version:05d}.json")
+        ):
+            return False
         v: int | None = to_version
         while v != from_version:
             if v is None or v < from_version:
@@ -345,10 +384,9 @@ class WarehouseTable:
         )
 
     def read_diff(self, spark: SparkSession, from_version: int | None, to_version: int) -> DataFrame | None:
-        added = self.diff_files(from_version, to_version)
-        if not added:
-            return None
-        return spark.read.parquet(*[os.path.join(self.data_dir, p) for p in added])
+        return self.read_paths(
+            spark, self.diff_files(from_version, to_version)
+        )
 
 
 class JobCheckpoint:

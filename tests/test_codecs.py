@@ -173,3 +173,28 @@ def test_columnar_dod_cases(rng):
 @given(st.lists(st.integers(min_value=-(2**62), max_value=2**62), max_size=64))
 def test_columnar_dod_property(values):
     roundtrip_tc(values)
+
+
+def test_chunked_emit_large_series_roundtrip():
+    """_emit_bitstream is chunked (32k fields/chunk) to bound encode
+    memory; a 200k-value series crosses many chunk boundaries with
+    misaligned bit carries and must still round-trip exactly in BOTH
+    layouts (code-review r3: the unchunked form allocated ~33 bytes of
+    temporaries per emitted bit — ~1.3 GB for a 1M-value pack)."""
+    import numpy as np
+
+    from peakmatch_xcorr_spark.kernels import codecs
+
+    rng = np.random.default_rng(0)
+    v = np.round(rng.normal(50, 10, 200_000), 2)
+    np.testing.assert_array_equal(
+        codecs.gorilla_decode(codecs.gorilla_encode(v)), v
+    )
+    np.testing.assert_array_equal(
+        codecs.gorilla_decode_columnar(codecs.gorilla_encode_columnar(v)), v
+    )
+    ts = np.cumsum(rng.integers(1, 5000, 200_000)).astype(np.int64)
+    np.testing.assert_array_equal(codecs.dod_decode(codecs.dod_encode(ts)), ts)
+    np.testing.assert_array_equal(
+        codecs.dod_decode_columnar(codecs.dod_encode_columnar(ts)), ts
+    )

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -570,3 +572,69 @@ def test_crash_between_tier_commit_and_checkpoint_keeps_delta_meta(spark, wh):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got[tn], exp[got[tn].columns], check_dtype=False)
+
+
+def test_refresh_survives_expiry_of_exactly_the_boundary_manifest(spark, wh):
+    """Code-review r3: incremental_ok walked the chain but never
+    opened from_version's OWN manifest, while diff_files reads it —
+    expiring exactly the boundary manifest wedged every refresh retry
+    with FileNotFoundError instead of demoting to a full rebuild."""
+    import os
+
+    d1, d2, _ = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    src.append(d1)          # v1
+    agg.refresh(spark)      # tiers at v1
+    src.append(d2.limit(200))   # v2
+    src.append(d2)          # v3
+    # remove ONLY v1's manifest (the boundary); v2..v3 stay readable,
+    # so the chain walk alone would say "incremental ok"
+    os.remove(os.path.join(src.snap_dir, "v00001.json"))
+    assert not src.incremental_ok(1, 3)
+    m = agg.refresh(spark)
+    assert m["status"] == "refreshed" and m.get("full_rebuild") is True
+
+
+def test_versions_parse_not_fixed_width():
+    """v100000.json (6 digits — the :05d format widens naturally) must
+    parse as 100000, not truncate to 10000 and let the next commit
+    clobber an existing manifest."""
+    import json as _json
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as root:
+        t = WarehouseTable(root, "t")
+        for v in (99999, 100000):
+            with open(os.path.join(t.snap_dir, f"v{v:05d}.json"), "w") as f:
+                _json.dump({"version": v, "parent": None, "operation":
+                            "append", "files": []}, f)
+        assert t.versions() == [99999, 100000]
+        assert t.current_version() == 100000
+
+
+def test_concurrent_commit_conflict_raises_not_clobbers(spark, wh):
+    """Two writers that both observed current_version == N race to
+    commit N+1: the loser must get ConcurrentCommitError, never
+    silently overwrite the winner's manifest (which would orphan its
+    data files)."""
+    from peakmatch_xcorr_spark.sources.warehouse import ConcurrentCommitError
+
+    d1, d2, _ = _split_df(spark, 400)
+    t = WarehouseTable(wh, "race")
+    t.append(d1)  # v1
+    # simulate the winner: another writer commits v2 out from under us
+    winner = t.snapshot(1)
+    import json as _json
+    with open(os.path.join(t.snap_dir, "v00002.json"), "w") as f:
+        _json.dump({"version": 2, "parent": 1, "operation": "append",
+                    "files": winner.files, "metrics": {}}, f)
+    t_stale = WarehouseTable(wh, "race")
+    # the stale writer computed version cur+1 == 3? No: it re-reads
+    # current_version (3-step commit), so force the race by removing
+    # its view — monkeypatch current_version to the stale value
+    t_stale.current_version = lambda: 1
+    with pytest.raises(ConcurrentCommitError):
+        t_stale.append(d2)
+    # the winner's manifest survived untouched
+    assert t.snapshot(2).files == winner.files

@@ -355,6 +355,27 @@ def test_read_event_dir_reference_format(spark, tmp_path):
         assert row.peak_amp == pytest.approx(exp.peak_amp, rel=1e-12)
 
 
+def test_read_event_dir_corrupt_bytes_mark_file_not_ok(spark, tmp_path):
+    """Code-review r3: decode('ascii','ignore') silently STRIPPED a
+    corrupt byte from inside a number ('12\\xb34' -> '124') and fed a
+    wrong sample through the ok=true path; the reference's
+    Double.parseDouble throws.  Corrupt bytes must take the
+    continue-on-error path (ok=false), like any malformed line."""
+    from peakmatch_xcorr_spark.sources.eventdir import read_event_dir
+
+    rng = np.random.default_rng(5)
+    conf = PeakmatchConf(expected_len=50)
+    d = tmp_path / "events"
+    d.mkdir()
+    good = np.round(rng.normal(0, 500, 50))
+    (d / "good.dat").write_text("\n".join(f"{v:.1f}" for v in good))
+    corrupt = "\n".join(f"{v:.1f}" for v in good).encode("ascii")
+    (d / "bad.dat").write_bytes(corrupt[:23] + b"\xc2\xb3" + corrupt[23:])
+    out = read_event_dir(spark, str(d), conf).toPandas().set_index("conv_id")
+    assert bool(out.loc["good.dat"].ok)
+    assert not bool(out.loc["bad.dat"].ok)
+
+
 def test_spectrogram_table(spark):
     from peakmatch_xcorr_spark.operators.spectral_ops import spectrogram_table
 
