@@ -283,7 +283,12 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    tsec = F.col("ts").cast("timestamp").cast("long")  # NTZ-safe epoch
+    # FRACTIONAL epoch seconds (unix_micros/1e6, the time_weighted_avg
+    # pattern): DuckDB's epoch() keeps the sub-second part, and every
+    # testdata ts has one — a whole-second cast truncates gaps and can
+    # split sessions differently from the oracle right at the 1800 s
+    # boundary (gap 1800.8 s truncates to 1800, not > 1800)
+    tsec = F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)
     gap = tsec - F.lag(tsec).over(w)
     new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
     sess = F.sum(new_sess).over(
@@ -871,11 +876,15 @@ def _emb_as_features(spark: SparkSession, sf_dir: str, unit: bool) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("vec"),
     )
     if unit:
-        from peakmatch_xcorr_spark.operators.similarity import _dot
+        # the library helper, not a bespoke divide: it guards the
+        # zero-norm case (ANSI DIVIDE_BY_ZERO aborts the job) and
+        # materializes the norm once instead of per element
+        from peakmatch_xcorr_spark.operators.similarity import (
+            with_unit_vectors,
+        )
 
-        norm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
-        emb = emb.withColumn(
-            "vec", F.transform("vec", lambda x: x / norm)
+        emb = with_unit_vectors(emb, vec_col="vec", out_col="vec_u").select(
+            "id", F.col("vec_u").alias("vec")
         )
     return emb
 
@@ -1305,7 +1314,11 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     dim = len(emb.first()["embedding"])
     cents = kmeans_fit(emb, k=8, dim=dim, max_iter=4)
-    return ivf_topk(emb, emb.limit(20), cents, k=5, n_probe=2)
+    # deterministic query set: a bare limit() takes whatever rows the
+    # scan yields first, so a parquet re-layout would silently change
+    # the result hash the driver records
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(emb, queries_df, cents, k=5, n_probe=2)
 
 
 def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

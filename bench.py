@@ -24,7 +24,7 @@ import time
 def _sf_from_dir(sf_dir: str) -> float:
     import re
 
-    m = re.search(r"sf([0-9.]+)", sf_dir)
+    m = re.search(r"sf([0-9]+(?:\.[0-9]+)?)", sf_dir)
     return float(m.group(1)) if m else -1.0
 
 
@@ -38,10 +38,10 @@ def build_session(cpus: int):
         os.environ[var] = "1"
     from peakmatch_xcorr_spark.session import get_spark
 
-    # 4 shuffle partitions per core: python-kernel stages (cogroup pair
+    # 2 shuffle partitions per core: python-kernel stages (cogroup pair
     # scoring) have per-partition cost variance invisible to AQE — one
     # wave per core leaves the wall clock hostage to the slowest
-    # partition; 4 waves smooth it
+    # partition; 2-4 waves smooth it (2 measured best on this box)
     return get_spark(
         cores=cpus,
         app_name="bench",
@@ -107,8 +107,9 @@ def headline_queries(spark, sf_dir: str):
         "pack_1h": q_pack_1h,
         "dedup_xcorr": q_dedup_xcorr,
     }
+    registry = entry.queries()
     for name in ("tpch_q1", "topk_per_group", "sessionize"):
-        fn = entry.queries()[name]
+        fn = registry[name]
         qs[name] = (lambda f=fn: f(spark, sf_dir).count())
 
     # measured but NOT in the headline total (kept comparable across
@@ -117,7 +118,7 @@ def headline_queries(spark, sf_dir: str):
     # sf0.01 correctness baseline, quadratic-in-bucket at sf0.1)
     extra = {}
     for name in ("asof_join_clicks", "time_weighted_avg_1h", "minhash_candidates"):
-        fn = entry.queries()[name]
+        fn = registry[name]
         extra[name] = (lambda f=fn: f(spark, sf_dir).count())
     return qs, extra, events
 
@@ -278,7 +279,9 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         "rollup_turns_per_sec": round(n_events / rollup_t) if rollup_t else None,
         "dedup_pairs_considered": n_pairs,
         "dedup_matches": rows.get("dedup_xcorr"),
-        "dedup_match_density": round(rows.get("dedup_xcorr", 0) / n_pairs, 5),
+        "dedup_match_density": (
+            round(rows.get("dedup_xcorr", 0) / n_pairs, 5) if n_pairs else None
+        ),
         "lsh_tier": _lsh_tier_bench(spark, sf_dir, n_events),
         "kernel_microbench": _kernel_microbench(),
     }
@@ -381,6 +384,10 @@ def _stress(spark, workdir: str) -> dict:
     }
     recovered = len(planted & found)
     total = round(sum(p["sec"] for p in phases.values()), 2)
+    # release the multi-GB caches before the skew experiment measures
+    # its straggler/wall numbers in this same session
+    for df in (matches, feats, rolled, transcripts):
+        df.unpersist()
     return {
         "metric": "stress_total",
         "value": total,

@@ -298,7 +298,12 @@ def gap_fill_linear(
         .otherwise(prev_v + (next_v - prev_v) * frac)
     )
     return (
-        joined.withColumn("filled", ~has)
+        # filled = scaffold-inserted bucket (turns IS NULL), matching
+        # gap_fill_locf and the DuckDB oracle; a bucket that HAS rows
+        # but a null aggregate still gets its value interpolated (the
+        # bracket windows key on value presence) without being marked
+        # as a gap
+        joined.withColumn("filled", F.col("turns").isNull())
         .withColumn(fill_col, interp)
         .withColumn("turns", F.coalesce("turns", F.lit(0)))
     )
