@@ -389,40 +389,6 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 # rows while left_anti returns every unmatched customer
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
-        "rollup_1m": _q_rollup_1m,
-        "rollup_1h_cascade": _q_rollup_1h_cascade,
-        "rollup_1d_cascade": _q_rollup_1d_cascade,
-        "activity_curve_1m": _q_activity_curve,
-        "gapfill_locf_1h": _q_gapfill_locf,
-        "gapfill_linear_1h": _q_gapfill_linear,
-        "tpch_q1": _q_tpch_q1,
-        "topk_per_group": _q_topk_per_group,
-        "sessionize": _q_sessionize,
-        "dedup_exact": _q_dedup_exact,
-        "join_orders_customers": _q_join_orders_customers,
-        "anti_join_no_orders": _q_anti_join,
-    }
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        "rollup_1m": _SQL_ROLLUP_1M,
-        "rollup_1h_cascade": _SQL_ROLLUP_1H,
-        "rollup_1d_cascade": _SQL_ROLLUP_1D,
-        "activity_curve_1m": _SQL_ACTIVITY,
-        "gapfill_locf_1h": _SQL_GAPFILL_LOCF,
-        "gapfill_linear_1h": _SQL_GAPFILL_LINEAR,
-        "tpch_q1": _SQL_TPCH_Q1,
-        "topk_per_group": _SQL_TOPK,
-        "sessionize": _SQL_SESSIONIZE,
-        "dedup_exact": _SQL_DEDUP_EXACT,
-        "join_orders_customers": _SQL_JOIN_OC,
-        "anti_join_no_orders": _SQL_ANTI,
-    }
-
-
 # ------------------------------------------------- wider operator coverage
 
 def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,44 +971,6 @@ def _q_band_mean_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "band_idx", F.round(F.col("amp") + 1e-9, 6).alias("amp"))
 
 
-_WIDE_QUERIES = {
-    "cosine_pairs": (_q_cosine_pairs, _SQL_COSINE_PAIRS),
-    "ngram_jaccard": (_q_ngram_jaccard, _SQL_NGRAM_JACCARD),
-    "doc_components": (_q_doc_components, _SQL_DOC_COMPONENTS),
-    "token_counts": (_q_token_counts, _SQL_TOKEN_COUNTS),
-    "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
-    "lang_id": (_q_lang_id, _SQL_LANG_ID),
-    "cube_agg": (_q_cube_agg, _SQL_CUBE_AGG),
-    "pivot_event_types": (_q_pivot_event_types, _SQL_PIVOT),
-    "retention_1h": (_q_retention_1h, _SQL_RETENTION_1H),
-    "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
-    "dedup_components_planted": (
-        _q_dedup_components_planted, _SQL_DEDUP_COMPONENTS_PLANTED
-    ),
-    "pack_roundtrip": (_q_pack_roundtrip, _SQL_PACK_ROUNDTRIP),
-    "minhash_candidates": (_q_minhash_candidates, None),
-    "simhash_fingerprints": (_q_simhash, None),
-    "dominant_freq": (_q_dominant_freq, None),
-    "band_mean_spectrum": (_q_band_mean_spectrum, None),
-    "ngram_jaccard_capped": (_q_ngram_jaccard_capped, _SQL_NGRAM_JACCARD_CAPPED),
-}
-
-_BASE_QUERIES = queries
-_BASE_ORACLES = oracle_sql
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    out = _BASE_QUERIES()
-    out.update({k: v[0] for k, v in _WIDE_QUERIES.items()})
-    return out
-
-
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = _BASE_ORACLES()
-    out.update({k: v[1] for k, v in _WIDE_QUERIES.items() if v[1] is not None})
-    return out
-
-
 # ------------------------------------------------- round-1 late additions
 
 def _q_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1143,21 +1071,6 @@ _LATE_QUERIES = {
     "knn_edges_blocked": (_q_knn_edges_blocked, _SQL_KNN_EDGES),
 }
 
-_BASE_QUERIES2 = queries
-_BASE_ORACLES2 = oracle_sql
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    out = _BASE_QUERIES2()
-    out.update({k: v[0] for k, v in _LATE_QUERIES.items()})
-    return out
-
-
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = _BASE_ORACLES2()
-    out.update({k: v[1] for k, v in _LATE_QUERIES.items() if v[1] is not None})
-    return out
-
 
 # ------------------------------------------------- final round-1 queries
 
@@ -1246,21 +1159,6 @@ _FINAL_QUERIES = {
     "centre_distances": (_q_centre_distances, _SQL_CENTRE),
 }
 
-_BASE_QUERIES3 = queries
-_BASE_ORACLES3 = oracle_sql
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    out = _BASE_QUERIES3()
-    out.update({k: v[0] for k, v in _FINAL_QUERIES.items()})
-    return out
-
-
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = _BASE_ORACLES3()
-    out.update({k: v[1] for k, v in _FINAL_QUERIES.items() if v[1] is not None})
-    return out
-
 
 def _q_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-scoring feature ratios (operators/textstats.py) with
@@ -1288,21 +1186,6 @@ SELECT doc_id,
        length(text) AS n_chars_obs
 FROM documents
 """
-
-_Q4 = queries
-_O4 = oracle_sql
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    out = _Q4()
-    out["quality_ratios"] = _q_quality_ratios
-    return out
-
-
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = _O4()
-    out["quality_ratios"] = _SQL_QUALITY_RATIOS
-    return out
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1446,27 +1329,6 @@ def _q_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q5 = queries
-_O5 = oracle_sql
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    out = _Q5()
-    out["ivf_topk"] = _q_ivf_topk
-    out["lsh_near_dups"] = _q_lsh_near_dups
-    out["multimodal_image_features"] = _q_multimodal_features
-    out["multimodal_audio_features"] = _q_multimodal_audio
-    out["multimodal_frame_sample"] = _q_multimodal_frames
-    out["percentiles_approx"] = _q_percentiles_approx
-    return out
-
-
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = _O5()
-    out["lsh_near_dups"] = _SQL_LSH_NEAR_DUPS
-    return out
-
-
 def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/asof.py): each click event gets
     the latest hourly vavg at-or-before it; DuckDB's native ASOF JOIN
@@ -1562,25 +1424,6 @@ SELECT event_type,
 FROM events GROUP BY event_type
 """
 
-_Q6 = queries
-_O6 = oracle_sql
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    out = _Q6()
-    out["asof_join_clicks"] = _q_asof_join
-    out["time_weighted_avg_1h"] = _q_time_weighted_avg
-    out["percentiles_by_type"] = _q_percentiles
-    return out
-
-
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = _O6()
-    out["asof_join_clicks"] = _SQL_ASOF
-    out["time_weighted_avg_1h"] = _SQL_TWA
-    out["percentiles_by_type"] = _SQL_PERCENTILES
-    return out
-
 
 def _q_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval/range join (A4's relational form,
@@ -1628,23 +1471,6 @@ _SQL_DISTINCT = """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
 FROM events GROUP BY event_type
 """
-
-_Q7 = queries
-_O7 = oracle_sql
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    out = _Q7()
-    out["band_range_join"] = _q_band_range_join
-    out["distinct_counts"] = _q_distinct_counts
-    return out
-
-
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = _O7()
-    out["band_range_join"] = _SQL_BAND_JOIN
-    out["distinct_counts"] = _SQL_DISTINCT
-    return out
 
 
 def _q_rolling_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1730,23 +1556,6 @@ ORDER BY revenue DESC, o_orderdate, l_orderkey
 LIMIT 10
 """
 
-_Q8 = queries
-_O8 = oracle_sql
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    out = _Q8()
-    out["rolling_24h"] = _q_rolling_24h
-    out["tpch_q3"] = _q_tpch_q3
-    return out
-
-
-def oracle_sql() -> dict[str, str]:  # noqa: F811
-    out = _O8()
-    out["rolling_24h"] = _SQL_ROLLING_24H
-    out["tpch_q3"] = _SQL_TPCH_Q3
-    return out
-
 
 def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type (rsd=0.02) — the
@@ -1763,10 +1572,77 @@ def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q9 = queries
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
-    out = _Q9()
-    out["approx_distinct_users"] = _q_approx_distinct_users
-    return out
+# ------------------------------------------------------------ registry
+# ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
+# None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
+# the driver then records the weaker rows-only check.  Adding a query
+# is one line here — the earlier per-section function-shadowing chain
+# rebuilt the whole mapping at every layer and a mistake in one layer
+# silently dropped every later registration.
+
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "rollup_1m": (_q_rollup_1m, _SQL_ROLLUP_1M),
+    "rollup_1h_cascade": (_q_rollup_1h_cascade, _SQL_ROLLUP_1H),
+    "rollup_1d_cascade": (_q_rollup_1d_cascade, _SQL_ROLLUP_1D),
+    "activity_curve_1m": (_q_activity_curve, _SQL_ACTIVITY),
+    "gapfill_locf_1h": (_q_gapfill_locf, _SQL_GAPFILL_LOCF),
+    "gapfill_linear_1h": (_q_gapfill_linear, _SQL_GAPFILL_LINEAR),
+    "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
+    "tpch_q3": (_q_tpch_q3, _SQL_TPCH_Q3),
+    "topk_per_group": (_q_topk_per_group, _SQL_TOPK),
+    "sessionize": (_q_sessionize, _SQL_SESSIONIZE),
+    "rolling_24h": (_q_rolling_24h, _SQL_ROLLING_24H),
+    "dedup_exact": (_q_dedup_exact, _SQL_DEDUP_EXACT),
+    "join_orders_customers": (_q_join_orders_customers, _SQL_JOIN_OC),
+    "anti_join_no_orders": (_q_anti_join, _SQL_ANTI),
+    "cosine_pairs": (_q_cosine_pairs, _SQL_COSINE_PAIRS),
+    "cosine_pairs_blocked": (_q_cosine_pairs_blocked, _SQL_COSINE_PAIRS),
+    "knn_edges_embeddings": (_q_knn_edges, _SQL_KNN_EDGES),
+    "knn_edges_blocked": (_q_knn_edges_blocked, _SQL_KNN_EDGES),
+    "ngram_jaccard": (_q_ngram_jaccard, _SQL_NGRAM_JACCARD),
+    "ngram_jaccard_capped": (_q_ngram_jaccard_capped, _SQL_NGRAM_JACCARD_CAPPED),
+    "doc_components": (_q_doc_components, _SQL_DOC_COMPONENTS),
+    "token_counts": (_q_token_counts, _SQL_TOKEN_COUNTS),
+    "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
+    "lang_id": (_q_lang_id, _SQL_LANG_ID),
+    "quality_ratios": (_q_quality_ratios, _SQL_QUALITY_RATIOS),
+    "cube_agg": (_q_cube_agg, _SQL_CUBE_AGG),
+    "pivot_event_types": (_q_pivot_event_types, _SQL_PIVOT),
+    "rollup_grouping_sets": (_q_rollup_grouping_sets, _SQL_ROLLUP_GS),
+    "except_clicks_no_purchase": (_q_except_setop, _SQL_EXCEPT),
+    "retention_1h": (_q_retention_1h, _SQL_RETENTION_1H),
+    "salted_rollup_1h": (_q_salted_rollup, _SQL_SALTED_ROLLUP),
+    "centre_distances": (_q_centre_distances, _SQL_CENTRE),
+    "band_range_join": (_q_band_range_join, _SQL_BAND_JOIN),
+    "distinct_counts": (_q_distinct_counts, _SQL_DISTINCT),
+    "asof_join_clicks": (_q_asof_join, _SQL_ASOF),
+    "time_weighted_avg_1h": (_q_time_weighted_avg, _SQL_TWA),
+    "percentiles_by_type": (_q_percentiles, _SQL_PERCENTILES),
+    "dedup_components_planted": (
+        _q_dedup_components_planted, _SQL_DEDUP_COMPONENTS_PLANTED
+    ),
+    "pack_roundtrip": (_q_pack_roundtrip, _SQL_PACK_ROUNDTRIP),
+    "lsh_near_dups": (_q_lsh_near_dups, _SQL_LSH_NEAR_DUPS),
+    # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
+    "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
+    "minhash_candidates": (_q_minhash_candidates, None),
+    "simhash_fingerprints": (_q_simhash, None),
+    "dominant_freq": (_q_dominant_freq, None),
+    "band_mean_spectrum": (_q_band_mean_spectrum, None),
+    "ivf_topk": (_q_ivf_topk, None),
+    "multimodal_image_features": (_q_multimodal_features, None),
+    "multimodal_audio_features": (_q_multimodal_audio, None),
+    "multimodal_frame_sample": (_q_multimodal_frames, None),
+    "percentiles_approx": (_q_percentiles_approx, None),
+    "approx_distinct_users": (_q_approx_distinct_users, None),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
