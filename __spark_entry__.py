@@ -1222,10 +1222,49 @@ def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 0.9 threshold, so the result set == the exact-cosine set and
     DuckDB can derive it (see the oracle SQL)."""
     _utc(spark)
-    from peakmatch_xcorr_spark.operators.similarity import embedding_near_dups
+    from peakmatch_xcorr_spark.operators.similarity import (
+        embedding_near_dups,
+        with_unit_vectors,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dim = len(emb.first()["embedding"])
+    # Oracle-parity precondition, asserted rather than assumed: if any
+    # NATURAL pair reached the 0.9 threshold, the DuckDB oracle would
+    # include it while the LSH blocking could probabilistically miss
+    # it, turning a recall property into a spurious red row.  The
+    # shipped testdata is small enough (<=2000 vectors) to verify
+    # exactly; a larger corpus fails loudly instead of silently
+    # betting on the property.
+    n_vecs = emb.count()
+    if n_vecs > 4000:
+        raise ValueError(
+            f"lsh_near_dups oracle parity requires verifying that no "
+            f"natural pair reaches cosine 0.9, which is quadratic; "
+            f"corpus has {n_vecs} vectors (> 4000). Run this query only "
+            "on the shipped small-sf testdata, or use "
+            "embedding_near_dups directly (recall < 1 by design)."
+        )
+    u = with_unit_vectors(emb).select("vec_id", "unit")
+    ua = u.select(F.col("vec_id").alias("ia"), F.col("unit").alias("va"))
+    ub = u.select(F.col("vec_id").alias("ib"), F.col("unit").alias("vb"))
+    nat_max = (
+        ua.join(ub, F.col("ia") < F.col("ib"))
+        .select(
+            F.aggregate(
+                F.zip_with("va", "vb", lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("cos")
+        )
+        .agg(F.max("cos"))
+        .first()[0]
+    )
+    if nat_max is not None and nat_max >= 0.9:
+        raise ValueError(
+            f"natural max cosine {nat_max:.4f} >= 0.9: the planted-pair "
+            "oracle is no longer exhaustive for this corpus"
+        )
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
         F.transform(
@@ -1557,6 +1596,127 @@ LIMIT 10
 """
 
 
+def _q_dominant_freq_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked oracle for the FFT dominant-frequency kernel
+    (kernels/spectral.py topk_dominant_freqs, A3/K5): 50 planted
+    two-tone curves whose top-2 dominant bins are ANALYTIC, so DuckDB
+    needs no FFT to know the answer.
+
+    Curve i is cos(2*pi*k*t/256) + 0.8*cos(2*pi*m*t/256) with
+    k = 3+(i%10), m = k+12, t = 0..255.  The engine zero-pads to
+    nextPowerOfTwo(2*256) = 512, so an integer-bin tone of the
+    length-256 DFT peaks exactly at bin 2k of the padded FFT
+    (the Dirichlet kernel |sin(pi*n*x)/sin(pi*x)| is maximal at x=0),
+    giving freq = 2k*sample_rate/512 = k*100/256.  Magnitude order is
+    provable: tone peaks are A*n/2 = 128 and 102.4; the largest
+    zero-padding side lobe is 0.5/sin(pi/512) = 81.5 of tone 1 at
+    bin 2k+-1, which the 0.5 Hz spacing dedup would drop anyway
+    (0.195 Hz away) — so top-2 = [k, m] tones for every curve, and
+    both bins sit inside the [1,10] Hz filter window (indices 5..50
+    at base 512//100 = 5).  Verified bit-exact against the kernel for
+    all 50 curves before registration.
+
+    Same promotion trick as dedup_components_planted: a planted input
+    with an analytically-derivable answer turns a rows-only FFT check
+    into a green hash-matched row."""
+    _utc(spark)
+    import math
+
+    from peakmatch_xcorr_spark.config import SpectralConf
+    from peakmatch_xcorr_spark.operators.spectral_ops import dominant_freq_table
+
+    two_pi = 2.0 * math.pi
+    k = F.col("id") % 10 + 3
+    m = k + 12
+    curves = (
+        spark.range(50)
+        .select(
+            F.col("id").cast("string").alias("conv_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(255)),
+                lambda t: (
+                    F.cos(F.lit(two_pi) * k * t / F.lit(256.0))
+                    + F.lit(0.8) * F.cos(F.lit(two_pi) * m * t / F.lit(256.0))
+                ),
+            ).alias("series"),
+        )
+    )
+    dom = dominant_freq_table(
+        curves,
+        SpectralConf(sample_rate=100, top_freq_count=2),
+        peak_amp_col=None,
+    )
+    return dom.select(
+        F.col("id").cast("int").alias("id"),
+        F.posexplode("top_freqs").alias("rank", "freq"),
+    ).select("id", "rank", F.round(F.col("freq") + 1e-9, 6).alias("freq"))
+
+
+_SQL_DOMINANT_FREQ_PLANTED = """
+WITH tones AS (
+  SELECT range AS id, 3 + (range % 10) AS k, 15 + (range % 10) AS m
+  FROM range(0, 50)
+)
+SELECT id::INT AS id, 0 AS rank, round(k * 100.0 / 256 + 1e-9, 6) AS freq
+FROM tones
+UNION ALL
+SELECT id::INT, 1, round(m * 100.0 / 256 + 1e-9, 6) FROM tones
+"""
+
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customer): a group-by-HAVING
+    semi-join feeding a re-aggregation and a global top-k — the
+    aggregate-filter-join ordering none of the other queries hits.
+
+    Scale shape: the HAVING aggregate is map-side-combinable on
+    l_orderkey; its survivor set (qualifying orderkeys) is orders of
+    magnitude smaller than lineitem, so the semi-join back into
+    lineitem broadcasts the survivors rather than shuffling the fact
+    table twice.  Threshold 250 (not TPC-H's 300) so the synthetic
+    sf0.001 data still qualifies ~25 orders.  Tiebreaks on the unique
+    o_orderkey make the LIMIT deterministic on both engines."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 250)
+        .select("l_orderkey")
+    )
+    j = (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    return (
+        j.groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.round(F.sum("l_quantity") + 1e-9, 2).alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+_SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       round(sum(l_quantity) + 1e-9, 2) AS total_qty
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 250
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type (rsd=0.02) — the
     100 TB path for distinct counts: one mergeable-sketch pass,
@@ -1591,6 +1751,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "gapfill_linear_1h": (_q_gapfill_linear, _SQL_GAPFILL_LINEAR),
     "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _SQL_TPCH_Q3),
+    "tpch_q18": (_q_tpch_q18, _SQL_TPCH_Q18),
     "topk_per_group": (_q_topk_per_group, _SQL_TOPK),
     "sessionize": (_q_sessionize, _SQL_SESSIONIZE),
     "rolling_24h": (_q_rolling_24h, _SQL_ROLLING_24H),
@@ -1625,6 +1786,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "pack_roundtrip": (_q_pack_roundtrip, _SQL_PACK_ROUNDTRIP),
     "lsh_near_dups": (_q_lsh_near_dups, _SQL_LSH_NEAR_DUPS),
+    "dominant_freq_planted": (
+        _q_dominant_freq_planted, _SQL_DOMINANT_FREQ_PLANTED
+    ),
     # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
     "minhash_candidates": (_q_minhash_candidates, None),

@@ -4,11 +4,12 @@ mapInPandas operators.
 
 The Spark-side machinery (schemas, partitioning, UDF signatures,
 batch shapes) is real and tested; the actual media decoding is
-STUBBED behind ``_decode_image`` / ``_decode_audio`` because no
-image/audio libraries exist in this container — each stub either
-raises NotImplementedError (strict mode) or produces a deterministic
-fake (test mode) with the correct output shape.  Swapping in a real
-decoder (PIL / soundfile) changes ONE function, not the plumbing.
+OPTIONAL-IMPORT: ``_decode_image`` / ``_decode_audio`` try the real
+library (PIL / soundfile) at call time and fall back to a
+deterministic fake with the correct output shape when the library is
+absent or the payload isn't a parseable media container.  Strict mode
+raises instead of falling back, so an environment WITH the libraries
+gets real decoding end-to-end with zero code change.
 """
 
 from __future__ import annotations
@@ -35,15 +36,30 @@ FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, frame binary"
 
 
 def _decode_image(payload: bytes, width: int, height: int, strict: bool):
-    """STUB — no image libs in this container.  Deterministic fake in
-    test mode: payload bytes tiled to (height, width) uint8."""
+    """Decode an image payload to a grayscale uint8 (height, width)
+    array.  Tries PIL first (optional import); when PIL is absent —
+    this container has no image libs — or the payload is not a
+    parseable image container, falls back to a deterministic fake
+    (payload bytes tiled to (height, width)) unless ``strict``."""
     import numpy as np
 
-    if strict:
-        raise NotImplementedError(
-            "image decode requires an image library (e.g. PIL); "
-            "install one and replace _decode_image"
-        )
+    try:
+        import io
+
+        from PIL import Image  # optional dependency
+    except ImportError:
+        if strict:
+            raise NotImplementedError(
+                "strict image decode requires an image library (PIL); "
+                "it is not installed in this environment"
+            ) from None
+    else:
+        try:
+            with Image.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("L"), dtype=np.uint8)
+        except Exception:
+            if strict:
+                raise
     raw = np.frombuffer(payload, dtype=np.uint8)
     if len(raw) == 0:
         raw = np.zeros(1, dtype=np.uint8)
@@ -51,13 +67,29 @@ def _decode_image(payload: bytes, width: int, height: int, strict: bool):
 
 
 def _decode_audio(payload: bytes, sample_rate: int, strict: bool):
-    """STUB — deterministic fake: payload bytes as int8 PCM → float."""
+    """Decode an audio payload to float64 samples in [-1, 1].  Tries
+    soundfile first (optional import); when absent or the payload is
+    not a parseable audio container, falls back to the deterministic
+    fake (payload bytes as int8 PCM) unless ``strict``."""
     import numpy as np
 
-    if strict:
-        raise NotImplementedError(
-            "audio decode requires an audio library (e.g. soundfile)"
-        )
+    try:
+        import io
+
+        import soundfile  # optional dependency
+    except ImportError:
+        if strict:
+            raise NotImplementedError(
+                "strict audio decode requires an audio library "
+                "(soundfile); it is not installed in this environment"
+            ) from None
+    else:
+        try:
+            data, _ = soundfile.read(io.BytesIO(payload), dtype="float64")
+            return data[:, 0] if getattr(data, "ndim", 1) > 1 else data
+        except Exception:
+            if strict:
+                raise
     raw = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
     return raw / 128.0
 

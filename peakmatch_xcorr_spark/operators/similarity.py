@@ -237,33 +237,38 @@ def kmeans_fit(
         .collect()
     )
     centroids = [list(r["unit"]) for r in seeds]
-    for _ in range(max_iter):
-        assigned = _assign_nearest(unit, centroids)
-        new_rows = (
-            assigned.groupBy("centroid_id")
-            .agg(
-                F.array(*[
-                    F.avg(F.col("unit")[i]).alias(f"c{i}") for i in range(dim)
-                ]).alias("mean_vec"),
+    try:
+        for _ in range(max_iter):
+            assigned = _assign_nearest(unit, centroids)
+            new_rows = (
+                assigned.groupBy("centroid_id")
+                .agg(
+                    F.array(*[
+                        F.avg(F.col("unit")[i]).alias(f"c{i}") for i in range(dim)
+                    ]).alias("mean_vec"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        new_centroids = list(centroids)
-        moved = 0.0
-        for r in new_rows:
-            import math
+            new_centroids = list(centroids)
+            moved = 0.0
+            for r in new_rows:
+                import math
 
-            v = r["mean_vec"]
-            n = math.sqrt(sum(x * x for x in v)) or 1.0
-            nv = [x / n for x in v]
-            moved += sum(
-                (a - b) ** 2 for a, b in zip(nv, new_centroids[r["centroid_id"]])
-            )
-            new_centroids[r["centroid_id"]] = nv
-        centroids = new_centroids
-        if moved < 1e-12:
-            break
-    unit.unpersist()
+                v = r["mean_vec"]
+                n = math.sqrt(sum(x * x for x in v)) or 1.0
+                nv = [x / n for x in v]
+                moved += sum(
+                    (a - b) ** 2
+                    for a, b in zip(nv, new_centroids[r["centroid_id"]])
+                )
+                new_centroids[r["centroid_id"]] = nv
+            centroids = new_centroids
+            if moved < 1e-12:
+                break
+    finally:
+        # a failing Lloyd iteration must not leak the cached frame for
+        # the session lifetime
+        unit.unpersist()
     return centroids
 
 

@@ -56,6 +56,23 @@ def _exclusive_write_json(path: str, obj: dict) -> None:
             f"snapshot manifest {path} already committed by another "
             "writer; re-read current_version and retry the commit"
         ) from None
+    except OSError:
+        # filesystem without hardlink support (overlay/NFS mounts):
+        # O_CREAT|O_EXCL gives the same loser-must-fail contract —
+        # slightly weaker atomicity (content lands after the name
+        # claim), acceptable because manifests are only read via
+        # current_version, which is flipped after this returns
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"snapshot manifest {path} already committed by another "
+                "writer; re-read current_version and retry the commit"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            json.dump(obj, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
     finally:
         os.remove(tmp)
 

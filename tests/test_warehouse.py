@@ -638,3 +638,94 @@ def test_concurrent_commit_conflict_raises_not_clobbers(spark, wh):
         t_stale.append(d2)
     # the winner's manifest survived untouched
     assert t.snapshot(2).files == winner.files
+
+
+def test_two_thread_contended_appends_stay_linear(spark, wh):
+    """REAL contention (not a staged race): two threads each append 3
+    times to the same table concurrently, retrying on
+    ConcurrentCommitError.  Every retry must land; the final snapshot
+    chain must be strictly linear (each version's parent is the
+    previous version) and contain all 6 appends' rows exactly once."""
+    import threading
+
+    from peakmatch_xcorr_spark.sources.warehouse import (
+        ConcurrentCommitError,
+        WarehouseTable,
+    )
+
+    t = WarehouseTable(wh, "contended")
+    # pre-build the frames on the main thread; the worker threads only
+    # commit (Spark job submission is thread-safe, but building lazy
+    # plans concurrently has no bearing on what this test proves)
+    frames = {
+        w: [
+            spark.range(w * 1000 + i * 10, w * 1000 + i * 10 + 10)
+            .toDF("id")
+            for i in range(3)
+        ]
+        for w in (1, 2)
+    }
+    barrier = threading.Barrier(2)
+    retries = {1: 0, 2: 0}
+    errors = []
+
+    def writer(w):
+        try:
+            barrier.wait(timeout=60)
+            for df in frames[w]:
+                while True:
+                    try:
+                        # fresh handle per attempt: a real concurrent
+                        # writer re-reads current_version on retry
+                        WarehouseTable(wh, "contended").append(df)
+                        break
+                    except ConcurrentCommitError:
+                        retries[w] += 1
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append((w, exc))
+
+    th = [threading.Thread(target=writer, args=(w,)) for w in (1, 2)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join(timeout=300)
+    assert not errors, errors
+    versions = t.versions()
+    assert versions == list(range(1, 7)), versions  # all 6 landed
+    for v in versions:
+        s = t.snapshot(v)
+        assert s.parent == (v - 1 if v > 1 else None)  # linear chain
+    got = sorted(r.id for r in t.read(spark).collect())
+    want = sorted(
+        w * 1000 + i * 10 + j for w in (1, 2) for i in range(3)
+        for j in range(10)
+    )
+    assert got == want  # every append exactly once, no orphans
+
+
+def test_exclusive_write_fallback_without_hardlinks(tmp_path, monkeypatch):
+    """Filesystems without hardlink support (overlay/NFS): os.link
+    raises EPERM/ENOTSUP, and the commit must fall back to
+    O_CREAT|O_EXCL with the same loser-must-fail contract instead of
+    surfacing a raw OSError."""
+    import json as _json
+    import os as _os
+
+    from peakmatch_xcorr_spark.sources import warehouse as whmod
+
+    real_link = _os.link
+
+    def no_link(src, dst, **kw):
+        raise OSError(1, "Operation not permitted")  # EPERM
+
+    monkeypatch.setattr(whmod.os, "link", no_link)
+    path = str(tmp_path / "v00001.json")
+    whmod._exclusive_write_json(path, {"version": 1})
+    with open(path) as f:
+        assert _json.load(f) == {"version": 1}
+    # loser contract preserved on the fallback path
+    with pytest.raises(whmod.ConcurrentCommitError):
+        whmod._exclusive_write_json(path, {"version": 1, "loser": True})
+    with open(path) as f:
+        assert _json.load(f) == {"version": 1}  # winner untouched
+    monkeypatch.setattr(whmod.os, "link", real_link)

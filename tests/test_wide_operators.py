@@ -213,14 +213,76 @@ def test_multimodal_survives_kind_free_partitions(spark):
 
 
 def test_multimodal_strict_mode_raises(spark):
+    """Without PIL (this container), or with PIL but a raw-byte
+    payload that is not a parseable image container, strict mode must
+    fail the job rather than silently emit fake features."""
     from peakmatch_xcorr_spark.operators.multimodal import (
         image_features,
         synth_media,
     )
 
     media = synth_media(spark, n=3)
-    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+    with pytest.raises(
+        Exception, match="NotImplementedError|image decode|identify"
+    ):
         image_features(media, strict=True).toPandas()
+
+
+def test_multimodal_strict_real_image_decode(spark):
+    """Where PIL exists, strict mode must decode a real PNG end-to-end
+    through the Spark plumbing (optional-import path, VERDICT r3
+    item 6).  Skipped in environments without image libraries."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import pandas as pd
+
+    from peakmatch_xcorr_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+    )
+
+    img = PIL.new("L", (16, 12), color=120)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    media = spark.createDataFrame(
+        pd.DataFrame([
+            {"media_id": "real0", "kind": "image", "payload": buf.getvalue(),
+             "width": 16, "height": 12, "sample_rate": 0, "n_frames": 0}
+        ]),
+        schema=MEDIA_SCHEMA,
+    )
+    out = image_features(media, strict=True).toPandas()
+    assert len(out) == 1
+    assert out.mean_intensity.iloc[0] == pytest.approx(120.0)
+
+
+def test_multimodal_strict_real_audio_decode(spark):
+    """Where soundfile exists, strict mode must decode a real WAV.
+    Skipped in environments without audio libraries."""
+    sf = pytest.importorskip("soundfile")
+    import io
+
+    import pandas as pd
+
+    from peakmatch_xcorr_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    sig = np.sin(2 * np.pi * 440 * np.arange(8000) / 8000)
+    buf = io.BytesIO()
+    sf.write(buf, sig, 8000, format="WAV")
+    media = spark.createDataFrame(
+        pd.DataFrame([
+            {"media_id": "real1", "kind": "audio", "payload": buf.getvalue(),
+             "width": 0, "height": 0, "sample_rate": 8000, "n_frames": 0}
+        ]),
+        schema=MEDIA_SCHEMA,
+    )
+    out = audio_features(media, strict=True).toPandas()
+    assert len(out) == 1
+    assert out.dominant_hz.iloc[0] == pytest.approx(440.0, abs=2.0)
 
 
 # ------------------------------------------------------------- clustering
