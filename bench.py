@@ -36,6 +36,11 @@ def build_session(cpus: int):
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS",
                 "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
         os.environ[var] = "1"
+    # single-JVM local mode: the driver IS the executor pool, so size
+    # it for the box (the 8g library default OOM'd the stress input's
+    # id-only pair aggregation — ~10^8 shuffled rows sharing unified
+    # memory with the phase caches across 32 concurrent tasks)
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
     from peakmatch_xcorr_spark.session import get_spark
 
     # 2 shuffle partitions per core: python-kernel stages (cogroup pair
@@ -49,6 +54,10 @@ def build_session(cpus: int):
         extra_conf={
             "spark.executorEnv.OMP_NUM_THREADS": "1",
             "spark.executorEnv.OPENBLAS_NUM_THREADS": "1",
+            # start big shuffles fine-grained (bounded per-task agg
+            # state) and let AQE coalesce the small ones back down
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum":
+                str(16 * cpus),
         },
     )
 
@@ -568,16 +577,20 @@ against the generator's planted near-duplicate pairs.
   Bounded recall is the documented tradeoff of the scoped tier (the
   reference documents FN the same way, README.md:22); blocked
   all-pairs (the exact path) is the fallback when recall must be 1.
-- Decomposition (measured r3, this input): end-to-end recall =
-  bucket recall **0.971** (planted pair lands in a shared
-  under-cap bucket) × peakmatch-prune pass rate **0.884** (the
-  reference's own approximation FN at candidate-threshold 0.55 —
-  every planted pair scores above final-threshold in EXACT xcorr,
-  ceiling 1.0) ≈ 0.86.  The blocked exact-verify path pays the same
-  0.884 prune factor, so the LSH tier's own incremental loss is only
-  ~3 points; query-directed multiprobe (weakest-bit flip per band)
-  measured bucket recall 1.0 but at 2.9x the candidate pairs — not
-  worth the default.
+- Since r4 end-to-end recall ≈ bucket recall: every in-cap candidate
+  pair is exact-FFT-verified, and the in-bucket peakmatch prune only
+  engages above {250_000:,} pairs in one bucket (the r3 decomposition
+  measured the unconditional prune's 0.884 pass rate costing 11.6
+  recall points to avoid a kernel LSH had already made affordable —
+  bucket recall 0.971 × prune 0.884 ≈ 0.86 then, vs ≈ 0.97 now).
+  Remaining loss is pure bucket recall (planted pair never shares an
+  under-cap bucket); query-directed multiprobe (weakest-bit flip per
+  band) measured bucket recall 1.0 but at 2.9x the candidate pairs —
+  not worth the default.
+- Each candidate pair is scored exactly ONCE (owner-bucket
+  assignment across bands) and each member's series ships once per
+  owning bucket — see BENCH_r04's `candidate_pairs` duplication /
+  movement factors for the measured before/after.
 - Reproduce: `python bench.py --stress` (input generated once under
   `$SPARK_GRAFT_STRESS_DIR`, default /tmp/pxs_stress).
 

@@ -480,10 +480,31 @@ def lsh_candidate_pair_stats(
         F.count_distinct("id_a", "id_b").alias("distinct_pairs"),
     ).collect()[0]
     all_rows, distinct = agg["all_rows"], agg["distinct_pairs"]
+    # series-payload movement, exactly: the pre-r4 tier joined the
+    # full features into EVERY in-cap bucket membership row (one
+    # series shipped per (bucket, member)); the owner-assigned tier
+    # ships one series per (owning bucket, id with >=1 pair there)
+    owners = (
+        pairs.groupBy("id_a", "id_b")
+        .agg(F.min(F.struct("band", "sig")).alias("o"))
+        .select("o.band", "o.sig", "id_a", "id_b")
+    )
+    rows_before = members.count()
+    rows_after = (
+        owners.select("band", "sig", F.col("id_a").alias("id"))
+        .unionByName(owners.select("band", "sig", F.col("id_b").alias("id")))
+        .distinct()
+        .count()
+    )
     return {
         "pair_rows_all_bands": all_rows,
         "distinct_pairs": distinct,
         "duplication_factor": round(all_rows / distinct, 3) if distinct else None,
+        "series_rows_shuffled_before": rows_before,
+        "series_rows_shuffled_after": rows_after,
+        "movement_reduction": (
+            round(rows_before / rows_after, 3) if rows_after else None
+        ),
     }
 
 
