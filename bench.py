@@ -587,10 +587,23 @@ against the generator's planted near-duplicate pairs.
   under-cap bucket); query-directed multiprobe (weakest-bit flip per
   band) measured bucket recall 1.0 but at 2.9x the candidate pairs —
   not worth the default.
-- Each candidate pair is scored exactly ONCE (owner-bucket
-  assignment across bands) and each member's series ships once per
-  owning bucket — see BENCH_r04's `candidate_pairs` duplication /
-  movement factors for the measured before/after.
+- Each candidate pair is scored exactly ONCE, decided task-locally
+  from the eligible-signature vector each bucket member carries (a
+  bucket scores a pair iff it is the pair's minimum shared scorable
+  band) — no pair-key shuffle exists; see BENCH_r04's
+  `candidate_pairs` for the kernel-call duplication removed and the
+  quadratic pair-key rows (`pair_key_rows_not_shuffled`) the
+  task-local rule avoids moving.
+- Three score-once designs measured on THIS input, same quiet box,
+  same session (r4):
+
+  | design | lsh_dedup wall (s) | recall | scale hazard |
+  |---|---|---|---|
+  | r3: score per colliding bucket, dedup after | 50.79 | 0.861 | k× kernel + k× series per k-band collision |
+  | r4.1: global owner assignment (groupBy over id-pairs) | 258.67 | 0.968 | shuffles Σ count²/2 pair-key rows (~10^8 here, quadratic in bucket fill) |
+  | r4.2: task-local ownership via eligible-sig vectors | **43.71** | **0.968** | none measured — pair keys never materialized, movement linear in membership |
+
+  Identical match set (535,460 edges) for r4.1 and r4.2.
 - Reproduce: `python bench.py --stress` (input generated once under
   `$SPARK_GRAFT_STRESS_DIR`, default /tmp/pxs_stress).
 

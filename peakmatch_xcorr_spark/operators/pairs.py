@@ -372,27 +372,34 @@ def _spectral_band_sigs(
     )
 
 
-def _lsh_candidate_pairs(
+def _lsh_bucket_frames(
     features: DataFrame,
     n_planes: int,
     bands: int,
     max_bucket: int,
     spec_bins: int,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Shared LSH bucketing front half: returns ``(bucketed, owner_pairs,
-    all_counts)`` where ``owner_pairs`` is the DISTINCT candidate pair
-    set from in-cap buckets, each pair assigned to exactly ONE owner
-    bucket (the lexicographic-min ``(band, sig)`` it collides in).
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Shared LSH bucketing front half: returns ``(bucketed, counts,
+    all_counts, esigs)``.
 
-    The enumeration is id-only: the per-bucket self-join and the
-    cross-band dedup shuffle rows of (band, sig, id_a, id_b) — tens of
-    bytes each — NOT the 256-double series.  A pair colliding in k of
-    the 8 bands used to be scored k times with the series shipped k
-    times (VERDICT r3 "what's wrong" #2, up to 8x avoidable movement on
-    the 10^9-row tier); after ownership assignment each pair is scored
-    once and each member's series ships once per owning bucket it has
-    pairs in (for a clique colliding in every band, all pairs share one
-    owner, so exactly once)."""
+    ``esigs`` is the per-conversation ELIGIBLE-signature vector: one
+    ``array<long>`` of length ``bands`` whose slot *b* holds the
+    conv's band-*b* signature when bucket ``(b, sig)`` is scorable
+    (2 ≤ count ≤ ``max_bucket``) and -1 otherwise (singleton bucket —
+    no pairs — or over-cap bucket, which the star branch handles).
+
+    The vector is what makes cross-band score-once ownership a
+    TASK-LOCAL decision: inside bucket ``(band, sig)`` a pair is
+    scored iff ``band`` is the minimum band where the two vectors
+    agree on a non-(-1) slot.  Since a conversation has exactly one
+    signature per band, min agreeing band ≡ lexicographic-min
+    ``(band, sig)`` — the same owner as a global assignment — but no
+    pair-key frame is ever materialized or shuffled.  The r4.1 global
+    variant (enumerate all in-bucket pairs id-only, then
+    ``groupBy(id_a, id_b).min(struct(band, sig))``) shuffled
+    Σ_buckets count²/2 rows — ~10^8 at the 101k-conversation stress
+    corpus, quadratic in bucket fill and the reason the driver needed
+    48g — where this vector is N small rows, linear in corpus size."""
     # bucket = (band, sig).  Buckets larger than ``max_bucket`` are
     # excluded here and handled by the star branch: an overfull bucket
     # means that band's bits carry ~no information for those members
@@ -410,39 +417,33 @@ def _lsh_candidate_pairs(
     counts = all_counts.filter(
         (F.col("count") > 1) & (F.col("count") <= max_bucket)
     )
-    members = bucketed.join(counts.select("band", "sig"), ["band", "sig"], "left_semi")
-    m_a = members.select("band", "sig", F.col("conv_id").alias("id_a"))
-    # rename the right side's join keys: both sides share the same
-    # lineage, and Spark's ambiguous-self-join check rejects a bare
-    # ["band", "sig"] join of two projections of one frame
-    m_b = members.select(
-        F.col("band").alias("band_b"),
-        F.col("sig").alias("sig_b"),
-        F.col("conv_id").alias("id_b"),
+    flagged = bucketed.join(
+        counts.select("band", "sig", F.lit(True).alias("in_cap")),
+        ["band", "sig"],
+        "left",
     )
-    bucket_pairs = (
-        m_a.join(
-            m_b,
-            (F.col("band") == F.col("band_b")) & (F.col("sig") == F.col("sig_b")),
+    esigs = (
+        flagged.groupBy("conv_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("band"),
+                            F.when(F.col("in_cap"), F.col("sig"))
+                            .otherwise(F.lit(-1))
+                            .alias("esig"),
+                        )
+                    )
+                ),
+                lambda s: s["esig"],
+            ).alias("esigs")
         )
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("band", "sig", "id_a", "id_b")
-    )
-    owner_pairs = (
-        bucket_pairs.groupBy("id_a", "id_b")
-        .agg(F.min(F.struct("band", "sig")).alias("o"))
-        .select(
-            F.col("o.band").alias("band"),
-            F.col("o.sig").alias("sig"),
-            "id_a",
-            "id_b",
-        )
-        # referenced by the scoring cogroup (twice via `need`) and the
-        # star branch's anti-join — checkpoint so the enumeration
-        # self-join runs once
+        # read by the scoring members join AND the star branch's
+        # shared-band filter (both sides) — compute once
         .localCheckpoint(eager=False)
     )
-    return bucketed, owner_pairs, all_counts
+    return bucketed, counts, all_counts, esigs
 
 
 def lsh_candidate_pair_stats(
@@ -453,18 +454,30 @@ def lsh_candidate_pair_stats(
     spec_bins: int = 64,
 ) -> dict:
     """Measurement companion for BENCH: how much duplicate work the
-    cross-band ownership assignment removes.  ``pair_rows_all_bands``
-    is what the pre-r4 tier scored (and shipped series for) — one
-    kernel call per (bucket, colliding pair); ``distinct_pairs`` is
-    what the owner-assigned tier scores.  The ratio is the measured
-    duplication factor (VERDICT r3 item 2's before/after kernel-call
-    counts)."""
-    sigs = _spectral_band_sigs(features, spec_bins, n_planes, bands)
-    bucketed = sigs.localCheckpoint(eager=False)
-    counts = bucketed.groupBy("band", "sig").count().filter(
-        (F.col("count") > 1) & (F.col("count") <= max_bucket)
+    task-local cross-band ownership rule removes, and how much shuffle
+    the design avoids.  ``pair_rows_all_bands`` is what the r3 tier
+    scored — one kernel call per (bucket, colliding pair) —
+    and ALSO exactly the pair-key rows the r4.1 global owner
+    assignment shuffled through ``groupBy(id_a, id_b)``;
+    ``distinct_pairs`` is what the ownership rule scores.  The
+    enumeration self-join here exists only to measure; the scoring
+    path never materializes pair keys."""
+    bucketed, counts, _all_counts, _esigs = _lsh_bucket_frames(
+        features, n_planes, bands, max_bucket, spec_bins
     )
-    members = bucketed.join(counts.select("band", "sig"), ["band", "sig"], "left_semi")
+    # closed-form from bucket fills: Σ c(c-1)/2 kernel calls, Σ c
+    # membership rows (one series payload shipped per membership row)
+    fills = counts.agg(
+        F.sum((F.col("count") * (F.col("count") - 1) / 2).cast("long")).alias(
+            "all_rows"
+        ),
+        F.sum("count").alias("member_rows"),
+    ).collect()[0]
+    all_rows = fills["all_rows"] or 0
+    member_rows = fills["member_rows"] or 0
+    members = bucketed.join(
+        counts.select("band", "sig"), ["band", "sig"], "left_semi"
+    )
     m_a = members.select("band", "sig", F.col("conv_id").alias("id_a"))
     m_b = members.select(
         F.col("band").alias("band_b"),
@@ -475,37 +488,101 @@ def lsh_candidate_pair_stats(
         m_b,
         (F.col("band") == F.col("band_b")) & (F.col("sig") == F.col("sig_b")),
     ).filter(F.col("id_a") < F.col("id_b"))
-    agg = pairs.agg(
-        F.count("*").alias("all_rows"),
-        F.count_distinct("id_a", "id_b").alias("distinct_pairs"),
-    ).collect()[0]
-    all_rows, distinct = agg["all_rows"], agg["distinct_pairs"]
-    # series-payload movement, exactly: the pre-r4 tier joined the
-    # full features into EVERY in-cap bucket membership row (one
-    # series shipped per (bucket, member)); the owner-assigned tier
-    # ships one series per (owning bucket, id with >=1 pair there)
-    owners = (
-        pairs.groupBy("id_a", "id_b")
-        .agg(F.min(F.struct("band", "sig")).alias("o"))
-        .select("o.band", "o.sig", "id_a", "id_b")
-    )
-    rows_before = members.count()
-    rows_after = (
-        owners.select("band", "sig", F.col("id_a").alias("id"))
-        .unionByName(owners.select("band", "sig", F.col("id_b").alias("id")))
-        .distinct()
-        .count()
-    )
+    distinct = pairs.select("id_a", "id_b").distinct().count()
     return {
         "pair_rows_all_bands": all_rows,
         "distinct_pairs": distinct,
         "duplication_factor": round(all_rows / distinct, 3) if distinct else None,
-        "series_rows_shuffled_before": rows_before,
-        "series_rows_shuffled_after": rows_after,
-        "movement_reduction": (
-            round(rows_before / rows_after, 3) if rows_after else None
-        ),
+        "series_rows_shuffled": member_rows,
+        "pair_key_rows_not_shuffled": all_rows,
     }
+
+
+def _make_bucket_scorer(
+    n_bands: int,
+    stride: int,
+    cand_t: float,
+    final_t: float,
+    prune_pair_knee: int,
+    new_only: bool = False,
+):
+    """Build the per-bucket Arrow UDF that scores the bucket's OWNED
+    candidate pairs (see ``lsh_scoped_matches`` for the ownership
+    rule).  ``new_only=True`` is the incremental-index variant: rows
+    carry an ``is_new`` flag and only pairs with at least one new
+    member are scored (old×old verdicts are already persisted)."""
+
+    def compute(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels.xcorr_batch import (
+            fft_xcorr_cells,
+            peakmatch_block,
+        )
+
+        empty = _empty_pairs("score", "xcorr")
+        if "series" not in pdf.columns:
+            # loud, not silent: a pruned payload column means zero
+            # matches forever (see the cogroup ColumnPruning quirk)
+            raise RuntimeError(
+                "bucket scorer: payload columns were pruned from "
+                f"the bucket task; got {list(pdf.columns)}"
+            )
+        if len(pdf) < 2:
+            return empty
+        band = key[0]
+        ids = pdf["conv_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        series = np.stack(
+            [np.asarray(pdf["series"].iloc[i], dtype=np.float64) for i in order]
+        )
+        mx = np.stack([np.asarray(pdf["max_peaks"].iloc[i]) for i in order])
+        mn = np.stack([np.asarray(pdf["min_peaks"].iloc[i]) for i in order])
+        ab = [np.asarray(pdf["above_idx"].iloc[i]) for i in order]
+        S = np.stack(
+            [np.asarray(pdf["esigs"].iloc[i], dtype=np.int64) for i in order]
+        )
+        n = len(ids)
+        # task-local ownership: min band whose scorable (-1 = not)
+        # slots agree.  Every pair here agrees at `band` (same bucket,
+        # in-cap), so own <= band everywhere on the upper triangle; a
+        # pair is this task's iff no LOWER band already claims it.
+        own = np.full((n, n), n_bands, dtype=np.int32)
+        for b in range(n_bands - 1, -1, -1):
+            col = S[:, b]
+            eq = (col[:, None] == col[None, :]) & (col[:, None] != -1)
+            own[eq] = b
+        # ids sorted ascending and mask upper-triangular, so ii < jj —
+        # the canonical orientation (lexicographic min is the shifted
+        # 'a' side, matching the fused blocked path)
+        mask = (own == band) & np.triu(np.ones((n, n), dtype=bool), 1)
+        if new_only:
+            nw = pdf["is_new"].to_numpy()[order].astype(bool)
+            mask &= nw[:, None] | nw[None, :]
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return empty
+        mat = peakmatch_block(series, mx, mn, series, mx, mn, ab, stride,
+                              pair_mask=mask)
+        if len(ii) > prune_pair_knee:
+            # knee-gated prune: only when a single task would otherwise
+            # run an unreasonable number of exact kernels (~2s of FFT
+            # at the default knee) does the approximate prune pay for
+            # its false negatives
+            keep0 = mat[ii, jj] > cand_t
+            ii, jj = ii[keep0], jj[keep0]
+            if len(ii) == 0:
+                return empty
+        xc = fft_xcorr_cells(series, series, ii, jj)
+        keep = xc > final_t
+        return pd.DataFrame({
+            "id_a": ids[ii[keep]], "id_b": ids[jj[keep]],
+            "score": mat[ii[keep], jj[keep]], "xcorr": xc[keep],
+        })
+
+    return compute
 
 
 def lsh_scoped_matches(
@@ -544,97 +621,41 @@ def lsh_scoped_matches(
       recall ≈ bucket recall (~0.97 measured on the 18.5M-turn stress
       corpus vs 0.86 with the unconditional prune).
 
-    * **Each pair is scored exactly once** — candidate pair keys are
-      enumerated id-only per bucket, deduplicated across bands by
-      owner-bucket assignment (``_lsh_candidate_pairs``), and only
-      then joined to the series payload.  No post-hoc ``row_number``
-      dedup, no k× series re-shipping for k-band collisions.
+    * **Each pair is scored exactly once, decided task-locally** —
+      every in-cap bucket member carries its conversation's
+      eligible-signature vector (``_lsh_bucket_frames``), and a bucket
+      task scores pair (a, b) iff its band is the MINIMUM band where
+      the two vectors agree on a scorable slot.  No pair-key frame
+      exists: the r4.1 global owner assignment shuffled
+      Σ_buckets count²/2 id-pair rows (~10^8 at the 101k-conv stress
+      corpus — quadratic in bucket fill), where the vector adds one
+      ``bands``-long array to each membership row, linear in N.
+      No post-hoc ``row_number`` dedup, no k× kernel calls for
+      k-band collisions.
     """
     # spec vectors are padded to exactly spec_bins inside the UDF, so
     # the hyperplane dim never depends on the (possibly differing)
     # conf.expected_len vs actual curve length
-    bucketed, owner_pairs, all_counts = _lsh_candidate_pairs(
+    bucketed, counts, all_counts, esigs = _lsh_bucket_frames(
         features, n_planes, bands, max_bucket, spec_bins
     )
     cand_t = conf.candidate_threshold
     final_t = conf.final_threshold
     stride = conf.sampling_stride
 
-    # series ship only for ids that own ≥1 pair in the bucket, once
-    # per (owning bucket, id).  Keys are RENAMED (oband/osig): this
-    # side derives from owner_pairs, and the cogroup below would
-    # otherwise be an ambiguous self-reference on band/sig — cogroup
-    # matches grouping keys positionally, so names need not agree.
-    need = (
-        owner_pairs.select(
-            F.col("band").alias("oband"),
-            F.col("sig").alias("osig"),
-            F.col("id_a").alias("conv_id"),
-        )
-        .unionByName(
-            owner_pairs.select(
-                F.col("band").alias("oband"),
-                F.col("sig").alias("osig"),
-                F.col("id_b").alias("conv_id"),
-            )
-        )
-        .distinct()
+    # one series payload per (in-cap multi-member bucket, member):
+    # linear in membership, the same movement the r3 tier paid —
+    # bought back by zero pair-key shuffle and 1x kernel calls
+    members = (
+        bucketed.join(counts.select("band", "sig"), ["band", "sig"], "left_semi")
+        .join(esigs, "conv_id")
+        .join(features, "conv_id")
     )
-    feat_side = need.join(features, "conv_id")
 
-    def compute(key, fpdf, ppdf):
-        import numpy as np
-        import pandas as pd
-
-        from peakmatch_xcorr_spark.kernels.xcorr_batch import (
-            fft_xcorr_cells,
-            peakmatch_block,
-        )
-
-        empty = _empty_pairs("score", "xcorr")
-        if len(ppdf) == 0 or len(fpdf) == 0 or "series" not in fpdf.columns:
-            return empty
-        ids = fpdf["conv_id"].to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        series = np.stack(
-            [np.asarray(fpdf["series"].iloc[i], dtype=np.float64) for i in order]
-        )
-        mx = np.stack([np.asarray(fpdf["max_peaks"].iloc[i]) for i in order])
-        mn = np.stack([np.asarray(fpdf["min_peaks"].iloc[i]) for i in order])
-        ab = [np.asarray(fpdf["above_idx"].iloc[i]) for i in order]
-        idx = {c: i for i, c in enumerate(ids)}
-        # id_a < id_b lexicographically and ids sorted ascending, so
-        # ii < jj — the canonical orientation (lexicographic min is the
-        # shifted 'a' side, matching the fused blocked path)
-        ii = np.fromiter((idx[a] for a in ppdf["id_a"]), dtype=np.int64,
-                         count=len(ppdf))
-        jj = np.fromiter((idx[b] for b in ppdf["id_b"]), dtype=np.int64,
-                         count=len(ppdf))
-        n = len(ids)
-        mask = np.zeros((n, n), dtype=bool)
-        mask[ii, jj] = True
-        mat = peakmatch_block(series, mx, mn, series, mx, mn, ab, stride,
-                              pair_mask=mask)
-        if len(ii) > prune_pair_knee:
-            # knee-gated prune: only when a single task would otherwise
-            # run an unreasonable number of exact kernels (~2s of FFT
-            # at the default knee) does the approximate prune pay for
-            # its false negatives
-            keep0 = mat[ii, jj] > cand_t
-            ii, jj = ii[keep0], jj[keep0]
-            if len(ii) == 0:
-                return empty
-        xc = fft_xcorr_cells(series, series, ii, jj)
-        keep = xc > final_t
-        return pd.DataFrame({
-            "id_a": ids[ii[keep]], "id_b": ids[jj[keep]],
-            "score": mat[ii[keep], jj[keep]], "xcorr": xc[keep],
-        })
-
-    fg = feat_side.groupBy("oband", "osig")
-    pg = owner_pairs.groupBy("band", "sig")
-    out = fg.cogroup(pg).applyInPandas(
+    compute = _make_bucket_scorer(
+        bands, stride, cand_t, final_t, prune_pair_knee
+    )
+    out = members.groupBy("band", "sig").applyInPandas(
         compute, schema="id_a string, id_b string, score double, xcorr double"
     )
 
@@ -661,8 +682,25 @@ def lsh_scoped_matches(
         .distinct()
         # a star pair may ALSO collide in some in-cap band, where the
         # ownership path already scores it — keep the score-once
-        # invariant with an anti-join (id-only rows, cheap)
-        .join(owner_pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        # invariant by dropping pairs whose eligible-sig vectors share
+        # a scorable slot (the same rule the bucket tasks apply)
+        .join(
+            esigs.select(F.col("conv_id").alias("id_a"), F.col("esigs").alias("ea")),
+            "id_a",
+        )
+        .join(
+            esigs.select(F.col("conv_id").alias("id_b"), F.col("esigs").alias("eb")),
+            "id_b",
+        )
+        .filter(
+            ~F.exists(
+                F.zip_with(
+                    "ea", "eb", lambda x, y: (x == y) & (x != F.lit(-1))
+                ),
+                lambda v: v,
+            )
+        )
+        .select("id_a", "id_b")
     )
     from peakmatch_xcorr_spark.operators.features import fft_precache
 
@@ -677,8 +715,8 @@ def lsh_scoped_matches(
         .withColumn("score", F.lit(None).cast("double"))
         .select("id_a", "id_b", "score", "xcorr")
     )
-    # owner pairs and star pairs are disjoint (anti-join above), and
-    # each appears exactly once — no post-hoc dedup needed
+    # bucket-scored pairs and star pairs are disjoint (shared-band
+    # filter above), and each appears exactly once — no post-hoc dedup
     return out.unionByName(star_scored)
 
 
