@@ -789,6 +789,96 @@ FROM members
 """
 
 
+def _q_lsh_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LSH index refresh (operators/lsh_index.py) as a
+    HASH-CHECKED row: cold-index the events-derived conversations,
+    then refresh with planted exact copies ('d<id>' of 'u<id>' for
+    _PLANTED_DEDUP_USERS) as the new batch; return the match pairs
+    that involve a planted copy.
+
+    SQL-derivable for the same reason as dedup_components_planted: at
+    final_threshold=0.999 the match relation on this data is curve
+    equality (the one natural shift-equal pair u128~u68 involves no
+    planted side), and exact copies have identical spectra hence
+    identical band signatures — they collide deterministically, so
+    LSH recall on the planted pairs is exactly 1.  The expected answer
+    is all curve-equality-class pairs with >= 1 planted side."""
+    import tempfile
+
+    _utc(spark)
+    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+    from peakmatch_xcorr_spark.operators.features import conversation_features
+    from peakmatch_xcorr_spark.operators.lsh_index import lsh_index_refresh
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
+    )
+    copies = events.filter(
+        F.col("user_id").isin(*_PLANTED_DEDUP_USERS)
+    ).select(
+        F.concat(F.lit("d"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
+    )
+    conf = EngineConf(
+        peakmatch=PeakmatchConf(expected_len=256, final_threshold=0.999),
+        rollup=RollupConf(activity_curve_len=256),
+    )
+    f_base = conversation_features(
+        base, conf.peakmatch,
+        bucket=conf.rollup.activity_bucket,
+        curve_len=conf.rollup.activity_curve_len,
+    )
+    f_all = conversation_features(
+        base.unionByName(copies), conf.peakmatch,
+        bucket=conf.rollup.activity_bucket,
+        curve_len=conf.rollup.activity_curve_len,
+    )
+    wh = tempfile.mkdtemp(prefix="pxs_lsh_idx_")
+    index = WarehouseTable(wh, "lsh_index")
+    saved = WarehouseTable(wh, "lsh_matches")
+    lsh_index_refresh(
+        spark, f_base, index, saved, conf.peakmatch, n_planes=32, bands=8
+    )
+    final = lsh_index_refresh(
+        spark, f_all, index, saved, conf.peakmatch, n_planes=32, bands=8
+    )
+    return final.filter(
+        F.col("id_a").startswith("d") | F.col("id_b").startswith("d")
+    ).select("id_a", "id_b")
+
+
+_SQL_LSH_INCREMENTAL_PLANTED = """
+WITH r AS (
+  SELECT user_id, date_trunc('minute', ts) AS bs, count(*) AS turns
+  FROM events GROUP BY 1, 2
+), idx AS (
+  SELECT user_id,
+         CAST((epoch(bs) - min(epoch(bs)) OVER (PARTITION BY user_id)) / 60
+              AS BIGINT) AS i,
+         turns
+  FROM r
+), curves AS (
+  SELECT user_id, list(struct_pack(i := i, t := turns) ORDER BY i) AS curve
+  FROM idx WHERE i < 256 GROUP BY user_id
+), classes AS (
+  SELECT user_id, min(user_id) OVER (PARTITION BY curve) AS class_root
+  FROM curves
+), members AS (
+  SELECT 'u' || CAST(user_id AS VARCHAR) AS cid, class_root, FALSE AS planted
+  FROM classes
+  UNION ALL
+  SELECT 'd' || CAST(user_id AS VARCHAR) AS cid, class_root, TRUE AS planted
+  FROM classes
+  WHERE user_id IN (0, 3, 15, 43, 48, 66, 77, 87, 94, 132)
+)
+SELECT least(a.cid, b.cid) AS id_a, greatest(a.cid, b.cid) AS id_b
+FROM members a JOIN members b
+  ON a.class_root = b.class_root AND a.cid < b.cid
+WHERE a.planted OR b.planted
+"""
+
+
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding candidates (hash-algorithm-specific; the
     Jaccard truth it approximates is oracle-checked separately)."""
@@ -1783,6 +1873,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "percentiles_by_type": (_q_percentiles, _SQL_PERCENTILES),
     "dedup_components_planted": (
         _q_dedup_components_planted, _SQL_DEDUP_COMPONENTS_PLANTED
+    ),
+    "lsh_incremental_planted": (
+        _q_lsh_incremental_planted, _SQL_LSH_INCREMENTAL_PLANTED
     ),
     "pack_roundtrip": (_q_pack_roundtrip, _SQL_PACK_ROUNDTRIP),
     "lsh_near_dups": (_q_lsh_near_dups, _SQL_LSH_NEAR_DUPS),
