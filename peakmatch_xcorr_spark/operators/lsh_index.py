@@ -14,7 +14,7 @@ in a warehouse table; a refresh
   over small rows — fills must reflect the combined corpus so
   eligibility and ownership stay consistent),
 * scores only buckets containing >= 1 new member, and inside them only
-  pairs with >= 1 new side (``_make_bucket_scorer(new_only=True)``);
+  pairs with >= 1 new side (``_score_buckets(new_only=True)``);
   old x old verdicts are already in the matches table and xcorr is
   pair-intrinsic, so they can never change,
 * star-scores new members of over-cap buckets against the bucket's
@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 
 from peakmatch_xcorr_spark.config import PeakmatchConf
 from peakmatch_xcorr_spark.operators.pairs import (
-    _make_bucket_scorer,
+    _score_buckets,
     _spectral_band_sigs,
     lsh_scoped_matches,
 )
@@ -159,12 +159,9 @@ def lsh_index_refresh(
         .join(esigs, "conv_id")
         .join(part_feats, "conv_id")
     )
-    compute = _make_bucket_scorer(
-        bands, conf.sampling_stride, conf.candidate_threshold,
+    bucket_delta = _score_buckets(
+        members, bands, conf.sampling_stride, conf.candidate_threshold,
         conf.final_threshold, prune_pair_knee, new_only=True,
-    )
-    bucket_delta = members.groupBy("band", "sig").applyInPandas(
-        compute, schema=_MATCH_SCHEMA
     )
 
     # over-cap hot buckets: star-score each NEW member against the

@@ -585,6 +585,83 @@ def _make_bucket_scorer(
     return compute
 
 
+def _make_partition_scorer(
+    n_bands: int,
+    stride: int,
+    cand_t: float,
+    final_t: float,
+    prune_pair_knee: int,
+    new_only: bool = False,
+):
+    """Partition-level wrapper around ``_make_bucket_scorer`` for
+    ``mapInPandas`` over rows sorted by (band, sig) within each
+    partition: iterate bucket groups via change-point splits, carrying
+    a possibly-split trailing group across Arrow chunk boundaries
+    (the rollup.pack_tier pattern).  applyInPandas pays a Python
+    round-trip + Arrow flush PER GROUP — at ~10^5 small LSH buckets
+    that overhead dominates the actual kernel work — where this path
+    pays per Arrow CHUNK."""
+    import numpy as np
+    import pandas as pd
+
+    compute = _make_bucket_scorer(
+        n_bands, stride, cand_t, final_t, prune_pair_knee, new_only
+    )
+
+    def run(batches):
+        carry = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            band = pdf["band"].to_numpy()
+            sig = pdf["sig"].to_numpy()
+            change = (band[1:] != band[:-1]) | (sig[1:] != sig[:-1])
+            starts = np.flatnonzero(np.r_[True, change])
+            # the trailing group may continue in the next chunk —
+            # always carry it; flush after the iterator drains
+            for s, e in zip(starts[:-1], starts[1:]):
+                out = compute((band[s], sig[s]), pdf.iloc[s:e])
+                if len(out):
+                    yield out
+            carry = pdf.iloc[starts[-1]:]
+        if carry is not None and len(carry):
+            band0 = carry["band"].iloc[0]
+            sig0 = carry["sig"].iloc[0]
+            out = compute((band0, sig0), carry)
+            if len(out):
+                yield out
+
+    return run
+
+
+def _score_buckets(
+    members: DataFrame,
+    n_bands: int,
+    stride: int,
+    cand_t: float,
+    final_t: float,
+    prune_pair_knee: int,
+    new_only: bool = False,
+) -> DataFrame:
+    """Score the owned pairs of every (band, sig) bucket in
+    ``members`` (rows carry conv_id, esigs, the feature payload and —
+    when ``new_only`` — is_new).  One hash exchange on the bucket key,
+    then partition-local group iteration."""
+    run = _make_partition_scorer(
+        n_bands, stride, cand_t, final_t, prune_pair_knee, new_only
+    )
+    return (
+        members.repartition("band", "sig")
+        .sortWithinPartitions("band", "sig")
+        .mapInPandas(
+            run, schema="id_a string, id_b string, score double, xcorr double"
+        )
+    )
+
+
 def lsh_scoped_matches(
     features: DataFrame,
     conf: PeakmatchConf,
@@ -636,7 +713,7 @@ def lsh_scoped_matches(
     # spec vectors are padded to exactly spec_bins inside the UDF, so
     # the hyperplane dim never depends on the (possibly differing)
     # conf.expected_len vs actual curve length
-    bucketed, counts, all_counts, esigs = _lsh_bucket_frames(
+    bucketed, _counts, all_counts, esigs = _lsh_bucket_frames(
         features, n_planes, bands, max_bucket, spec_bins
     )
     cand_t = conf.candidate_threshold
@@ -645,18 +722,20 @@ def lsh_scoped_matches(
 
     # one series payload per (in-cap multi-member bucket, member):
     # linear in membership, the same movement the r3 tier paid —
-    # bought back by zero pair-key shuffle and 1x kernel calls
+    # bought back by zero pair-key shuffle and 1x kernel calls.
+    # Membership is DERIVED from the vectors (slot != -1 ⇔ in-cap
+    # multi-member bucket), so no bucketed-side semi-join shuffle:
+    # posexplode the vector, drop -1 slots, join the payload once.
     members = (
-        bucketed.join(counts.select("band", "sig"), ["band", "sig"], "left_semi")
-        .join(esigs, "conv_id")
+        esigs.select(
+            "conv_id", "esigs", F.posexplode("esigs").alias("band", "sig")
+        )
+        .filter(F.col("sig") != -1)
         .join(features, "conv_id")
     )
 
-    compute = _make_bucket_scorer(
-        bands, stride, cand_t, final_t, prune_pair_knee
-    )
-    out = members.groupBy("band", "sig").applyInPandas(
-        compute, schema="id_a string, id_b string, score double, xcorr double"
+    out = _score_buckets(
+        members, bands, stride, cand_t, final_t, prune_pair_knee
     )
 
     # Overfull buckets are NOT simply dropped: a uniform duplicate
