@@ -40,6 +40,7 @@ from peakmatch_xcorr_spark.config import PeakmatchConf
 from peakmatch_xcorr_spark.operators.pairs import (
     _score_buckets,
     _spectral_band_sigs,
+    _tile_members,
     lsh_scoped_matches,
 )
 from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
@@ -58,6 +59,7 @@ def lsh_index_refresh(
     max_bucket: int = 2048,
     spec_bins: int = 64,
     prune_pair_knee: int = 250_000,
+    tile_chunk: int | None = None,
 ) -> DataFrame:
     """Bring ``matches`` up to date with ``features`` (the full current
     corpus feature frame) and return the full match table.
@@ -69,9 +71,10 @@ def lsh_index_refresh(
     with the old corpus size."""
     if index.current_version() is None:
         # cold start: the full tier IS the delta
+        kw = {} if tile_chunk is None else {"tile_chunk": tile_chunk}
         delta = lsh_scoped_matches(
             features, conf, n_planes, bands, max_bucket, spec_bins,
-            prune_pair_knee,
+            prune_pair_knee, **kw,
         )
         sigs = _spectral_band_sigs(features, spec_bins, n_planes, bands)
         index.append(sigs, job_id="lsh_index_refresh")
@@ -154,11 +157,16 @@ def lsh_index_refresh(
     # the old∪new signature groupBy — tens of bytes per conv, the same
     # class of cost as refresh_saved_xcorr's anti-join
     part_feats = features.join(participants, "conv_id", "left_semi")
-    members = (
+    slim = (
         all_sigs.join(hot, ["band", "sig"], "left_semi")
         .join(esigs, "conv_id")
-        .join(part_feats, "conv_id")
     )
+    # tile skewed buckets payload-free (same tiling as the full tier —
+    # the combined-corpus counts keep full-run/incremental agreement),
+    # then join the series payload once
+    members = _tile_members(
+        slim, counts, **({} if tile_chunk is None else {"tile_chunk": tile_chunk})
+    ).join(part_feats, "conv_id")
     bucket_delta = _score_buckets(
         members, bands, conf.sampling_stride, conf.candidate_threshold,
         conf.final_threshold, prune_pair_knee, new_only=True,

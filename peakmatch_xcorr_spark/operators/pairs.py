@@ -498,6 +498,52 @@ def lsh_candidate_pair_stats(
     }
 
 
+LSH_TILE_CHUNK = 448
+
+
+def _tile_members(
+    slim: DataFrame, counts: DataFrame, tile_chunk: int = LSH_TILE_CHUNK
+) -> DataFrame:
+    """Split each scorable bucket's pair square into triangle tiles so
+    no single task owns a near-cap bucket's whole O(count²) kernel.
+
+    Measured on the 18.5M-turn stress corpus the in-cap pair mass is
+    heavily skewed: the top bucket alone holds ~1.9M of 54M pairs
+    (~19 s of fused kernel in ONE task) and eleven buckets hold 10M —
+    at local[32] the score phase's wall was pinned to those stragglers
+    (8→32 speedup 1.33×).  Members of a bucket with ``count`` rows are
+    hashed into ``k = ceil(count / tile_chunk)`` chunks and each row is
+    replicated to the k tiles it participates in; tile ``(i, j)``
+    scores exactly the pairs with one side in chunk i and the other in
+    chunk j (both sides in i when i == j), so every pair keeps exactly
+    one owning task and task cost is bounded by ``tile_chunk²`` kernel
+    calls (~2 s) regardless of bucket fill.  Replication is linear —
+    k extra payload rows per member, 1 for every small bucket — where
+    the straggler it removes was quadratic.
+
+    ``slim`` must carry (band, sig) scorable-membership rows WITHOUT
+    the series payload (tile columns are derived pre-join so the
+    payload is never shuffled twice); ``counts`` is the scorable
+    (band, sig, count) frame — inner-joining it is lossless because
+    slim rows exist exactly for scorable buckets."""
+    k = F.greatest(
+        F.lit(1), F.ceil(F.col("count") / F.lit(tile_chunk))
+    ).cast("int")
+    return (
+        slim.join(counts.select("band", "sig", "count"), ["band", "sig"])
+        .withColumn("tile_k", k)
+        .withColumn(
+            "chunk", F.pmod(F.xxhash64("conv_id"), F.col("tile_k")).cast("int")
+        )
+        .withColumn(
+            "tile_other", F.explode(F.sequence(F.lit(0), F.col("tile_k") - 1))
+        )
+        .withColumn("ti", F.least("chunk", "tile_other"))
+        .withColumn("tj", F.greatest("chunk", "tile_other"))
+        .drop("count", "tile_k", "tile_other")
+    )
+
+
 def _make_bucket_scorer(
     n_bands: int,
     stride: int,
@@ -532,9 +578,11 @@ def _make_bucket_scorer(
         if len(pdf) < 2:
             return empty
         band = key[0]
+        tile_i, tile_j = key[2], key[3]
         ids = pdf["conv_id"].to_numpy()
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
+        chunk = pdf["chunk"].to_numpy()[order]
         series = np.stack(
             [np.asarray(pdf["series"].iloc[i], dtype=np.float64) for i in order]
         )
@@ -558,6 +606,13 @@ def _make_bucket_scorer(
         # the canonical orientation (lexicographic min is the shifted
         # 'a' side, matching the fused blocked path)
         mask = (own == band) & np.triu(np.ones((n, n), dtype=bool), 1)
+        # tile ownership within the bucket: one side in chunk tile_i,
+        # the other in tile_j (an off-diagonal tile's task holds both
+        # chunks' rows but intra-chunk pairs belong to the diagonal
+        # tiles, see _tile_members)
+        mask &= (
+            (chunk[:, None] == tile_i) & (chunk[None, :] == tile_j)
+        ) | ((chunk[:, None] == tile_j) & (chunk[None, :] == tile_i))
         if new_only:
             nw = pdf["is_new"].to_numpy()[order].astype(bool)
             mask &= nw[:, None] | nw[None, :]
@@ -618,19 +673,30 @@ def _make_partition_scorer(
                 carry = None
             band = pdf["band"].to_numpy()
             sig = pdf["sig"].to_numpy()
-            change = (band[1:] != band[:-1]) | (sig[1:] != sig[:-1])
+            ti = pdf["ti"].to_numpy()
+            tj = pdf["tj"].to_numpy()
+            change = (
+                (band[1:] != band[:-1])
+                | (sig[1:] != sig[:-1])
+                | (ti[1:] != ti[:-1])
+                | (tj[1:] != tj[:-1])
+            )
             starts = np.flatnonzero(np.r_[True, change])
             # the trailing group may continue in the next chunk —
             # always carry it; flush after the iterator drains
             for s, e in zip(starts[:-1], starts[1:]):
-                out = compute((band[s], sig[s]), pdf.iloc[s:e])
+                out = compute(
+                    (band[s], sig[s], ti[s], tj[s]), pdf.iloc[s:e]
+                )
                 if len(out):
                     yield out
             carry = pdf.iloc[starts[-1]:]
         if carry is not None and len(carry):
-            band0 = carry["band"].iloc[0]
-            sig0 = carry["sig"].iloc[0]
-            out = compute((band0, sig0), carry)
+            first = carry.iloc[0]
+            out = compute(
+                (first["band"], first["sig"], first["ti"], first["tj"]),
+                carry,
+            )
             if len(out):
                 yield out
 
@@ -646,16 +712,18 @@ def _score_buckets(
     prune_pair_knee: int,
     new_only: bool = False,
 ) -> DataFrame:
-    """Score the owned pairs of every (band, sig) bucket in
-    ``members`` (rows carry conv_id, esigs, the feature payload and —
-    when ``new_only`` — is_new).  One hash exchange on the bucket key,
-    then partition-local group iteration."""
+    """Score the owned pairs of every (band, sig, ti, tj) bucket TILE
+    in ``members`` (rows carry conv_id, esigs, chunk/ti/tj from
+    ``_tile_members``, the feature payload and — when ``new_only`` —
+    is_new).  One hash exchange on the tile key — so a skewed bucket's
+    tiles land on different cores — then partition-local group
+    iteration."""
     run = _make_partition_scorer(
         n_bands, stride, cand_t, final_t, prune_pair_knee, new_only
     )
     return (
-        members.repartition("band", "sig")
-        .sortWithinPartitions("band", "sig")
+        members.repartition("band", "sig", "ti", "tj")
+        .sortWithinPartitions("band", "sig", "ti", "tj")
         .mapInPandas(
             run, schema="id_a string, id_b string, score double, xcorr double"
         )
@@ -670,6 +738,7 @@ def lsh_scoped_matches(
     max_bucket: int = 2048,
     spec_bins: int = 64,
     prune_pair_knee: int = 250_000,
+    tile_chunk: int = LSH_TILE_CHUNK,
 ) -> DataFrame:
     """The 10^9-conversation tier above blocking (DESIGN.md §3):
     bound the pair universe FIRST with signed-random-projection LSH
@@ -709,11 +778,24 @@ def lsh_scoped_matches(
       ``bands``-long array to each membership row, linear in N.
       No post-hoc ``row_number`` dedup, no k× kernel calls for
       k-band collisions.
+
+    * **Skewed buckets are triangle-tiled** (``_tile_members``): pair
+      mass concentrates — on the stress corpus the top bucket holds
+      ~1.9M of 54M in-cap pairs, one ~19 s task pinning the score
+      phase's wall at high parallelism.  Buckets over ``tile_chunk``
+      members are split into hash chunks and scored as independent
+      (chunk_i, chunk_j) tile tasks of ≤ tile_chunk² kernels each;
+      every pair keeps exactly one owner (min-band rule within the
+      bucket, chunk-tile rule within the band).  A side effect is
+      that the ``prune_pair_knee`` gate no longer fires for in-cap
+      buckets at the default tile size — tiles sit below the knee, so
+      every in-cap pair is exact-FFT-verified, which is the r4 recall
+      decision taken to its conclusion.
     """
     # spec vectors are padded to exactly spec_bins inside the UDF, so
     # the hyperplane dim never depends on the (possibly differing)
     # conf.expected_len vs actual curve length
-    bucketed, _counts, all_counts, esigs = _lsh_bucket_frames(
+    bucketed, counts, all_counts, esigs = _lsh_bucket_frames(
         features, n_planes, bands, max_bucket, spec_bins
     )
     cand_t = conf.candidate_threshold
@@ -725,14 +807,15 @@ def lsh_scoped_matches(
     # bought back by zero pair-key shuffle and 1x kernel calls.
     # Membership is DERIVED from the vectors (slot != -1 ⇔ in-cap
     # multi-member bucket), so no bucketed-side semi-join shuffle:
-    # posexplode the vector, drop -1 slots, join the payload once.
-    members = (
+    # posexplode the vector, drop -1 slots, tile skewed buckets while
+    # the rows are still payload-free, THEN join the payload once.
+    slim = (
         esigs.select(
             "conv_id", "esigs", F.posexplode("esigs").alias("band", "sig")
         )
         .filter(F.col("sig") != -1)
-        .join(features, "conv_id")
     )
+    members = _tile_members(slim, counts, tile_chunk).join(features, "conv_id")
 
     out = _score_buckets(
         members, bands, stride, cand_t, final_t, prune_pair_knee

@@ -351,6 +351,33 @@ def test_lsh_scoped_matches_recover_planted_dups(spark, feats, synth):
     assert found & fused_keys  # overlap is non-degenerate
 
 
+def test_lsh_tiled_buckets_match_untiled_exactly(spark, feats):
+    """Triangle-tiling skewed buckets (_tile_members) is a physical
+    re-plan only: forcing every bucket to split into many hash-chunk
+    tiles must reproduce the untiled tier's match set and xcorr values
+    bit-for-bit — each pair scored by exactly one tile task."""
+    from peakmatch_xcorr_spark.operators.pairs import lsh_scoped_matches
+
+    kw = dict(n_planes=16, bands=8)
+    untiled = lsh_scoped_matches(
+        feats, CONF.peakmatch, tile_chunk=10_000, **kw
+    ).toPandas()
+    tiled = lsh_scoped_matches(
+        feats, CONF.peakmatch, tile_chunk=3, **kw
+    ).toPandas()
+    assert len(tiled) == len(untiled) > 0
+    keys = list(zip(tiled.id_a, tiled.id_b))
+    assert len(keys) == len(set(keys))  # score-once across tiles
+    u = untiled.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    t = tiled.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert (u.id_a.to_numpy() == t.id_a.to_numpy()).all()
+    assert (u.id_b.to_numpy() == t.id_b.to_numpy()).all()
+    np.testing.assert_allclose(u.xcorr.to_numpy(), t.xcorr.to_numpy(), rtol=1e-12)
+    np.testing.assert_allclose(
+        u.score.to_numpy(), t.score.to_numpy(), rtol=1e-12
+    )
+
+
 def test_lsh_overfull_bucket_cluster_star_scored(spark, feats):
     """A duplicate cluster larger than max_bucket lands over-cap in
     EVERY band (identical curves → identical signatures); it must be
