@@ -931,9 +931,66 @@ def _gen_scaling_input(workdir: str) -> None:
         _json.dump(sorted(tuple(sorted(p)) for p in res.dup_pairs), f)
 
 
+def _membw_sweep(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
+    """STREAM-triad-style aggregate memory bandwidth at k concurrent
+    processes (separate processes, not threads — the GIL must not cap
+    the measurement; each worker streams a private 320 MB working set,
+    far beyond L3).  This is the hardware context for the kernel-path
+    N→4N numbers: the xcorr kernels stream 2×256-double series per
+    pair, so once cores saturate DRAM, adding cores adds nothing code
+    can recover.  The measured 8→32 bandwidth ratio is the ceiling any
+    memory-bound path can reach on this box."""
+    import multiprocessing as mp
+
+    n = 40_000_000
+
+    def worker(q):
+        import numpy as _np
+        import time as _time
+
+        a = _np.random.rand(n)
+        b = _np.random.rand(n)
+        c = _np.empty_like(a)
+        _np.multiply(a, 2.0, out=c)
+        c += b  # warm-up pass
+        t0 = _time.perf_counter()
+        reps = 5
+        for _ in range(reps):
+            _np.multiply(a, 2.0, out=c)
+            c += b
+        dt = _time.perf_counter() - t0
+        q.put(reps * 4 * n * 8 / 1e9 / dt)
+
+    out: dict = {"gbps": {}, "n_to_4n": [], "repeats": 3}
+    for k in levels:
+        best = 0.0
+        for _ in range(out["repeats"]):  # best-of-k: host noise only subtracts
+            q = mp.Queue()
+            ps = [mp.Process(target=worker, args=(q,)) for _ in range(k)]
+            for p in ps:
+                p.start()
+            vals = [q.get() for _ in ps]
+            for p in ps:
+                p.join()
+            best = max(best, sum(vals))
+        out["gbps"][k] = round(best, 1)
+    for a, b in zip(levels, levels[1:]):
+        if b == 4 * a and a in out["gbps"]:
+            ratio = out["gbps"][b] / out["gbps"][a]
+            out["n_to_4n"].append(
+                {"n": a, "four_n": b, "bw_ratio": round(ratio, 3),
+                 "bw_efficiency": round(ratio / 4, 3)}
+            )
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    if "--membw" in sys.argv:
+        print("MEMBW_RESULT " + json.dumps(_membw_sweep()))
+        return
 
     if "--cold-child" in sys.argv:
         *_, times, _rows = _one_cold_pass(cpus, sf_dir)
