@@ -168,9 +168,11 @@ def _lsh_tier_bench(spark, sf_dir: str, n_events: int) -> dict:
         curve_len=conf.rollup.activity_curve_len,
     ).cache()
     feats.count()  # featurize outside the timing: shared by both paths
+    from peakmatch_xcorr_spark.metrics import measure_job
+
     t0 = time.perf_counter()
     lsh = lsh_scoped_matches(feats, conf.peakmatch).cache()
-    n_lsh = lsh.count()
+    n_lsh, shuffle = measure_job(spark, lsh.count, "lsh scoped tier")
     lsh_sec = time.perf_counter() - t0
     exact = fused_prune_verify(
         feats, conf.peakmatch, auto_blocks(feats.count())
@@ -195,6 +197,10 @@ def _lsh_tier_bench(spark, sf_dir: str, n_events: int) -> dict:
         "recall_vs_exact": round(hits / n_exact, 4) if n_exact else None,
         "turns_per_sec": round(n_events / lsh_sec),
         "candidate_pairs": pair_stats,
+        # MEASURED movement (AppStatusStore, not derived from data):
+        # what the scoped tier's jobs actually wrote to / read from
+        # shuffle, end to end
+        "measured_shuffle": shuffle,
     }
 
 
