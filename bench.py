@@ -472,8 +472,18 @@ def _stress(spark, workdir: str) -> dict:
         curve_len=conf.rollup.activity_curve_len,
     ).cache()
     phase("featurize", lambda: feats.count())
+    from peakmatch_xcorr_spark.metrics import measure_job
+
     matches = lsh_scoped_matches(feats, conf.peakmatch).cache()
-    phase("lsh_dedup", lambda: matches.count())
+    lsh_shuffle: dict = {}
+
+    def _counted_lsh():
+        n, m = measure_job(spark, matches.count, "stress lsh tier")
+        lsh_shuffle.update(m)
+        return n
+
+    phase("lsh_dedup", _counted_lsh)
+    phases["lsh_dedup"]["measured_shuffle"] = lsh_shuffle
     planted = {tuple(p) for p in _json.load(open(f"{workdir}/dup_pairs.json"))}
     found = {
         tuple(sorted((r["id_a"], r["id_b"])))
@@ -652,6 +662,18 @@ def _skew_experiment(spark) -> dict:
     }
 
 
+def _fmt_shuffle(m: dict | None) -> str:
+    if not m:
+        return "not captured this run"
+    gb = m["shuffle_write_bytes"] / 1e9
+    return (
+        f"{gb:.2f} GB shuffle write / "
+        f"{m['shuffle_read_bytes'] / 1e9:.2f} GB read, "
+        f"{m['shuffle_write_records']:,} records, across "
+        f"{m['stages']} stages / {m['jobs']} jobs"
+    )
+
+
 def _stress_md(r: dict) -> str:
     s = r["skew"]
     rows = "\n".join(
@@ -701,8 +723,12 @@ against the generator's planted near-duplicate pairs.
   | r3: score per colliding bucket, dedup after | 50.79 | 0.861 | k× kernel + k× series per k-band collision |
   | r4.1: global owner assignment (groupBy over id-pairs) | 258.67 | 0.968 | shuffles Σ count²/2 pair-key rows (~10^8 here, quadratic in bucket fill) |
   | r4.2: task-local ownership via eligible-sig vectors | **43.71** | **0.968** | none measured — pair keys never materialized, movement linear in membership |
+  | r4.3: + triangle-tiled skew buckets (this report) | {r['phases']['lsh_dedup']['sec']} | **{r['lsh_recall_planted']}** | straggler removed (top bucket was one 1.9M-pair task); tiles sit under the prune knee so ~10M more pairs are exact-verified — extra kernels paid for recall and 8→32 scaling 0.284 → 0.511 (BENCH/BASELINE.md) |
 
-  Identical match set (535,460 edges) for r4.1 and r4.2.
+  Identical match set (535,460 edges) for r4.1 and r4.2; r4.3 adds
+  the knee-pruned pairs back (a strict superset in expectation).
+- Measured movement of the lsh_dedup phase (AppStatusStore, not
+  derived from data): {_fmt_shuffle(r['phases']['lsh_dedup'].get('measured_shuffle'))}
 - Reproduce: `python bench.py --stress` (input generated once under
   `$SPARK_GRAFT_STRESS_DIR`, default /tmp/pxs_stress).
 
