@@ -1822,6 +1822,60 @@ def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible train/val/test assignment (trainprep.assign_splits):
+    md5-keyed integer-cutoff draw, so a document's split is a pure
+    function of (seed, doc_id) — corpus growth never reassigns
+    existing documents, and the integer comparison makes Spark and
+    DuckDB agree bit-for-bit (no float round-trip)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.trainprep import assign_splits
+
+    docs = _t(spark, sf_dir, "documents")
+    return assign_splits(docs, _SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+# cutoffs = int(cum_weight * 2^32): 0.9 -> 3865470566, 0.95 -> 4080218931
+_SQL_SPLIT_ASSIGNMENT = """
+SELECT doc_id,
+       CASE
+         WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566 THEN 'train'
+         WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 4080218931 THEN 'val'
+         ELSE 'test'
+       END AS split
+FROM documents
+"""
+
+
+def _q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (trainprep.pack_training_chunks):
+    concatenate each source shard's documents in doc_id order, slice
+    the token stream every 2048 tokens, and report the chunk where
+    each document starts.  Token count is the exact-integer chars/4
+    heuristic so the running sum is engine-portable; the window is
+    per shard (bounded state, parallel across shards — the single
+    global running sum would serialize the corpus through one task)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.trainprep import pack_training_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_training_chunks(
+        docs, budget=2048, shard_cols=["source"]
+    ).select("doc_id", "source", "n_tokens", "chunk_id")
+
+
+_SQL_PACKED_CHUNKS = """
+SELECT doc_id, source,
+       (length(text) + 3) // 4 AS n_tokens,
+       CAST(FLOOR((SUM((length(text) + 3) // 4) OVER (
+              PARTITION BY source ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - (length(text) + 3) // 4
+            ) / 2048.0) AS BIGINT) AS chunk_id
+FROM documents
+"""
 
 
 # ------------------------------------------------------------ registry
@@ -1856,6 +1910,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ngram_jaccard_capped": (_q_ngram_jaccard_capped, _SQL_NGRAM_JACCARD_CAPPED),
     "doc_components": (_q_doc_components, _SQL_DOC_COMPONENTS),
     "token_counts": (_q_token_counts, _SQL_TOKEN_COUNTS),
+    "split_assignment": (_q_split_assignment, _SQL_SPLIT_ASSIGNMENT),
+    "packed_chunks": (_q_packed_chunks, _SQL_PACKED_CHUNKS),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_ratios": (_q_quality_ratios, _SQL_QUALITY_RATIOS),

@@ -1,0 +1,114 @@
+"""Training-set preparation operators: reproducible split assignment
+and GPT-style sequence packing.
+
+Two properties matter at 10^8-document scale and both are structural,
+not incidental:
+
+* **Split assignment must be hash-based, not rank-based.**  A
+  rank/modulo split ("every 20th doc is val") reassigns existing
+  documents whenever the corpus grows or reorders; an md5-keyed
+  uniform draw pins each document's split forever, so yesterday's
+  val set never leaks into tomorrow's train set.  The comparison is
+  done on the integer hash against integer cutoffs — no float
+  round-trip, so Spark and any other engine (the DuckDB oracle)
+  agree bit-for-bit.
+
+* **Packing must be shard-local.**  GPT-style pretraining concatenates
+  documents in a fixed order and slices the token stream at the
+  sequence length; the chunk a document lands in is
+  ``floor(start_token / budget)``.  A single global running sum would
+  serialize the whole corpus through one task, so the running sum is
+  per shard (source, file, or any bounded grouping) — shards pack
+  independently and in parallel, which is also how a 1000-executor
+  cluster would lay out the files.
+
+Both are pure JVM column expressions (no UDF, whole-stage codegen).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_SPACE = 1 << 32  # md5 prefix width: first 8 hex digits
+
+
+def _uniform_hash(id_col: str, seed: str):
+    """Deterministic uniform draw in [0, 2^32) from md5(seed ':' id).
+    Stable across engines: md5 of the UTF-8 decimal rendering."""
+    key = F.concat(F.lit(seed + ":"), F.col(id_col).cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint")
+
+
+def assign_splits(
+    docs: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "split-v1",
+) -> DataFrame:
+    """Add a ``split`` column assigning each document to one of
+    ``weights``' keys with the given proportions (must sum to ~1).
+
+    Assignment is a pure function of (seed, id): appending, deleting,
+    or reordering other documents never moves a document between
+    splits.  Changing ``seed`` draws a fresh independent partition of
+    the corpus."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    hv = _uniform_hash(id_col, seed)
+    names = list(weights)
+    cut = 0.0
+    expr = F.lit(names[-1])  # everything above the last cutoff
+    cases = []
+    for name in names[:-1]:
+        cut += weights[name]
+        cases.append((int(cut * _HASH_SPACE), name))
+    # build CASE from the last cutoff down so earlier ranges win
+    for cutoff, name in reversed(cases):
+        expr = F.when(hv < F.lit(cutoff), F.lit(name)).otherwise(expr)
+    return docs.withColumn("split", expr)
+
+
+def split_cutoffs(weights: dict[str, float]) -> list[tuple[int, str]]:
+    """The integer hash cutoffs ``assign_splits`` compares against —
+    exposed so an external checker (the DuckDB oracle) can reproduce
+    the exact CASE expression."""
+    cut, out = 0.0, []
+    for name in list(weights)[:-1]:
+        cut += weights[name]
+        out.append((int(cut * _HASH_SPACE), name))
+    return out
+
+
+def pack_training_chunks(
+    docs: DataFrame,
+    budget: int,
+    shard_cols: list[str],
+    order_col: str = "doc_id",
+    token_count=None,
+) -> DataFrame:
+    """Assign each document the training-chunk index where its first
+    token lands when the shard's documents are concatenated in
+    ``order_col`` order and sliced every ``budget`` tokens — the
+    standard concat-and-chunk packing of GPT-style pretraining.
+
+    ``token_count`` defaults to the chars/4 heuristic as an exact
+    integer expression ((length+3) div 4) so the arithmetic is
+    engine-portable; pass a real token-count column when one exists
+    (e.g. ``textstats.token_counts``'s ``ws_tokens``).
+
+    One window per shard: shards pack independently (bounded state,
+    parallel across the cluster); only the intra-shard ordering is a
+    sort, and it reuses the shuffle that partitioned by shard."""
+    if token_count is None:
+        token_count = F.expr("CAST((length(text) + 3) DIV 4 AS BIGINT)")
+    w = (
+        Window.partitionBy(*shard_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(token_count).over(w) - token_count
+    return docs.withColumn("n_tokens", token_count).withColumn(
+        "chunk_id", F.floor(start / budget).cast("bigint")
+    )

@@ -1,0 +1,89 @@
+"""trainprep: reproducible splits and GPT-style packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from peakmatch_xcorr_spark.operators.trainprep import (
+    assign_splits,
+    pack_training_chunks,
+    split_cutoffs,
+)
+
+WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _docs(spark, n=2000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id").cast("string")).alias("text"),
+        (F.col("id") % 4).cast("string").alias("source"),
+    )
+
+
+def test_splits_are_complete_disjoint_and_roughly_weighted(spark):
+    out = assign_splits(_docs(spark), WEIGHTS)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # md5 is uniform: 2000 draws land within ~5 sigma of each weight
+    for name, w in WEIGHTS.items():
+        assert abs(counts.get(name, 0) - 2000 * w) < 5 * (2000 * w * (1 - w)) ** 0.5
+
+
+def test_split_is_stable_under_corpus_growth(spark):
+    """The 100 TB property: adding documents must never move an
+    existing document between splits."""
+    small = assign_splits(_docs(spark, 500), WEIGHTS).collect()
+    big = assign_splits(_docs(spark, 2000), WEIGHTS)
+    big_map = {r["doc_id"]: r["split"] for r in big.collect()}
+    for r in small:
+        assert big_map[r["doc_id"]] == r["split"]
+
+
+def test_split_seed_draws_independent_partition(spark):
+    a = {r["doc_id"]: r["split"]
+         for r in assign_splits(_docs(spark), WEIGHTS, seed="a").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in assign_splits(_docs(spark), WEIGHTS, seed="b").collect()}
+    moved = sum(1 for k in a if a[k] != b[k])
+    assert moved > 100  # different seeds genuinely re-draw
+
+
+def test_split_weights_must_sum_to_one(spark):
+    with pytest.raises(ValueError):
+        assign_splits(_docs(spark), {"train": 0.5, "val": 0.1})
+
+
+def test_packing_chunk_ids_are_sequential_starts(spark):
+    """Within a shard, concatenating docs in order and slicing every
+    `budget` tokens: each doc's chunk is floor(start/budget), so chunk
+    ids are non-decreasing in doc order and every chunk boundary is
+    where the running sum crosses a multiple of the budget."""
+    out = pack_training_chunks(
+        _docs(spark), budget=64, shard_cols=["source"]
+    ).orderBy("source", "doc_id").collect()
+    by_shard: dict[str, list] = {}
+    for r in out:
+        by_shard.setdefault(r["source"], []).append(r)
+    for rows in by_shard.values():
+        start = 0
+        prev_chunk = 0
+        for r in rows:
+            assert r["chunk_id"] == start // 64
+            assert r["chunk_id"] >= prev_chunk
+            prev_chunk = r["chunk_id"]
+            start += r["n_tokens"]
+
+
+def test_packing_single_window_exchange(spark):
+    """Scale gate: one shuffle (partition by shard), no global sort."""
+    plan = pack_training_chunks(
+        _docs(spark), budget=64, shard_cols=["source"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "rangepartitioning" not in plan.lower()
+
+
+def test_cutoffs_match_assignment(spark):
+    cuts = split_cutoffs(WEIGHTS)
+    assert cuts == [(int(0.8 * 2**32), "train"), (int(0.9 * 2**32), "val")]
