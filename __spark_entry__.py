@@ -1853,8 +1853,9 @@ FROM documents
 def _q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style sequence packing (trainprep.pack_training_chunks):
     concatenate each source shard's documents in doc_id order, slice
-    the token stream every 2048 tokens, and report the chunk where
-    each document starts.  Token count is the exact-integer chars/4
+    the token stream every 256 tokens (sized so sf0.01 shards span
+    several chunks — a 2048 budget left every doc in chunk 0), and
+    report the chunk where each document starts.  Token count is the exact-integer chars/4
     heuristic so the running sum is engine-portable; the window is
     per shard (bounded state, parallel across shards — the single
     global running sum would serialize the corpus through one task)."""
@@ -1863,7 +1864,7 @@ def _q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return pack_training_chunks(
-        docs, budget=2048, shard_cols=["source"]
+        docs, budget=256, shard_cols=["source"]
     ).select("doc_id", "source", "n_tokens", "chunk_id")
 
 
@@ -1873,8 +1874,123 @@ SELECT doc_id, source,
        CAST(FLOOR((SUM((length(text) + 3) // 4) OVER (
               PARTITION BY source ORDER BY doc_id
               ROWS UNBOUNDED PRECEDING) - (length(text) + 3) // 4
-            ) / 2048.0) AS BIGINT) AS chunk_id
+            ) / 256.0) AS BIGINT) AS chunk_id
 FROM documents
+"""
+
+
+def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end LLM corpus preparation in ONE declarative plan —
+    the pipeline a user of this engine runs before training: quality
+    filter → language filter → exact dedup → reproducible split
+    assignment → sequence packing.  Every stage is exercised
+    non-vacuously by planting, deterministically in BOTH engines,
+    30 exact duplicates (doc_id + 10000) and 20 digit-only junk rows
+    into the corpus; the language filter discriminates on the natural
+    data (218/500 docs infer 'en').  HASH-CHECKED end to end."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from peakmatch_xcorr_spark.operators.textstats import language_id
+    from peakmatch_xcorr_spark.operators.trainprep import (
+        assign_splits,
+        pack_training_chunks,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dups = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "source"
+    )
+    junk = spark.range(20).select(
+        (F.col("id") + 20000).alias("doc_id"),
+        F.concat(
+            F.col("id").cast("string"),
+            F.lit(" 0123456789 0123456789 0123456789 0123456789"),
+        ).alias("text"),
+        F.lit("junk").alias("source"),
+    )
+    corpus = docs.unionByName(dups).unionByName(junk)
+    # 1. quality: digit/punct spam has near-zero alpha ratio
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    q = corpus.filter(
+        (alpha / F.greatest(n_chars, F.lit(1)) >= 0.5) & (n_chars >= 40)
+    )
+    # 2. language: keep inferred English only
+    en = language_id(q).filter(F.col("lang_pred") == "en").select(
+        "doc_id", "text", "source"
+    )
+    # 3. exact dedup: lowest doc_id survives per text hash
+    wh = Window.partitionBy(F.md5("text"))
+    kept = en.withColumn("_keep", F.min("doc_id").over(wh)).filter(
+        F.col("doc_id") == F.col("_keep")
+    ).drop("_keep")
+    # 4-5. stable split assignment, then pack per (source, split) shard
+    packed = pack_training_chunks(
+        assign_splits(kept, _SPLIT_WEIGHTS),
+        budget=256,
+        shard_cols=["source", "split"],
+    )
+    return packed.select("doc_id", "source", "split", "n_tokens", "chunk_id")
+
+
+_SQL_CORPUS_PREP = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT 20000 + i,
+         CAST(i AS VARCHAR) || ' 0123456789 0123456789 0123456789 0123456789',
+         'junk'
+  FROM range(20) t(i)
+), q AS (
+  SELECT * FROM corpus
+  WHERE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1) >= 0.5
+    AND length(text) >= 40
+), toks AS (
+  SELECT doc_id, text, source,
+         list_filter(
+           regexp_split_to_array(
+             lower(regexp_replace(text, '[^\\p{L}\\p{N}_\\s'']', ' ', 'g')), '\\s+'),
+           x -> length(x) > 0) AS ts
+  FROM q
+), scored AS (
+  SELECT doc_id, text, source,
+    len(list_filter(ts, x -> x IN ('the','and','of','to','in','is','that','it','was','for')))::DOUBLE / greatest(len(ts),1) AS s_en,
+    len(list_filter(ts, x -> x IN ('der','die','und','das','ist','nicht','von','mit','den','ein')))::DOUBLE / greatest(len(ts),1) AS s_de,
+    len(list_filter(ts, x -> x IN ('le','la','les','et','des','est','dans','que','une','pour')))::DOUBLE / greatest(len(ts),1) AS s_fr,
+    len(list_filter(ts, x -> x IN ('el','la','los','de','que','y','en','un','por','con')))::DOUBLE / greatest(len(ts),1) AS s_es
+  FROM toks
+), en AS (
+  SELECT doc_id, text, source FROM scored
+  WHERE greatest(s_en, s_de, s_fr, s_es) >= 0.05
+    AND s_fr <> greatest(s_en, s_de, s_fr, s_es)
+    AND s_es <> greatest(s_en, s_de, s_fr, s_es)
+    AND s_en = greatest(s_en, s_de, s_fr, s_es)
+), kept AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS _keep
+    FROM en
+  ) WHERE doc_id = _keep
+), split AS (
+  SELECT doc_id, text, source,
+         CASE
+           WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566 THEN 'train'
+           WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 4080218931 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM kept
+)
+SELECT doc_id, source, split,
+       (length(text) + 3) // 4 AS n_tokens,
+       CAST(FLOOR((SUM((length(text) + 3) // 4) OVER (
+              PARTITION BY source, split ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - (length(text) + 3) // 4
+            ) / 256.0) AS BIGINT) AS chunk_id
+FROM split
 """
 
 
@@ -1912,6 +2028,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "token_counts": (_q_token_counts, _SQL_TOKEN_COUNTS),
     "split_assignment": (_q_split_assignment, _SQL_SPLIT_ASSIGNMENT),
     "packed_chunks": (_q_packed_chunks, _SQL_PACKED_CHUNKS),
+    "corpus_prep": (_q_corpus_prep, _SQL_CORPUS_PREP),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_ratios": (_q_quality_ratios, _SQL_QUALITY_RATIOS),

@@ -170,3 +170,20 @@ def test_tpch_q3_broadcasts_customer(spark):
     pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
     assert any("o_orderdate" in s for s in pushed)
     assert any("l_shipdate" in s for s in pushed)
+
+
+def test_corpus_prep_two_exchanges_no_joins(spark):
+    """The 5-stage corpus-prep pipeline (quality -> lang -> dedup ->
+    split -> pack) must compile to exactly two shuffles — the dedup
+    window on md5(text) and the pack window on (source, split) — and
+    no join of any kind: filters and split assignment are pure column
+    expressions riding the same pass."""
+    import re
+
+    from __spark_entry__ import _q_corpus_prep
+
+    df = _q_corpus_prep(spark, SF)
+    p = plan(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
+    assert "Join" not in p
+    assert "BroadcastNestedLoopJoin" not in p
