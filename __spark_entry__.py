@@ -1879,6 +1879,39 @@ FROM documents
 """
 
 
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted data mixing (trainprep.sample_mixture): per-domain
+    deterministic downsampling — src0 fully, src1 at 0.5, src2 at
+    0.25, everything else at 0.1.  Monotone in the rate (raising a
+    domain's weight only adds documents) and stable under corpus
+    growth, both properties a 100 TB mixture respec depends on."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.trainprep import sample_mixture
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_mixture(docs, _MIX_RATES, default_rate=0.1).select(
+        "doc_id", "source"
+    )
+
+
+# cutoffs = int(rate * 2^32): 1.0 -> 4294967296, 0.5 -> 2147483648,
+# 0.25 -> 1073741824, default 0.1 -> 429496729
+_SQL_MIXTURE_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+WHERE ('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < CASE source
+          WHEN 'src0' THEN 4294967296
+          WHEN 'src1' THEN 2147483648
+          WHEN 'src2' THEN 1073741824
+          ELSE 429496729
+        END
+"""
+
+
 def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM corpus preparation in ONE declarative plan —
     the pipeline a user of this engine runs before training: quality
@@ -2029,6 +2062,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "split_assignment": (_q_split_assignment, _SQL_SPLIT_ASSIGNMENT),
     "packed_chunks": (_q_packed_chunks, _SQL_PACKED_CHUNKS),
     "corpus_prep": (_q_corpus_prep, _SQL_CORPUS_PREP),
+    "mixture_sample": (_q_mixture_sample, _SQL_MIXTURE_SAMPLE),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_ratios": (_q_quality_ratios, _SQL_QUALITY_RATIOS),

@@ -81,6 +81,39 @@ def split_cutoffs(weights: dict[str, float]) -> list[tuple[int, str]]:
     return out
 
 
+def sample_mixture(
+    docs: DataFrame,
+    rates: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: str = "mix-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-domain downsampling — the data-mixing step
+    that turns raw per-source corpora into a weighted training
+    mixture (e.g. wiki at 1.0, crawl at 0.1).
+
+    A document survives iff its md5-keyed uniform draw falls under its
+    domain's rate, so the decision is a pure function of
+    (seed, id, rates): re-running over a grown corpus never flips an
+    existing document in or out, and raising a domain's rate only ADDS
+    documents (every previously sampled doc still passes — monotone,
+    so mixtures can be re-weighted without churning the training set).
+    Domains absent from ``rates`` get ``default_rate``.  Integer
+    cutoff comparison, same engine-portability argument as
+    ``assign_splits``."""
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {name!r} must be in [0, 1], got {r}")
+    hv = _uniform_hash(id_col, seed)
+    cutoff = F.lit(int(default_rate * _HASH_SPACE))
+    for name, r in rates.items():
+        cutoff = F.when(
+            F.col(domain_col) == name, F.lit(int(r * _HASH_SPACE))
+        ).otherwise(cutoff)
+    return docs.filter(hv < cutoff)
+
+
 def pack_training_chunks(
     docs: DataFrame,
     budget: int,

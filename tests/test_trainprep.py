@@ -87,3 +87,28 @@ def test_packing_single_window_exchange(spark):
 def test_cutoffs_match_assignment(spark):
     cuts = split_cutoffs(WEIGHTS)
     assert cuts == [(int(0.8 * 2**32), "train"), (int(0.9 * 2**32), "val")]
+
+
+def test_mixture_sample_rates_and_monotonicity(spark):
+    from peakmatch_xcorr_spark.operators.trainprep import sample_mixture
+
+    docs = _docs(spark, 4000)  # sources "0".."3", 1000 docs each
+    low = sample_mixture(docs, {"0": 1.0, "1": 0.2}, default_rate=0.0)
+    rows = low.groupBy("source").agg(F.count("*").alias("n")).collect()
+    counts = {r["source"]: r["n"] for r in rows}
+    assert counts["0"] == 1000              # rate 1.0 keeps everything
+    assert abs(counts["1"] - 200) < 5 * (1000 * 0.2 * 0.8) ** 0.5
+    assert "2" not in counts and "3" not in counts  # default 0.0 drops
+    # monotone: raising a rate only ADDS documents
+    kept_low = {r["doc_id"] for r in low.filter("source = '1'").collect()}
+    high = sample_mixture(docs, {"0": 1.0, "1": 0.6}, default_rate=0.0)
+    kept_high = {r["doc_id"] for r in high.filter("source = '1'").collect()}
+    assert kept_low <= kept_high
+    assert len(kept_high) > len(kept_low)
+
+
+def test_mixture_sample_rejects_bad_rate(spark):
+    from peakmatch_xcorr_spark.operators.trainprep import sample_mixture
+
+    with pytest.raises(ValueError):
+        sample_mixture(_docs(spark), {"0": 1.5})
