@@ -1912,6 +1912,47 @@ WHERE ('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (trainprep.contamination_report): the
+    eval suite is the doc_id % 37 == 0 slice of the corpus; every
+    other document is flagged with the number of distinct word
+    4-grams it shares with any benchmark document.  The pretraining
+    pass that keeps test data out of the training set.
+
+    Scale shape: the benchmark gram set is broadcast (eval suites are
+    tiny next to the corpus), so the corpus-side scan is a single
+    map-side filter + one combinable groupBy(doc_id) — no self-join,
+    no corpus shuffle on text.  n=4 on the synthetic table mirrors
+    the n=8..13 an English corpus would use: chosen so the overlap is
+    selective but non-vacuous (13 contaminated docs at sf0.01)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.trainprep import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    rep = contamination_report(corpus, bench, n=4)
+    return rep.select(F.col("id").alias("doc_id"), "hits")
+
+
+_SQL_DECONTAMINATE = """
+WITH w AS (
+  SELECT doc_id,
+         string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))),
+                      ' ') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+3], ' ')
+          for i in range(1, greatest(len(ws)-3, 1)+1)])) AS gm
+  FROM w
+), bench AS (SELECT DISTINCT gm FROM g WHERE doc_id % 37 = 0)
+SELECT doc_id, count(*) AS hits
+FROM g
+WHERE doc_id % 37 != 0 AND gm IN (SELECT gm FROM bench)
+GROUP BY doc_id
+"""
+
+
 def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM corpus preparation in ONE declarative plan —
     the pipeline a user of this engine runs before training: quality
@@ -2063,6 +2104,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "packed_chunks": (_q_packed_chunks, _SQL_PACKED_CHUNKS),
     "corpus_prep": (_q_corpus_prep, _SQL_CORPUS_PREP),
     "mixture_sample": (_q_mixture_sample, _SQL_MIXTURE_SAMPLE),
+    "decontaminate": (_q_decontaminate, _SQL_DECONTAMINATE),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_ratios": (_q_quality_ratios, _SQL_QUALITY_RATIOS),

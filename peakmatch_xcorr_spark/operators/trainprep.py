@@ -145,3 +145,90 @@ def pack_training_chunks(
     return docs.withColumn("n_tokens", token_count).withColumn(
         "chunk_id", F.floor(start / budget).cast("bigint")
     )
+
+
+def benchmark_ngrams(
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distinct word n-grams of an eval/benchmark corpus — the
+    contamination reference set.  Normalization (lowercase, collapse
+    whitespace, trim) matches ``contamination_report`` exactly so a
+    gram matches iff the normalized word sequences match.
+
+    Codegen end to end: split once per row, explode start positions,
+    ``slice`` + ``concat_ws`` (the higher-order ``transform`` form
+    evaluates interpreted per element — see dedup._shingle_rows).
+    Documents shorter than ``n`` words contribute their whole word
+    sequence as one gram, so short eval rows still decontaminate."""
+    ws = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    n_pos = F.greatest(F.size("ws") - F.lit(n - 1), F.lit(1))
+    return (
+        benchmark.select(ws.alias("ws"))
+        .select(F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), "ws")
+        .select(F.concat_ws(" ", F.slice("ws", F.col("i"), n)).alias("gm"))
+        .distinct()
+    )
+
+
+def contamination_report(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Per-document benchmark contamination: ``(id, hits)`` where
+    ``hits`` counts the document's distinct word n-grams that appear
+    anywhere in the benchmark corpus.  Only contaminated documents
+    (hits >= 1) are returned.
+
+    The 100 TB shape: the benchmark gram set is small (eval suites are
+    thousands of documents) and is broadcast, so the corpus-side scan
+    never shuffles — each task filters its own documents' grams
+    against the broadcast set and the only exchange is the per-doc
+    ``groupBy(id)`` count of surviving grams (map-side combinable).
+    The corpus is never joined to itself and never collected."""
+    bench = benchmark_ngrams(
+        benchmark.select(F.col(bench_text_col).alias("text")), n=n
+    )
+    ws = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    n_pos = F.greatest(F.size("ws") - F.lit(n - 1), F.lit(1))
+    grams = (
+        docs.select(F.col(id_col).alias("id"), ws.alias("ws"))
+        .select("id", F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), "ws")
+        .select("id", F.concat_ws(" ", F.slice("ws", F.col("i"), n)).alias("gm"))
+        .distinct()
+    )
+    return (
+        grams.join(F.broadcast(bench), "gm", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    min_hits: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Drop every document sharing >= ``min_hits`` distinct word
+    n-grams with the benchmark corpus — the test-set decontamination
+    pass a pretraining pipeline runs before packing.  Anti-join on the
+    contaminated id list, which is at most corpus-sized but in
+    practice tiny; Spark broadcasts it when it fits."""
+    bad = contamination_report(
+        docs, benchmark, n=n, id_col=id_col, text_col=text_col,
+        bench_text_col=bench_text_col,
+    ).filter(F.col("hits") >= min_hits).select(F.col("id").alias(id_col))
+    return docs.join(bad, id_col, "left_anti")

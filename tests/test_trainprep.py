@@ -112,3 +112,82 @@ def test_mixture_sample_rejects_bad_rate(spark):
 
     with pytest.raises(ValueError):
         sample_mixture(_docs(spark), {"0": 1.5})
+
+
+# ---------------------------------------------------------- decontamination
+
+def _contaminated_corpus(spark):
+    """Corpus + benchmark with a planted verbatim eval leak, a partial
+    n-gram leak, and clean documents."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),   # verbatim leak
+            (2, "a quick brown fox jumps over something else ok"), # partial leak
+            (3, "completely unrelated words about spark engines"), # clean
+            (4, "tiny doc"),                                       # shorter than n
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "THE  quick Brown fox jumps over the lazy dog")],  # same after norm
+        ["doc_id", "text"],
+    )
+    return corpus, bench
+
+
+def test_contamination_report_counts_shared_ngrams(spark):
+    from peakmatch_xcorr_spark.operators.trainprep import contamination_report
+
+    corpus, bench = _contaminated_corpus(spark)
+    rep = {r["id"]: r["hits"]
+           for r in contamination_report(corpus, bench, n=4).collect()}
+    # doc 1 == the benchmark text after normalization: all 6 of its
+    # distinct 4-grams hit; doc 2 shares exactly the 4-grams fully
+    # inside "quick brown fox jumps over" (2 of them); 3 and 4 clean
+    assert rep == {1: 6, 2: 2}
+
+
+def test_decontaminate_drops_only_flagged_docs(spark):
+    from peakmatch_xcorr_spark.operators.trainprep import decontaminate
+
+    corpus, bench = _contaminated_corpus(spark)
+    kept = sorted(r["doc_id"]
+                  for r in decontaminate(corpus, bench, n=4).collect())
+    assert kept == [3, 4]
+    # min_hits raises the bar: the partial leak (2 shared grams) survives
+    kept3 = sorted(r["doc_id"]
+                   for r in decontaminate(corpus, bench, n=4, min_hits=3)
+                   .collect())
+    assert kept3 == [2, 3, 4]
+
+
+def test_short_docs_decontaminate_as_whole_sequences(spark):
+    """A benchmark row shorter than n words still decontaminates: its
+    whole word sequence is one gram, and a corpus doc containing those
+    words as a full gram window is NOT flagged (window is n words),
+    but an identical short corpus doc IS."""
+    from peakmatch_xcorr_spark.operators.trainprep import contamination_report
+
+    corpus = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "this tiny doc sits inside a longer text")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(9, "Tiny  DOC")], ["doc_id", "text"])
+    rep = {r["id"]: r["hits"]
+           for r in contamination_report(corpus, bench, n=4).collect()}
+    assert rep == {1: 1}
+
+
+def test_contamination_benchmark_side_is_broadcast(spark):
+    """The 100 TB plan shape: the gram semi-join must broadcast the
+    benchmark set — a shuffled corpus-side exchange on grams would be
+    the scale killer."""
+    from peakmatch_xcorr_spark.operators.trainprep import contamination_report
+
+    corpus, bench = _contaminated_corpus(spark)
+    df = contamination_report(corpus, bench, n=4)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
