@@ -1953,6 +1953,123 @@ GROUP BY doc_id
 """
 
 
+def _q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style intra-document repetition signals
+    (textstats.repetition_stats) over the corpus UNION planted
+    self-repeated docs (doc_id+30000 = text '\\n' text for doc_id<25,
+    giving dup_line_frac exactly 0.5) — the natural table has no
+    newlines, so planting makes the line-level fractions non-vacuous
+    while the bigram fraction discriminates on the natural data."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.textstats import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 25).select(
+        (F.col("doc_id") + 30000).alias("doc_id"),
+        F.concat_ws("\n", "text", "text").alias("text"),
+    )
+    return repetition_stats(docs.unionByName(planted))
+
+
+_SQL_REPETITION_STATS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 30000, text || chr(10) || text FROM documents
+  WHERE doc_id < 25
+), lines AS (
+  SELECT doc_id, ln, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS ln FROM corpus)
+  WHERE length(trim(ln)) > 0
+  GROUP BY doc_id, ln
+), ls AS (
+  SELECT doc_id,
+         sum(c - 1)::DOUBLE / greatest(sum(c), 1) AS dlf,
+         sum((c - 1) * length(ln))::DOUBLE
+           / greatest(sum(c * length(ln)), 1) AS dlcf
+  FROM lines GROUP BY doc_id
+), toks AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_split_to_array(
+             lower(regexp_replace(text, '[^\\p{L}\\p{N}_\\s'']', ' ', 'g')),
+             '\\s+'),
+           x -> length(x) > 0) AS ws
+  FROM corpus
+), bg AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest([array_to_string(ws[i:i+1], ' ')
+                               for i in range(1, len(ws))]) AS bg
+        FROM toks WHERE len(ws) >= 2)
+  GROUP BY doc_id, bg
+), tb AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_bg FROM bg GROUP BY doc_id
+)
+SELECT c.doc_id,
+       round(coalesce(ls.dlf, 0) + 1e-9, 6) AS dup_line_frac,
+       round(coalesce(ls.dlcf, 0) + 1e-9, 6) AS dup_line_char_frac,
+       round(coalesce(tb.top_c::DOUBLE / tb.n_bg, 0) + 1e-9, 6)
+         AS top2gram_frac
+FROM corpus c
+LEFT JOIN ls ON ls.doc_id = c.doc_id
+LEFT JOIN tb ON tb.doc_id = c.doc_id
+"""
+
+
+def _q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (textstats.pii_scrub) over the corpus UNION
+    planted rows carrying one email, one phone, and one IPv4 each
+    (doc_id+40000 for doc_id<15) — the natural table has no digits or
+    '@', so the counts discriminate on the planted rows and the
+    scrubbed text is hash-checked end to end.  Patterns are
+    engine-portable by construction (textstats.PII_PATTERNS)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 40000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-123-4567 at 10.0.0."),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = pii_scrub(docs.unionByName(planted))
+    return out.select("doc_id", "n_email", "n_phone", "n_ipv4",
+                      "scrubbed_text")
+
+
+_SQL_PII_SCRUB = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 40000,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-123-4567 at 10.0.0.'
+              || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id < 15
+)
+SELECT doc_id,
+  length(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+  length(regexp_extract_all(text,
+    '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}')) AS n_phone,
+  length(regexp_extract_all(text,
+    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}',
+      '<PHONE>', 'g'),
+    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IPV4>', 'g')
+    AS scrubbed_text
+FROM corpus
+"""
+
+
 def _q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end LLM corpus preparation in ONE declarative plan —
     the pipeline a user of this engine runs before training: quality
@@ -2105,6 +2222,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_prep": (_q_corpus_prep, _SQL_CORPUS_PREP),
     "mixture_sample": (_q_mixture_sample, _SQL_MIXTURE_SAMPLE),
     "decontaminate": (_q_decontaminate, _SQL_DECONTAMINATE),
+    "repetition_stats": (_q_repetition_stats, _SQL_REPETITION_STATS),
+    "pii_scrub": (_q_pii_scrub, _SQL_PII_SCRUB),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_ratios": (_q_quality_ratios, _SQL_QUALITY_RATIOS),

@@ -147,3 +147,97 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("fp64", F.xxhash64(norm)).withColumn(
         "fp_prefix", F.xxhash64(F.substring(norm, 1, 256))
     )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher/MassiveText-style intra-document repetition signals —
+    the quality-filter family that catches boilerplate and scraped
+    spam which token-level `quality_score` misses:
+
+    - ``dup_line_frac``: fraction of line occurrences that are
+      repeats of an earlier identical line
+    - ``dup_line_char_frac``: fraction of characters sitting in
+      repeated line occurrences
+    - ``top2gram_frac``: fraction of token-bigram positions occupied
+      by the document's most frequent bigram
+
+    Shape at scale: explode → two-level aggregation, all map-side
+    combinable; per-document state is bounded by the document itself
+    (no cross-document joins, no window over the corpus).  The bigram
+    generator is the codegen explode+slice shape (no HOF lambdas in
+    the per-token path)."""
+    lines = (
+        docs.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.col(text_col), r"\n")).alias("ln"),
+        )
+        .filter(F.length(F.trim("ln")) > 0)
+        .groupBy("id", "ln")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    line_stats = lines.groupBy("id").agg(
+        (F.sum(F.col("c") - 1) / F.greatest(F.sum("c"), F.lit(1)))
+        .alias("_dlf"),
+        (
+            F.sum((F.col("c") - 1) * F.length("ln"))
+            / F.greatest(F.sum(F.col("c") * F.length("ln")), F.lit(1))
+        ).alias("_dlcf"),
+    )
+    toks = docs.select(F.col(id_col).alias("id"), _tokens(text_col).alias("ws"))
+    bigrams = (
+        toks.filter(F.size("ws") >= 2)
+        .select("id", F.explode(F.sequence(F.lit(1), F.size("ws") - 1)).alias("i"),
+                "ws")
+        .select("id", F.concat_ws(" ", F.slice("ws", F.col("i"), 2)).alias("bg"))
+        .groupBy("id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top_bg = bigrams.groupBy("id").agg(
+        F.max("c").alias("_top_c"), F.sum("c").alias("_n_bg")
+    )
+    nudge = 1e-9  # exact-.5 round parity vs the DuckDB oracle
+    return (
+        docs.select(F.col(id_col).alias("id"))
+        .join(line_stats, "id", "left")
+        .join(top_bg, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.round(F.coalesce(F.col("_dlf"), F.lit(0.0)) + nudge, 6)
+            .alias("dup_line_frac"),
+            F.round(F.coalesce(F.col("_dlcf"), F.lit(0.0)) + nudge, 6)
+            .alias("dup_line_char_frac"),
+            F.round(
+                F.coalesce(F.col("_top_c") / F.col("_n_bg"), F.lit(0.0)) + nudge,
+                6,
+            ).alias("top2gram_frac"),
+        )
+    )
+
+
+# PII patterns shared by the Spark path and the DuckDB oracle: plain
+# character classes + bounded repetition only, valid and identical in
+# Java regex and RE2 (no backrefs, no lookaround)
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}",
+    "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
+}
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, phone numbers, and IPv4 addresses, counting each
+    kind — the privacy pass a training pipeline runs before packing.
+    Adds ``n_<kind>`` counts and replaces matches in ``text`` with
+    ``<KIND>`` placeholders.  Pure codegen expressions; patterns are
+    deliberately engine-portable (see PII_PATTERNS) so an external
+    auditor can reproduce the redaction bit-for-bit."""
+    out = docs
+    scrubbed = F.col(text_col)
+    for kind, pat in PII_PATTERNS.items():
+        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
+    return out.withColumn("scrubbed_text", scrubbed)

@@ -567,3 +567,61 @@ def test_approx_distinct_within_hll_error_bound(spark):
         true_n = grp.user_id.nunique()
         a = approx.loc[etype, "approx_users"]
         assert abs(a - true_n) / true_n <= 0.06, f"{etype}: {a} vs {true_n}"
+
+
+def test_repetition_stats_known_fractions(spark):
+    from peakmatch_xcorr_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 4 line occurrences, "dup dup" twice: 1 repeat of 4 lines;
+            # chars: repeated "a b" line = 3 of 3+3+5+7 = 18
+            (1, "a b\na b\nc d e\nf g h i"),
+            (2, "x y z w"),            # no newline, no repeated bigram
+            (3, "p q p q p q"),        # "p q" bigram 3 of 5 positions
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert out[1]["dup_line_frac"] == round(1 / 4 + 1e-9, 6)
+    assert out[1]["dup_line_char_frac"] == round(3 / 18 + 1e-9, 6)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top2gram_frac"] == round(1 / 3 + 1e-9, 6)
+    assert out[3]["top2gram_frac"] == round(3 / 5 + 1e-9, 6)
+
+
+def test_repetition_stats_covers_every_doc(spark):
+    """Docs with no tokens / single tokens still emit a row (left
+    joins, zero-filled) — a filter on these columns must see every
+    document."""
+    from peakmatch_xcorr_spark.operators.textstats import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "  \n  ")], ["doc_id", "text"]
+    )
+    rows = repetition_stats(docs).collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
+    for r in rows:
+        assert r["dup_line_frac"] == 0.0
+        assert r["top2gram_frac"] == 0.0
+
+
+def test_pii_scrub_redacts_and_counts(spark):
+    from peakmatch_xcorr_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+spam@sub.example.co.uk today"),
+            (2, "call +1 555-123-4567 or visit 192.168.0.1 now"),
+            (3, "no pii here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert (out[1]["n_email"], out[1]["n_phone"], out[1]["n_ipv4"]) == (1, 0, 0)
+    assert "<EMAIL>" in out[1]["scrubbed_text"]
+    assert "@" not in out[1]["scrubbed_text"]
+    assert (out[2]["n_email"], out[2]["n_phone"], out[2]["n_ipv4"]) == (0, 1, 1)
+    assert "<PHONE>" in out[2]["scrubbed_text"]
+    assert "<IPV4>" in out[2]["scrubbed_text"]
+    assert out[3]["scrubbed_text"] == "no pii here at all"
