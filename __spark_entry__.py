@@ -1912,6 +1912,43 @@ WHERE ('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): date-windowed orders
+    semi-joined on EXISTS(matching lineitem), counted per priority.
+    The synthetic lineitem has no commit/receipt dates, so the EXISTS
+    predicate is l_returnflag = 'R' — same plan shape (filter →
+    LEFT SEMI join → partial-aggregated count).  The semi-join never
+    widens orders (EXISTS, not INNER: an order with 4 matching lines
+    must count once), and the filter on lineitem is pushed below the
+    join so only 'R' rows shuffle."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01")
+    )
+    flagged = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+_SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
+
 def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination (trainprep.contamination_report): the
     eval suite is the doc_id % 37 == 0 slice of the corpus; every
@@ -2203,6 +2240,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _SQL_TPCH_Q3),
     "tpch_q18": (_q_tpch_q18, _SQL_TPCH_Q18),
+    "tpch_q4": (_q_tpch_q4, _SQL_TPCH_Q4),
     "topk_per_group": (_q_topk_per_group, _SQL_TOPK),
     "sessionize": (_q_sessionize, _SQL_SESSIONIZE),
     "rolling_24h": (_q_rolling_24h, _SQL_ROLLING_24H),
