@@ -187,3 +187,20 @@ def test_corpus_prep_two_exchanges_no_joins(spark):
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 2
     assert "Join" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q4_semi_join_pushdown(spark):
+    """Q4's EXISTS must compile to a LEFT SEMI join (never an inner
+    join that would double-count multi-line orders) with both the
+    order-date window and the lineitem flag filter pushed to the
+    scans, and the count partially aggregated before the exchange."""
+    from __spark_entry__ import _q_tpch_q4
+
+    df = _q_tpch_q4(spark, SF)
+    p = plan(df)
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    assert any("l_returnflag" in s for s in pushed)
+    assert "partial_count" in p or "partial count" in p.lower()
