@@ -1384,11 +1384,12 @@ Notes
   efficiency 0.856 and 0.739 four hours apart (host contention —
   see the `--membw` evidence in the LSH section), so single-pass
   walls on this box cannot support efficiency claims either way.
-- The LSH columns here time a ~30s job, ~15% of which is per-job fixed
-  cost (planning + first-reference codegen) that is invariant in N and
-  therefore suppresses the measured ratio; the stress-scale section
-  below, where the same fixed cost is <2% of the wall, is the
-  authoritative LSH-tier scaling number.
+- The LSH columns here time a small job (~14-63 s; featurize is now
+  honestly included since pass isolation), where several seconds of
+  per-job fixed cost (planning + first-reference codegen), invariant
+  in N, suppress the measured ratio; the stress-scale section below,
+  where the same fixed cost is <2% of the wall, is the authoritative
+  LSH-tier scaling number.
 - Reproduce: `python bench.py --scaling`
   (env `SPARK_GRAFT_SCALE_LEVELS`, default `2,8,32`).
 """
