@@ -1982,10 +1982,31 @@ WITH w AS (
   SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+3], ' ')
           for i in range(1, greatest(len(ws)-3, 1)+1)])) AS gm
   FROM w
-), bench AS (SELECT DISTINCT gm FROM g WHERE doc_id % 37 = 0)
+), bench AS (
+  -- every width 1..4, mirroring benchmark_ngrams' symmetric
+  -- short-document containment semantics
+  SELECT DISTINCT gm FROM (
+    SELECT unnest([array_to_string(ws[i:i+0], ' ')
+            for i in range(1, greatest(len(ws)-0, 1)+1)]) AS gm
+    FROM w WHERE doc_id % 37 = 0
+    UNION ALL
+    SELECT unnest([array_to_string(ws[i:i+1], ' ')
+            for i in range(1, greatest(len(ws)-1, 1)+1)]) AS gm
+    FROM w WHERE doc_id % 37 = 0
+    UNION ALL
+    SELECT unnest([array_to_string(ws[i:i+2], ' ')
+            for i in range(1, greatest(len(ws)-2, 1)+1)]) AS gm
+    FROM w WHERE doc_id % 37 = 0
+    UNION ALL
+    SELECT unnest([array_to_string(ws[i:i+3], ' ')
+            for i in range(1, greatest(len(ws)-3, 1)+1)]) AS gm
+    FROM w WHERE doc_id % 37 = 0
+  ) WHERE length(gm) > 0
+)
 SELECT doc_id, count(*) AS hits
 FROM g
-WHERE doc_id % 37 != 0 AND gm IN (SELECT gm FROM bench)
+WHERE doc_id % 37 != 0 AND length(gm) > 0
+  AND gm IN (SELECT gm FROM bench)
 GROUP BY doc_id
 """
 
@@ -2087,23 +2108,33 @@ WITH corpus AS (
               || '@example.com or +1 555-123-4567 at 10.0.0.'
               || CAST(doc_id AS VARCHAR)
   FROM documents WHERE doc_id < 15
+), s1 AS (
+  -- staged exactly like pii_scrub: each kind counted on the text as
+  -- it stands when that kind's replacement runs, so counts ==
+  -- placeholders inserted
+  SELECT doc_id, text,
+         regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+           '<EMAIL>', 'g') AS t1
+  FROM corpus
+), s2 AS (
+  SELECT *, regexp_replace(t1,
+    '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}(?:[- ][0-9]{1,4})?',
+    '<PHONE>', 'g') AS t2
+  FROM s1
 )
 SELECT doc_id,
   length(regexp_extract_all(text,
     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
-  length(regexp_extract_all(text,
-    '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}')) AS n_phone,
-  length(regexp_extract_all(text,
+  length(regexp_extract_all(t1,
+    '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}(?:[- ][0-9]{1,4})?'))
+    AS n_phone,
+  length(regexp_extract_all(t2,
     '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ipv4,
-  regexp_replace(
-    regexp_replace(
-      regexp_replace(text,
-        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}',
-      '<PHONE>', 'g'),
+  regexp_replace(t2,
     '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IPV4>', 'g')
     AS scrubbed_text
-FROM corpus
+FROM s2
 """
 
 

@@ -219,11 +219,14 @@ def repetition_stats(
 
 
 # PII patterns shared by the Spark path and the DuckDB oracle: plain
-# character classes + bounded repetition only, valid and identical in
-# Java regex and RE2 (no backrefs, no lookaround)
+# character classes + bounded repetition + non-capturing groups only,
+# valid and identical in Java regex and RE2 (no backrefs, lookaround).
+# The phone tail binds separator+digits together ((?:[- ][0-9]{1,4})?)
+# — the naive `[- ]?[0-9]{0,4}` form greedily swallowed the SPACE
+# after a 3-3-4 number, gluing the placeholder to the next word.
 PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}[- ]?[0-9]{0,4}",
+    "phone": r"\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}(?:[- ][0-9]{1,4})?",
     "ipv4": r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}",
 }
 
@@ -232,12 +235,18 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Redact emails, phone numbers, and IPv4 addresses, counting each
     kind — the privacy pass a training pipeline runs before packing.
     Adds ``n_<kind>`` counts and replaces matches in ``text`` with
-    ``<KIND>`` placeholders.  Pure codegen expressions; patterns are
-    deliberately engine-portable (see PII_PATTERNS) so an external
-    auditor can reproduce the redaction bit-for-bit."""
+    ``<KIND>`` placeholders.  Each kind is counted on the text AS IT
+    STANDS when that kind's replacement runs (email, then phone, then
+    ipv4), so ``n_<kind>`` equals the number of ``<KIND>``
+    placeholders inserted — an auditor can reconcile counts against
+    placeholders exactly (counting every kind on the original text
+    would report a phone "redacted" that the earlier email pass had
+    already consumed).  Pure codegen expressions; patterns are
+    engine-portable (see PII_PATTERNS) so the DuckDB oracle reproduces
+    the redaction bit-for-bit."""
     out = docs
     scrubbed = F.col(text_col)
     for kind, pat in PII_PATTERNS.items():
-        out = out.withColumn(f"n_{kind}", F.regexp_count(F.col(text_col), F.lit(pat)))
+        out = out.withColumn(f"n_{kind}", F.regexp_count(scrubbed, F.lit(pat)))
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return out.withColumn("scrubbed_text", scrubbed)

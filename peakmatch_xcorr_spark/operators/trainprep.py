@@ -147,31 +147,58 @@ def pack_training_chunks(
     )
 
 
+def _word_grams(
+    df: DataFrame,
+    width: int,
+    text_col: str,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Word ``width``-gram rows of normalized text (lowercase,
+    collapse whitespace, trim) — the ONE gram generator both sides of
+    the decontamination join use, so a gram matches iff the normalized
+    word sequences match.  Rows shorter than ``width`` words emit
+    their whole word sequence as one gram; empty/blank rows emit
+    nothing (an empty-string gram would make one blank benchmark row
+    flag every blank corpus document).
+
+    Codegen end to end: split once per row, explode start positions,
+    ``slice`` + ``concat_ws`` (the higher-order ``transform`` form
+    evaluates interpreted per element — see dedup._shingle_rows)."""
+    ws = F.split(
+        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
+    )
+    keys = [F.col(id_col).alias("id")] if id_col else []
+    n_pos = F.greatest(F.size("ws") - F.lit(width - 1), F.lit(1))
+    out = (
+        df.select(*keys, ws.alias("ws"))
+        .select(*(["id"] if id_col else []),
+                F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), "ws")
+        .select(*(["id"] if id_col else []),
+                F.concat_ws(" ", F.slice("ws", F.col("i"), width)).alias("gm"))
+        .filter(F.length("gm") > 0)
+    )
+    return out.distinct()
+
+
 def benchmark_ngrams(
     benchmark: DataFrame,
     n: int = 8,
     text_col: str = "text",
 ) -> DataFrame:
-    """Distinct word n-grams of an eval/benchmark corpus — the
-    contamination reference set.  Normalization (lowercase, collapse
-    whitespace, trim) matches ``contamination_report`` exactly so a
-    gram matches iff the normalized word sequences match.
-
-    Codegen end to end: split once per row, explode start positions,
-    ``slice`` + ``concat_ws`` (the higher-order ``transform`` form
-    evaluates interpreted per element — see dedup._shingle_rows).
-    Documents shorter than ``n`` words contribute their whole word
-    sequence as one gram, so short eval rows still decontaminate."""
-    ws = F.split(
-        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
-    )
-    n_pos = F.greatest(F.size("ws") - F.lit(n - 1), F.lit(1))
-    return (
-        benchmark.select(ws.alias("ws"))
-        .select(F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), "ws")
-        .select(F.concat_ws(" ", F.slice("ws", F.col("i"), n)).alias("gm"))
-        .distinct()
-    )
+    """Distinct word grams of an eval/benchmark corpus at EVERY width
+    1..n — the contamination reference set.  The n-width grams catch
+    ordinary n-gram overlap; the shorter widths exist for the
+    symmetric short-document case: a corpus document of w < n words
+    emits its whole w-word sequence as one gram, and that leak is only
+    caught if the benchmark also indexes its w-word windows (a short
+    training doc sitting verbatim inside a long eval prompt IS
+    contamination).  Cost is bounded: eval suites are tiny and the
+    result is broadcast."""
+    grams = None
+    for w in range(1, n + 1):
+        g = _word_grams(benchmark, w, text_col)
+        grams = g if grams is None else grams.unionByName(g)
+    return grams.distinct()
 
 
 def contamination_report(
@@ -183,7 +210,8 @@ def contamination_report(
     bench_text_col: str = "text",
 ) -> DataFrame:
     """Per-document benchmark contamination: ``(id, hits)`` where
-    ``hits`` counts the document's distinct word n-grams that appear
+    ``hits`` counts the document's distinct word n-grams (whole word
+    sequence for documents shorter than ``n`` words) that appear
     anywhere in the benchmark corpus.  Only contaminated documents
     (hits >= 1) are returned.
 
@@ -193,19 +221,8 @@ def contamination_report(
     against the broadcast set and the only exchange is the per-doc
     ``groupBy(id)`` count of surviving grams (map-side combinable).
     The corpus is never joined to itself and never collected."""
-    bench = benchmark_ngrams(
-        benchmark.select(F.col(bench_text_col).alias("text")), n=n
-    )
-    ws = F.split(
-        F.trim(F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))), " "
-    )
-    n_pos = F.greatest(F.size("ws") - F.lit(n - 1), F.lit(1))
-    grams = (
-        docs.select(F.col(id_col).alias("id"), ws.alias("ws"))
-        .select("id", F.explode(F.sequence(F.lit(1), n_pos)).alias("i"), "ws")
-        .select("id", F.concat_ws(" ", F.slice("ws", F.col("i"), n)).alias("gm"))
-        .distinct()
-    )
+    bench = benchmark_ngrams(benchmark, n=n, text_col=bench_text_col)
+    grams = _word_grams(docs, n, text_col, id_col=id_col)
     return (
         grams.join(F.broadcast(bench), "gm", "left_semi")
         .groupBy("id")

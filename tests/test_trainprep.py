@@ -191,3 +191,34 @@ def test_contamination_benchmark_side_is_broadcast(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_short_corpus_doc_inside_long_benchmark_doc_is_flagged(spark):
+    """The symmetric containment case the first cut missed: a training
+    doc SHORTER than n words appearing verbatim inside a longer
+    benchmark document is contamination and must be flagged."""
+    from peakmatch_xcorr_spark.operators.trainprep import contamination_report
+
+    corpus = spark.createDataFrame(
+        [(1, "quick brown fox"), (2, "quick purple fox")],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    rep = {r["id"]: r["hits"]
+           for r in contamination_report(corpus, bench, n=4).collect()}
+    assert rep == {1: 1}
+
+
+def test_blank_rows_never_cross_contaminate(spark):
+    """A blank/whitespace benchmark row must not flag blank corpus
+    docs: empty-string grams are dropped on both sides."""
+    from peakmatch_xcorr_spark.operators.trainprep import contamination_report
+
+    corpus = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "real words here")], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(9, "  ")], ["doc_id", "text"])
+    assert contamination_report(corpus, bench, n=4).count() == 0

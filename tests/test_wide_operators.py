@@ -625,3 +625,25 @@ def test_pii_scrub_redacts_and_counts(spark):
     assert "<PHONE>" in out[2]["scrubbed_text"]
     assert "<IPV4>" in out[2]["scrubbed_text"]
     assert out[3]["scrubbed_text"] == "no pii here at all"
+
+
+def test_pii_scrub_preserves_word_boundaries_and_stages_counts(spark):
+    from peakmatch_xcorr_spark.operators.textstats import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            # no country code: the optional tail must not swallow the
+            # trailing space and glue '<PHONE>' to 'now'
+            (1, "call 555-123-4567 now"),
+            # a phone-shaped string consumed by the email redaction:
+            # n_phone counts on the POST-email text, so it reconciles
+            # with the zero <PHONE> placeholders actually inserted
+            (2, "reach 555-123-4567@example.com ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in pii_scrub(docs).collect()}
+    assert out[1]["scrubbed_text"] == "call <PHONE> now"
+    assert out[2]["n_email"] == 1
+    assert out[2]["n_phone"] == 0
+    assert out[2]["scrubbed_text"] == "reach <EMAIL> ok"
