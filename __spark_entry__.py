@@ -1912,6 +1912,35 @@ WHERE ('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def _q_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics (textstats.vocab_counts): term
+    frequency + document frequency per distinct token, tf >= 5 — the
+    tokenizer-training prestep.  One explode, one combinable exchange
+    keyed on token; top-k consumers sort the distinct-token result,
+    never the corpus."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.textstats import vocab_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return vocab_counts(docs, min_count=5, id_col="doc_id")
+
+
+_SQL_VOCAB_COUNTS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(
+      lower(regexp_replace(text, '[^\\p{L}\\p{N}_\\s'']', ' ', 'g')),
+      '\\s+'),
+    x -> length(x) > 0)) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM toks
+GROUP BY tok
+HAVING count(*) >= 5
+"""
+
+
 def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape (order-priority checking): date-windowed orders
     semi-joined on EXISTS(matching lineitem), counted per priority.
@@ -2293,6 +2322,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "decontaminate": (_q_decontaminate, _SQL_DECONTAMINATE),
     "repetition_stats": (_q_repetition_stats, _SQL_REPETITION_STATS),
     "pii_scrub": (_q_pii_scrub, _SQL_PII_SCRUB),
+    "vocab_counts": (_q_vocab_counts, _SQL_VOCAB_COUNTS),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_ratios": (_q_quality_ratios, _SQL_QUALITY_RATIOS),

@@ -250,3 +250,37 @@ def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
         out = out.withColumn(f"n_{kind}", F.regexp_count(scrubbed, F.lit(pat)))
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{kind.upper()}>")
     return out.withColumn("scrubbed_text", scrubbed)
+
+
+def vocab_counts(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 1,
+    id_col: str | None = None,
+) -> DataFrame:
+    """Corpus vocabulary statistics — the tokenizer-training prestep:
+    one row per distinct token with total occurrence count (``tf``)
+    and document frequency (``df``), filtered to ``tf >= min_count``.
+
+    Scale shape: one explode of the token arrays feeding TWO partial
+    aggregations that share the exchange key (token): counts combine
+    map-side, so the shuffle carries one row per distinct token per
+    task, never one per occurrence — the same reason word-count
+    scales.  No window, no join, no driver collection; top-k
+    consumers sort the (small) distinct-token result, not the
+    corpus."""
+    doc_key = (
+        F.col(id_col) if id_col
+        else F.monotonically_increasing_id()  # df only needs distinctness
+    )
+    toks = docs.select(
+        F.col(text_col), doc_key.alias("_d")
+    ).select("_d", F.explode(_tokens(text_col)).alias("tok"))
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.count_distinct("_d").alias("df"),
+        )
+        .filter(F.col("tf") >= min_count)
+    )

@@ -647,3 +647,21 @@ def test_pii_scrub_preserves_word_boundaries_and_stages_counts(spark):
     assert out[2]["n_email"] == 1
     assert out[2]["n_phone"] == 0
     assert out[2]["scrubbed_text"] == "reach <EMAIL> ok"
+
+
+def test_vocab_counts_tf_df(spark):
+    from peakmatch_xcorr_spark.operators.textstats import vocab_counts
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark rollup"), (2, "spark engine"), (3, "Rollup!")],
+        ["doc_id", "text"],
+    )
+    out = {r["tok"]: (r["tf"], r["df"])
+           for r in vocab_counts(docs, id_col="doc_id").collect()}
+    assert out["spark"] == (3, 2)
+    assert out["rollup"] == (2, 2)   # case-folded, punctuation stripped
+    assert out["engine"] == (1, 1)
+    # min_count filter
+    out2 = {r["tok"] for r in
+            vocab_counts(docs, min_count=2, id_col="doc_id").collect()}
+    assert out2 == {"spark", "rollup"}
