@@ -1912,6 +1912,167 @@ WHERE ('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def _q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE training-data pipeline in one declarative plan —
+    privacy scrub → quality filter → benchmark decontamination →
+    exact dedup → stable splits → sequence packing — i.e. every
+    corpus-side family member composed end to end, hash-checked.
+
+    Planting makes each stage non-vacuous in BOTH engines: 30 exact
+    duplicates (doc_id+10000) and 15 PII-carrying rows (doc_id+40000,
+    one email/phone/IPv4 each).  The eval suite is the original
+    doc_id % 37 == 0 slice; eval rows leave the training corpus at
+    the decontamination stage, and — the payoff — the PLANTED COPY of
+    an eval document (e.g. 0 → 10000) shares all its 4-grams with the
+    benchmark and is dropped by decontamination before dedup ever
+    sees it.  Plan shape: row-local scrub/quality/split expressions,
+    one broadcast gram semi-join + combinable groupBy for
+    decontamination, two windows (md5-dedup, pack)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.textstats import pii_scrub
+    from peakmatch_xcorr_spark.operators.trainprep import (
+        assign_splits,
+        decontaminate,
+        pack_training_chunks,
+    )
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dups = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text", "source"
+    )
+    pii = docs.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 40000).alias("doc_id"),
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-123-4567 at 10.0.0."),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+        F.lit("pii").alias("source"),
+    )
+    corpus = docs.unionByName(dups).unionByName(pii)
+    # 1. privacy: redact, downstream stages see only scrubbed text
+    s = pii_scrub(corpus).select(
+        "doc_id", F.col("scrubbed_text").alias("text"), "source"
+    )
+    # 2. quality
+    n_chars = F.length("text")
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^A-Za-z]", ""))
+    q = s.filter(
+        (alpha / F.greatest(n_chars, F.lit(1)) >= 0.5) & (n_chars >= 40)
+    )
+    # 3. decontamination: the eval slice (original rows only) exits
+    # the training corpus here, and anything sharing a 4-gram with it
+    # is dropped
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train_side = q.filter(
+        ~((F.col("doc_id") % 37 == 0) & (F.col("doc_id") < 10000))
+    )
+    clean = decontaminate(train_side, bench, n=4)
+    # 4. exact dedup: lowest doc_id survives per text hash
+    wh = Window.partitionBy(F.md5("text"))
+    kept = clean.withColumn("_keep", F.min("doc_id").over(wh)).filter(
+        F.col("doc_id") == F.col("_keep")
+    ).drop("_keep")
+    # 5-6. stable split assignment, then pack per (source, split)
+    packed = pack_training_chunks(
+        assign_splits(kept, _SPLIT_WEIGHTS),
+        budget=256,
+        shard_cols=["source", "split"],
+    )
+    return packed.select("doc_id", "source", "split", "n_tokens", "chunk_id")
+
+
+_SQL_CORPUS_PREP_FULL = """
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 10000, text, source FROM documents WHERE doc_id < 30
+  UNION ALL
+  SELECT doc_id + 40000,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555-123-4567 at 10.0.0.'
+              || CAST(doc_id AS VARCHAR),
+         'pii'
+  FROM documents WHERE doc_id < 15
+), s1 AS (
+  SELECT doc_id, source, regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t
+  FROM corpus
+), s2 AS (
+  SELECT doc_id, source, regexp_replace(t,
+    '\\+?[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{3,4}(?:[- ][0-9]{1,4})?',
+    '<PHONE>', 'g') AS t
+  FROM s1
+), scrub AS (
+  SELECT doc_id, source, regexp_replace(t,
+    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IPV4>', 'g')
+    AS text
+  FROM s2
+), q AS (
+  SELECT * FROM scrub
+  WHERE length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1) >= 0.5
+    AND length(text) >= 40
+), bw AS (
+  SELECT string_split(trim(lower(regexp_replace(text, '\\s+', ' ', 'g'))),
+                      ' ') AS ws
+  FROM documents WHERE doc_id % 37 = 0
+), bench AS (
+  SELECT DISTINCT gm FROM (
+    SELECT unnest([array_to_string(ws[i:i+0], ' ')
+            for i in range(1, greatest(len(ws)-0, 1)+1)]) AS gm FROM bw
+    UNION ALL
+    SELECT unnest([array_to_string(ws[i:i+1], ' ')
+            for i in range(1, greatest(len(ws)-1, 1)+1)]) AS gm FROM bw
+    UNION ALL
+    SELECT unnest([array_to_string(ws[i:i+2], ' ')
+            for i in range(1, greatest(len(ws)-2, 1)+1)]) AS gm FROM bw
+    UNION ALL
+    SELECT unnest([array_to_string(ws[i:i+3], ' ')
+            for i in range(1, greatest(len(ws)-3, 1)+1)]) AS gm FROM bw
+  ) WHERE length(gm) > 0
+), train_side AS (
+  SELECT * FROM q WHERE NOT (doc_id % 37 = 0 AND doc_id < 10000)
+), g AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(ws[i:i+3], ' ')
+          for i in range(1, greatest(len(ws)-3, 1)+1)])) AS gm
+  FROM (SELECT doc_id,
+               string_split(trim(lower(regexp_replace(text, '\\s+', ' ',
+                                                       'g'))), ' ') AS ws
+        FROM train_side)
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM g
+  WHERE length(gm) > 0 AND gm IN (SELECT gm FROM bench)
+), clean AS (
+  SELECT doc_id, text, source FROM train_side
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+), kept AS (
+  SELECT doc_id, text, source FROM (
+    SELECT doc_id, text, source,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS _keep
+    FROM clean
+  ) WHERE doc_id = _keep
+), split AS (
+  SELECT doc_id, text, source,
+         CASE
+           WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 3865470566 THEN 'train'
+           WHEN ('0x' || substr(md5('split-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT < 4080218931 THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM kept
+)
+SELECT doc_id, source, split,
+       (length(text) + 3) // 4 AS n_tokens,
+       CAST(FLOOR((SUM((length(text) + 3) // 4) OVER (
+              PARTITION BY source, split ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) - (length(text) + 3) // 4
+            ) / 256.0) AS BIGINT) AS chunk_id
+FROM split
+"""
+
+
 def _q_vocab_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus vocabulary statistics (textstats.vocab_counts): term
     frequency + document frequency per distinct token, tf >= 5 — the
@@ -2323,6 +2484,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "repetition_stats": (_q_repetition_stats, _SQL_REPETITION_STATS),
     "pii_scrub": (_q_pii_scrub, _SQL_PII_SCRUB),
     "vocab_counts": (_q_vocab_counts, _SQL_VOCAB_COUNTS),
+    "corpus_prep_full": (_q_corpus_prep_full, _SQL_CORPUS_PREP_FULL),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_ratios": (_q_quality_ratios, _SQL_QUALITY_RATIOS),
