@@ -1912,6 +1912,64 @@ WHERE ('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k reproducible uniform sample
+    (trainprep.deterministic_sample): rank by md5-keyed draw, keep the
+    50 smallest.  Compiles to TakeOrdered (per-partition partial
+    top-k + a k-row merge), never a full sort."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.trainprep import deterministic_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return deterministic_sample(docs, k=50)
+
+
+_SQL_DETERMINISTIC_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+ORDER BY ('0x' || substr(md5('sample-v1:' || CAST(doc_id AS VARCHAR)),
+                         1, 8))::BIGINT ASC,
+         doc_id ASC
+LIMIT 50
+"""
+
+
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    join with the predicate ON THE JOIN CONDITION (not WHERE — a WHERE
+    filter would silently turn the outer join inner and lose the
+    zero-order customers), per-customer count, then the histogram of
+    counts.  The only query exercising outer-join null-count
+    semantics + double aggregation."""
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey",
+                                                "o_orderstatus")
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderstatus != "F"),
+        "left_outer",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")  # count() skips nulls
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+_SQL_TPCH_Q13 = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderstatus <> 'F'
+  GROUP BY c.c_custkey
+) GROUP BY c_count
+"""
+
+
 def _q_corpus_prep_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE training-data pipeline in one declarative plan —
     privacy scrub → quality filter → benchmark decontamination →
@@ -2485,6 +2543,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pii_scrub": (_q_pii_scrub, _SQL_PII_SCRUB),
     "vocab_counts": (_q_vocab_counts, _SQL_VOCAB_COUNTS),
     "corpus_prep_full": (_q_corpus_prep_full, _SQL_CORPUS_PREP_FULL),
+    "deterministic_sample": (_q_deterministic_sample, _SQL_DETERMINISTIC_SAMPLE),
+    "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
     "quality_ratios": (_q_quality_ratios, _SQL_QUALITY_RATIOS),

@@ -249,3 +249,25 @@ def decontaminate(
         bench_text_col=bench_text_col,
     ).filter(F.col("hits") >= min_hits).select(F.col("id").alias(id_col))
     return docs.join(bad, id_col, "left_anti")
+
+
+def deterministic_sample(
+    docs: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Exactly-k uniform sample, reproducible across engines and runs:
+    rank every row by its md5-keyed draw (ties broken by id — the
+    draw is 32 bits, so collisions exist at corpus scale) and keep the
+    k smallest.  Unlike ``df.sample`` (per-partition Bernoulli:
+    approximate size, layout-dependent membership), membership here is
+    a pure function of (seed, id, k) — re-running on a re-partitioned
+    or grown corpus keeps every previously sampled id whose rank still
+    clears k.
+
+    Scale shape: global top-k by hash compiles to TakeOrdered
+    (per-partition partial top-k, then a k-row merge) — no full sort,
+    no full shuffle."""
+    hv = _uniform_hash(id_col, seed)
+    return docs.orderBy(hv.asc(), F.col(id_col).asc()).limit(k)

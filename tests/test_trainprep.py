@@ -222,3 +222,30 @@ def test_blank_rows_never_cross_contaminate(spark):
     )
     bench = spark.createDataFrame([(9, "  ")], ["doc_id", "text"])
     assert contamination_report(corpus, bench, n=4).count() == 0
+
+
+def test_deterministic_sample_exact_k_and_growth_stable(spark):
+    """Membership is a pure function of (seed, id, k): growing the
+    corpus only evicts ids whose hash-rank no longer clears k, never
+    reshuffles arbitrarily — and the size is EXACTLY k, unlike
+    Bernoulli df.sample."""
+    from peakmatch_xcorr_spark.operators.trainprep import deterministic_sample
+
+    small = {r["doc_id"]
+             for r in deterministic_sample(_docs(spark, 500), 50).collect()}
+    assert len(small) == 50
+    big = {r["doc_id"]
+           for r in deterministic_sample(_docs(spark, 2000), 50).collect()}
+    assert len(big) == 50
+    # every id sampled from the big corpus that already existed in the
+    # small corpus must also have been sampled there (rank only grows)
+    assert {i for i in big if i < 500} <= small
+
+
+def test_deterministic_sample_plan_is_take_ordered(spark):
+    from peakmatch_xcorr_spark.operators.trainprep import deterministic_sample
+
+    df = deterministic_sample(_docs(spark, 2000), 50)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # no full-sort shuffle
