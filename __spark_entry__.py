@@ -1912,6 +1912,27 @@ WHERE ('0x' || substr(md5('mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
 """
 
 
+def _q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass heavy hitters (operators/sketches.py): top-20 corpus
+    tokens via per-partition count-min sketches + space-saving
+    candidates, merged driver-side (bounded: a few KB per partition,
+    independent of data size — the 100 TB alternative to an exact
+    token groupBy).  Rows-only: the CMS estimate is
+    algorithm-specific; the companion pytest proves estimate >= exact
+    and estimate - exact <= e/width * N against the oracle-checked
+    exact `vocab_counts`."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.sketches import frequent_items_sketch
+    from peakmatch_xcorr_spark.operators.textstats import _tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    top = frequent_items_sketch(toks, "tok", k=20)
+    return spark.createDataFrame(
+        [(v, int(c)) for v, c in top], "tok string, est_count long"
+    )
+
+
 def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k reproducible uniform sample
     (trainprep.deterministic_sample): rank by md5-keyed draw, keep the
@@ -2544,6 +2565,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_counts": (_q_vocab_counts, _SQL_VOCAB_COUNTS),
     "corpus_prep_full": (_q_corpus_prep_full, _SQL_CORPUS_PREP_FULL),
     "deterministic_sample": (_q_deterministic_sample, _SQL_DETERMINISTIC_SAMPLE),
+    "frequent_tokens": (_q_frequent_tokens, None),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
