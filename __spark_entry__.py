@@ -1294,6 +1294,154 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, queries_df, cents, k=5, n_probe=2)
 
 
+def _q_ivf_topk_exhaustive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with ``n_probe == k_lists`` — every inverted list is
+    probed, so the result is by construction the EXACT brute-force
+    cosine top-5 and DuckDB can derive it with a plain window query.
+    This is the correctness anchor for the rows-only ``ivf_topk``
+    (same code path, partial probing): the approximate variant differs
+    from this one ONLY in how many lists each query visits.
+
+    Rank parity: cosine is rounded (repo-standard +1e-9 nudge, 6 dp)
+    BEFORE the ranking window on both engines, so last-ulp summation
+    differences cannot flip ranks (same trick as knn_edges)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.first()["embedding"])
+    cents = kmeans_fit(emb, k=8, dim=dim, max_iter=4)
+    queries_df = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(
+        emb, queries_df, cents, k=5, n_probe=len(cents), round_dp=6
+    ).select(
+        "query_id", "item_id", "cosine", F.col("rank").cast("int").alias("rank")
+    )
+
+
+_SQL_IVF_TOPK_EXHAUSTIVE = """
+WITH scored AS (
+  SELECT q.vec_id AS query_id, i.vec_id AS item_id,
+         round(list_dot_product(q.embedding::DOUBLE[], i.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(i.embedding::DOUBLE[], i.embedding::DOUBLE[])))
+               + 1e-9, 6) AS cosine
+  FROM embeddings q
+  JOIN embeddings i ON i.vec_id <> q.vec_id
+  WHERE q.vec_id < 20
+), ranked AS (
+  SELECT query_id, item_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, item_id) AS rank
+  FROM scored
+)
+SELECT query_id, item_id, cosine, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape (local-supplier volume): the 6-table join with a
+    non-key equality CYCLE (c_nationkey = s_nationkey) closing the
+    customer and supplier branches — the one join topology none of the
+    other TPC-H shapes exercises.  Scale shape: region/nation/supplier/
+    customer are dimension-sized (broadcast), so the only shuffle is
+    lineitem x orders on orderkey; the cycle predicate is applied as a
+    post-broadcast filter, never a shuffle key."""
+    _utc(spark)
+    lo, hi = "1996-01-01", "1997-01-01"
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(
+            F.broadcast(cust),
+            (orders.o_custkey == cust.c_custkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9, 2
+        ).alias("revenue")
+    )
+
+
+_SQL_TPCH_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape (returned-item reporting): fact-fact join under
+    a returnflag filter, wide group-by over customer attributes plus a
+    broadcast dim, global top-20.  Exercises the many-grouping-columns
+    aggregate (5 keys) the narrow shapes don't.  Tiebreak on the
+    unique c_custkey makes the LIMIT set deterministic."""
+    _utc(spark)
+    lo, hi = "1996-10-01", "1997-01-01"
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9,
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+_SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def _q_lsh_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH-blocked embedding near-duplicates with exact re-rank,
     over the base table UNION planted scaled copies (vec_id+100000,
@@ -2541,6 +2689,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q3": (_q_tpch_q3, _SQL_TPCH_Q3),
     "tpch_q18": (_q_tpch_q18, _SQL_TPCH_Q18),
     "tpch_q4": (_q_tpch_q4, _SQL_TPCH_Q4),
+    "tpch_q5": (_q_tpch_q5, _SQL_TPCH_Q5),
+    "tpch_q10": (_q_tpch_q10, _SQL_TPCH_Q10),
+    "ivf_topk_exhaustive": (_q_ivf_topk_exhaustive, _SQL_IVF_TOPK_EXHAUSTIVE),
     "topk_per_group": (_q_topk_per_group, _SQL_TOPK),
     "sessionize": (_q_sessionize, _SQL_SESSIONIZE),
     "rolling_24h": (_q_rolling_24h, _SQL_ROLLING_24H),

@@ -299,11 +299,19 @@ def ivf_topk(
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: items partitioned into centroid lists;
     each query probes its ``n_probe`` nearest lists and re-ranks with
     exact cosine inside them.  The scale path when the LSH variant's
-    bucket skew is a concern: list sizes are ~uniform after k-means."""
+    bucket skew is a concern: list sizes are ~uniform after k-means.
+
+    ``n_probe == len(centroids)`` probes every list, making the result
+    the EXACT brute-force top-k (the correctness anchor the oracle
+    query uses).  ``round_dp`` rounds the cosine (with the repo's
+    +1e-9 half-even nudge) BEFORE ranking so last-ulp float summation
+    differences cannot flip ranks between engines — required for any
+    hash-checked oracle over the output, harmless otherwise."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -328,10 +336,13 @@ def ivf_topk(
         F.slice(F.transform(ranked_lists, lambda s: s["cid"]), 1, n_probe),
     ).select("query_id", "qv", F.explode("probe_list").alias("list_id"))
 
+    cos = _dot(F.col("iv"), F.col("qv"))
+    if round_dp is not None:
+        cos = F.round(cos + 1e-9, round_dp)
     scored = (
         it.join(qu, "list_id")
         .filter(F.col("item_id") != F.col("query_id"))
-        .withColumn("cosine", _dot(F.col("iv"), F.col("qv")))
+        .withColumn("cosine", cos)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("item_id"))
     return (

@@ -494,6 +494,30 @@ def test_ivf_topk_recall_vs_bruteforce(spark, embeddings):
     assert hits / total >= 0.6, f"IVF recall too low: {hits}/{total}"
 
 
+def test_ivf_exhaustive_probe_is_quantizer_independent(spark, embeddings):
+    """With n_probe == len(centroids) every inverted list is probed, so
+    the result is the exact brute-force top-k and must be BYTE-identical
+    under two different coarse quantizers (different k, different seed).
+    This is the invariant the oracle-green ivf_topk_exhaustive query
+    rests on: partial probing changes recall, never the ceiling."""
+    from peakmatch_xcorr_spark.operators.similarity import ivf_topk, kmeans_fit
+
+    dim = len(embeddings.first()["embedding"])
+    queries = embeddings.filter("vec_id < 8")
+    outs = []
+    for k, seed in ((4, 17), (9, 99)):
+        cents = kmeans_fit(embeddings, k=k, dim=dim, max_iter=3, seed=seed)
+        pdf = (
+            ivf_topk(embeddings, queries, cents, k=5, n_probe=len(cents),
+                     round_dp=6)
+            .toPandas()
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        outs.append(pdf)
+    assert outs[0].equals(outs[1])
+
+
 def test_percentile_approx_within_tolerance(spark):
     """The sketch percentiles (100 TB path) must sit within the
     accuracy bound of the exact interpolated percentiles."""
