@@ -895,6 +895,76 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_buckets(_t(spark, sf_dir, "documents"))
 
 
+_PLANT_OFFSET = 100_000  # past max doc_id at every sf (sf0.1 tops at 4999)
+
+
+def _planted_doc_copies(spark: SparkSession, sf_dir: str):
+    """Base documents UNION exact copies (doc_id + _PLANT_OFFSET, text
+    verbatim) of every doc_id % 10 == 0.  Shared by the minhash/simhash
+    planted-recall promotions; asserts the no-id-collision precondition
+    instead of assuming it (the lsh_near_dups lesson)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    assert max_id < _PLANT_OFFSET, (
+        f"planted-copy id offset {_PLANT_OFFSET} collides with natural "
+        f"doc_id {max_id}; raise the offset"
+    )
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def _q_minhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash+LSH recall on planted EXACT copies, promoted
+    to a hash-checked row: identical text → identical shingle set →
+    identical minhash in every band → the (src, copy) pair is a
+    candidate DETERMINISTICALLY (recall 1.0 by hash determinism, not
+    probabilistically), so DuckDB can state the answer without
+    computing xxhash64.  The output filters candidates to the planted
+    (i, i+offset) keys — recall is what banding guarantees for
+    identical inputs; precision stays covered by the rows-only
+    minhash_candidates + the oracle-green ngram_jaccard verify."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.dedup import minhash_lsh_candidates
+
+    cands = minhash_lsh_candidates(_planted_doc_copies(spark, sf_dir))
+    return cands.filter(
+        F.col("id_b") == F.col("id_a") + _PLANT_OFFSET
+    ).select("id_a", "id_b")
+
+
+_SQL_MINHASH_PLANTED = f"""
+SELECT doc_id AS id_a, doc_id + {_PLANT_OFFSET} AS id_b
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _q_simhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end SimHash blocking recall on planted exact copies:
+    identical text → identical token multiset → identical bit votes →
+    equal fingerprints in the SAME prefix bucket, Hamming distance 0 —
+    deterministic, so the planted pair list IS the answer.  Exercises
+    the full tokenize → xxhash64 → bit-vote → prefix-bucket → in-bucket
+    pair path with a value-checked oracle."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.dedup import simhash_buckets
+
+    sim = simhash_buckets(_planted_doc_copies(spark, sf_dir))
+    a, b = sim.alias("a"), sim.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("b.id") == F.col("a.id") + _PLANT_OFFSET),
+    ).filter(F.col("a.simhash") == F.col("b.simhash"))
+    return pairs.select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+
+
+_SQL_SIMHASH_PLANTED = _SQL_MINHASH_PLANTED
+
+
 def _q_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFTDOMINANTFREQ over conversation activity curves (non-SQL:
     FFT).  Exploded to scalar rows — one row per (event, freq rank) —
@@ -2747,7 +2817,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
     "minhash_candidates": (_q_minhash_candidates, None),
+    "minhash_planted_recall": (_q_minhash_planted_recall, _SQL_MINHASH_PLANTED),
     "simhash_fingerprints": (_q_simhash, None),
+    "simhash_planted_recall": (_q_simhash_planted_recall, _SQL_SIMHASH_PLANTED),
     "dominant_freq": (_q_dominant_freq, None),
     "band_mean_spectrum": (_q_band_mean_spectrum, None),
     "ivf_topk": (_q_ivf_topk, None),
