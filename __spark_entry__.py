@@ -2151,6 +2151,24 @@ def _q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch-style relative-error quantiles of events.value
+    (operators/sketches.py quantile_sketch): map-side log-bucket
+    histograms merged by groupBy-sum; only the O(log(max/min)/alpha)
+    bucket histogram is ever collected.  Rows-only: the bucket-midpoint
+    estimate is algorithm-specific; the companion pytest proves
+    |est - exact| / |exact| <= alpha against numpy on the same data."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.sketches import quantile_sketch
+
+    ev = _t(spark, sf_dir, "events")
+    sk = quantile_sketch(ev, "value", alpha=0.01)
+    qs = (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999)
+    return spark.createDataFrame(
+        [(q, round(sk.quantile(q) + 1e-9, 6)) for q in qs], "q double, est double"
+    )
+
+
 def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-k reproducible uniform sample
     (trainprep.deterministic_sample): rank by md5-keyed draw, keep the
@@ -2787,6 +2805,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "corpus_prep_full": (_q_corpus_prep_full, _SQL_CORPUS_PREP_FULL),
     "deterministic_sample": (_q_deterministic_sample, _SQL_DETERMINISTIC_SAMPLE),
     "frequent_tokens": (_q_frequent_tokens, None),
+    "quantile_sketch_values": (_q_quantile_sketch_values, None),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),

@@ -1,5 +1,15 @@
 """Mergeable-sketch operators beyond what the DataFrame API ships.
 
+``quantile_sketch`` is a DDSketch-style RELATIVE-error quantile sketch:
+Spark's built-in ``approx_percentile`` bounds RANK error, which in a
+long-tailed latency/size distribution lets the p99.9 estimate drift by
+orders of magnitude in VALUE; log-boundary buckets bound the value's
+relative error by alpha at every quantile instead.  The bucket
+histogram is produced map-side in one ``mapInPandas`` pass and merged
+with an ordinary groupBy-sum (buckets add — associative/commutative),
+so the shuffle moves O(log(max/min)/alpha) rows per partition, never
+the data.
+
 ``frequent_items_sketch`` is one-pass distributed heavy hitters: the
 DataFrame API has HyperLogLog (approx_count_distinct) and quantile
 sketches (approx_percentile) built in, but no frequent-items sketch —
@@ -130,3 +140,132 @@ def frequent_items_sketch(
         ests.append((v, int(cms[np.arange(depth), idx].min())))
     ests.sort(key=lambda kv: (-kv[1], kv[0]))
     return ests[:k]
+
+
+# --------------------------------------------------------------------------
+# DDSketch-style relative-error quantile sketch
+# --------------------------------------------------------------------------
+
+_QS_SCHEMA = StructType([
+    StructField("store", LongType()),   # -1 neg / 0 zero / +1 pos
+    StructField("bucket", LongType()),
+    StructField("cnt", LongType()),
+])
+
+
+def _qsketch_partition(alpha: float):
+    import math
+
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+    lg = math.log(gamma)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        agg: dict[tuple[int, int], int] = {}
+        for pdf in batches:
+            x = pdf.iloc[:, 0].dropna().to_numpy(dtype=np.float64)
+            if x.size == 0:
+                continue
+            if not np.isfinite(x).all():
+                # log(inf) -> inf whose int64 cast is UNDEFINED (numpy
+                # returns INT64_MIN silently) — fail loudly instead of
+                # recording a corrupt bucket
+                raise ValueError(
+                    "quantile_sketch: non-finite value in input column"
+                )
+            for store, v in ((1, x[x > 0]), (-1, -x[x < 0])):
+                if v.size == 0:
+                    continue
+                b = np.ceil(np.log(v) / lg).astype(np.int64)
+                for bk, c in zip(*np.unique(b, return_counts=True)):
+                    key = (store, int(bk))
+                    agg[key] = agg.get(key, 0) + int(c)
+            nz = int((x == 0.0).sum())
+            if nz:
+                agg[(0, 0)] = agg.get((0, 0), 0) + nz
+        if not agg:
+            return  # empty partition: no rows (empty-frame guard)
+        yield pd.DataFrame(
+            {
+                "store": [k[0] for k in agg],
+                "bucket": [k[1] for k in agg],
+                "cnt": list(agg.values()),
+            }
+        )
+
+    return fn
+
+
+class QuantileSketch:
+    """Merged DDSketch histogram with rank-walk quantile evaluation.
+
+    ``quantile(q)`` returns a value within relative error ``alpha`` of
+    the true q-quantile (bucket midpoint ``2*gamma^b/(gamma+1)``), for
+    any q, over any distribution — zeros and negatives included (three
+    stores, negatives walked in descending bucket order)."""
+
+    def __init__(self, alpha: float, rows: list[tuple[int, int, int]]):
+        import math
+
+        self.alpha = alpha
+        self._gamma = (1.0 + alpha) / (1.0 - alpha)
+        self._mid = 2.0 * self._gamma / (self._gamma + 1.0)
+        # ascending value order: neg store by bucket DESC (value
+        # -gamma^b grows as b shrinks), then zeros, then pos by bucket
+        neg = sorted(((b, c) for s, b, c in rows if s == -1), reverse=True)
+        self._zero = sum(c for s, _, c in rows if s == 0)
+        pos = sorted((b, c) for s, b, c in rows if s == 1)
+        self._neg, self._pos = neg, pos
+        self.n = sum(c for _, _, c in rows)
+
+    def _bucket_value(self, b: int, sign: int) -> float:
+        # midpoint of (gamma^(b-1), gamma^b]: gamma^b * 2/(gamma+1)
+        return sign * (self._gamma ** (b - 1)) * self._mid
+
+    def quantile(self, q: float) -> float:
+        if not 0.0 <= q <= 1.0:
+            raise ValueError(f"q must be in [0, 1], got {q}")
+        if self.n == 0:
+            raise ValueError("empty sketch")
+        rank = q * (self.n - 1)
+        seen = 0
+        for b, c in self._neg:
+            seen += c
+            if seen > rank:
+                return self._bucket_value(b, -1)
+        seen += self._zero
+        if seen > rank:
+            return 0.0
+        for b, c in self._pos:
+            seen += c
+            if seen > rank:
+                return self._bucket_value(b, 1)
+        return self._bucket_value(self._pos[-1][0], 1)
+
+    def merge(self, other: "QuantileSketch") -> "QuantileSketch":
+        if other.alpha != self.alpha:
+            raise ValueError("cannot merge sketches with different alpha")
+        rows: dict[tuple[int, int], int] = {}
+        for sk in (self, other):
+            for s, pairs in ((-1, sk._neg), (1, sk._pos)):
+                for b, c in pairs:
+                    rows[(s, b)] = rows.get((s, b), 0) + c
+            rows[(0, 0)] = rows.get((0, 0), 0) + sk._zero
+        return QuantileSketch(
+            self.alpha, [(s, b, c) for (s, b), c in rows.items() if c]
+        )
+
+
+def quantile_sketch(df: DataFrame, col: str, alpha: float = 0.01) -> QuantileSketch:
+    """One-pass distributed relative-error quantile sketch of
+    ``df[col]``.  Map-side bucket histograms merge through a plain
+    groupBy-sum (partial aggregation applies), and only the merged
+    histogram — O(log(max/min)/alpha) rows, independent of data size —
+    is collected."""
+    rows = (
+        df.select(F.col(col).cast("double"))
+        .mapInPandas(_qsketch_partition(alpha), _QS_SCHEMA)
+        .groupBy("store", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    )
+    return QuantileSketch(alpha, [(r["store"], r["bucket"], r["cnt"]) for r in rows])

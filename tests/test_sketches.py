@@ -1,9 +1,17 @@
 """frequent_items_sketch: one-pass distributed heavy hitters
-(count-min + space-saving candidates, merged driver-side)."""
+(count-min + space-saving candidates, merged driver-side).
+quantile_sketch: DDSketch-style relative-error quantiles (map-side
+bucket histograms merged by groupBy-sum)."""
 
+import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
-from peakmatch_xcorr_spark.operators.sketches import frequent_items_sketch
+from peakmatch_xcorr_spark.operators.sketches import (
+    QuantileSketch,
+    frequent_items_sketch,
+    quantile_sketch,
+)
 
 
 def _zipf_tokens(spark, n=50_000, vocab=500):
@@ -52,3 +60,82 @@ def test_sketch_handles_empty_and_null_partitions(spark):
     assert frequent_items_sketch(
         spark.createDataFrame([], "tok string"), "tok", k=5
     ) == []
+
+
+def _mixed_values(seed=3, n=40_000):
+    """Long-tailed positives + negatives + zeros + nulls — the shape
+    relative-error sketches exist for."""
+    rng = np.random.default_rng(seed)
+    pos = rng.lognormal(mean=2.0, sigma=2.5, size=n)  # spans ~7 decades
+    neg = -rng.lognormal(mean=0.5, sigma=1.0, size=n // 10)
+    zero = np.zeros(n // 20)
+    return np.concatenate([pos, neg, zero])
+
+
+def test_quantile_sketch_relative_error_bound(spark):
+    vals = _mixed_values()
+    df = spark.createDataFrame([(float(v),) for v in vals], ["v"]).repartition(16)
+    alpha = 0.02
+    sk = quantile_sketch(df, "v", alpha=alpha)
+    assert sk.n == len(vals)
+    for q in (0.001, 0.01, 0.1, 0.5, 0.9, 0.99, 0.999, 0.9999):
+        exact = float(np.quantile(vals, q, method="lower"))
+        est = sk.quantile(q)
+        if exact == 0.0:
+            assert est == 0.0
+        else:
+            rel = abs(est - exact) / abs(exact)
+            # alpha per bucket midpoint; 1.05 slack for a boundary-ulp
+            # bucket slip on values that land exactly on gamma^b
+            assert rel <= alpha * 1.05, f"q={q}: rel err {rel:.4f} > {alpha}"
+
+
+def test_quantile_sketch_partition_invariant_and_mergeable(spark):
+    vals = _mixed_values(seed=11, n=8_000)
+    rows = [(float(v),) for v in vals]
+    df = spark.createDataFrame(rows, ["v"])
+    a = quantile_sketch(df.repartition(2), "v", alpha=0.01)
+    b = quantile_sketch(df.repartition(31), "v", alpha=0.01)
+    qs = (0.01, 0.25, 0.5, 0.75, 0.99)
+    assert [a.quantile(q) for q in qs] == [b.quantile(q) for q in qs]
+    # merge(left half, right half) == sketch of the whole
+    half = len(rows) // 2
+    left = quantile_sketch(spark.createDataFrame(rows[:half], ["v"]), "v", 0.01)
+    right = quantile_sketch(spark.createDataFrame(rows[half:], ["v"]), "v", 0.01)
+    merged = left.merge(right)
+    assert merged.n == a.n
+    assert [merged.quantile(q) for q in qs] == [a.quantile(q) for q in qs]
+
+
+def test_quantile_sketch_bound_on_contract_data(spark):
+    """Same data the quantile_sketch_values contract query sketches:
+    events.value at sf0.01, alpha=0.01 — the companion bound that
+    stands in for a SQL oracle (estimate is algorithm-specific)."""
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    sk = quantile_sketch(ev, "value", alpha=0.01)
+    vals = ev.select("value").toPandas().value.to_numpy(dtype=float)
+    assert sk.n == len(vals)
+    for q in (0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 0.999):
+        exact = float(np.quantile(vals, q, method="lower"))
+        est = sk.quantile(q)
+        if exact == 0.0:
+            assert est == 0.0
+        else:
+            assert abs(est - exact) / abs(exact) <= 0.01 * 1.05, q
+
+
+def test_quantile_sketch_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (0.0,), (None,), (-5.0,), (5.0,)], ["v"]
+    ).repartition(8)
+    sk = quantile_sketch(df, "v", alpha=0.01)
+    assert sk.n == 4  # null dropped
+    assert sk.quantile(0.0) == pytest.approx(-5.0, rel=0.01)
+    assert sk.quantile(0.5) == 0.0
+    assert sk.quantile(1.0) == pytest.approx(5.0, rel=0.01)
+    with pytest.raises(ValueError):
+        sk.quantile(1.5)
+    with pytest.raises(ValueError):
+        QuantileSketch(0.01, []).quantile(0.5)
+    with pytest.raises(ValueError):
+        sk.merge(QuantileSketch(0.05, [(0, 0, 1)]))
