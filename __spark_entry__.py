@@ -1972,6 +1972,47 @@ SELECT id::INT, 1, round(m * 100.0 / 256 + 1e-9, 6) FROM tones
 """
 
 
+def _q_band_mean_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked oracle for the band-mean rollup (A1/A4,
+    Util.java:214-251 / DominantFreqProcessor.java:114-140) via
+    planted IMPULSE curves: the DFT of a*delta(t-s) has |X_k| = a at
+    EVERY bin (|e^{-i w s}| = 1, any shift, any zero-padding), so the
+    mean |FFT| over every configured band is exactly the impulse
+    amplitude — no FFT needed on the DuckDB side.  FFT roundoff is
+    ~1e-15, absorbed by the repo-standard round(+1e-9, 6).
+
+    Complements dominant_freq_planted (two-tone curves prove BIN
+    SELECTION); this proves the filter-bounds + band-bucket + mean
+    path on the same kernel."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.config import SpectralConf
+    from peakmatch_xcorr_spark.operators.spectral_ops import dominant_freq_table
+
+    amp = (F.col("id") % 5 + 1).cast("double")
+    pos = (F.col("id") * 7) % 256
+    curves = spark.range(50).select(
+        F.col("id").cast("string").alias("conv_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(255)),
+            lambda t: F.when(t == pos, amp).otherwise(F.lit(0.0)),
+        ).alias("series"),
+    )
+    dom = dominant_freq_table(
+        curves, SpectralConf(sample_rate=100), peak_amp_col=None
+    )
+    return dom.select(
+        F.col("id").cast("int").alias("id"),
+        F.posexplode("band_mean_amps").alias("band_idx", "amp"),
+    ).select("id", "band_idx", F.round(F.col("amp") + 1e-9, 6).alias("amp"))
+
+
+_SQL_BAND_MEAN_PLANTED = """
+SELECT id::INT AS id, band_idx, round((id % 5 + 1) + 1e-9, 6) AS amp
+FROM range(0, 50) t(id)
+CROSS JOIN (SELECT unnest([0, 1, 2]) AS band_idx)
+"""
+
+
 def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape (large-volume customer): a group-by-HAVING
     semi-join feeding a re-aggregation and a global top-k — the
@@ -2833,6 +2874,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dominant_freq_planted": (
         _q_dominant_freq_planted, _SQL_DOMINANT_FREQ_PLANTED
     ),
+    "band_mean_planted": (_q_band_mean_planted, _SQL_BAND_MEAN_PLANTED),
     # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
     "minhash_candidates": (_q_minhash_candidates, None),
