@@ -189,6 +189,24 @@ def test_corpus_prep_two_exchanges_no_joins(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_tpch_q5_broadcasts_all_dims_single_fact_shuffle(spark):
+    """Q5's four dimension joins (region/nation/supplier/customer)
+    must all broadcast — the only shuffle-worthy join is lineitem x
+    orders — and the date window must push to the orders scan.  The
+    c_nationkey = s_nationkey cycle must not become a join KEY shuffle
+    (it rides the broadcast join condition)."""
+    from __spark_entry__ import _q_tpch_q5
+
+    df = _q_tpch_q5(spark, SF)
+    p = plan(df)
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("o_orderdate" in s for s in pushed)
+    assert any("r_name" in s for s in pushed)
+
+
 def test_tpch_q4_semi_join_pushdown(spark):
     """Q4's EXISTS must compile to a LEFT SEMI join (never an inner
     join that would double-count multi-line orders) with both the
