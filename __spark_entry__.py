@@ -2192,6 +2192,58 @@ def _q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout + manifest-bounds file pruning, value-checked:
+    events are re-clustered along the Morton curve of (user_id, ts)
+    into a throwaway warehouse table, a 2-D range query is planned by
+    pruning files against the manifest's footer bounds (driver-side,
+    no Spark job), and the pruned scan + row filter must equal DuckDB's
+    plain filter — proving file skipping drops no rows.  The companion
+    pytest (tests/test_layout.py) proves it also SKIPS: 11 of 64 files
+    read vs 34 for a time-range layout on the same 2-D query."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.layout import pruned_read, zorder_layout
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    root = tempfile.mkdtemp(prefix="pxs_zorder_q_")
+    try:
+        t = WarehouseTable(root, "events_z")
+        t.append(zorder_layout(ev, "user_id", "ts", target_files=16))
+        import datetime as _dtm
+
+        lo_ts = ev.agg(F.min("ts")).first()[0]
+        # fixed 10-day window from min: day addition is exact integer
+        # arithmetic on both engines (a midpoint would divide an
+        # interval — engine-specific rounding)
+        mid = lo_ts + _dtm.timedelta(days=10)
+        df, stats = pruned_read(
+            t, spark, {"user_id": (10, 40), "ts": (lo_ts, mid)}
+        )
+        assert df is not None and stats["files_read"] <= stats["files_total"]
+        out = df.filter(
+            F.col("user_id").between(10, 40) & F.col("ts").between(lo_ts, mid)
+        ).select(
+            "user_id", "ts", F.round(F.col("value") + 1e-9, 6).alias("value")
+        )
+        # materialize before the temp warehouse disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_ZORDER_PRUNED = """
+WITH b AS (SELECT min(ts) AS lo FROM events)
+SELECT user_id, ts, round(value + 1e-9, 6) AS value
+FROM events, b
+WHERE user_id BETWEEN 10 AND 40
+  AND ts >= b.lo AND ts <= b.lo + INTERVAL 10 DAY
+"""
+
+
 def _q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch-style relative-error quantiles of events.value
     (operators/sketches.py quantile_sketch): map-side log-bucket
@@ -2847,6 +2899,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "deterministic_sample": (_q_deterministic_sample, _SQL_DETERMINISTIC_SAMPLE),
     "frequent_tokens": (_q_frequent_tokens, None),
     "quantile_sketch_values": (_q_quantile_sketch_values, None),
+    "zorder_pruned_scan": (_q_zorder_pruned_scan, _SQL_ZORDER_PRUNED),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
