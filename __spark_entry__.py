@@ -905,10 +905,14 @@ def _planted_doc_copies(spark: SparkSession, sf_dir: str):
     instead of assuming it (the lsh_near_dups lesson)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     max_id = docs.agg(F.max("doc_id")).first()[0]
-    assert max_id < _PLANT_OFFSET, (
-        f"planted-copy id offset {_PLANT_OFFSET} collides with natural "
-        f"doc_id {max_id}; raise the offset"
-    )
+    # ValueError, not assert: a correctness precondition must survive
+    # python -O (a stripped assert would silently re-enable the very
+    # id-collision bug this guards against)
+    if max_id >= _PLANT_OFFSET:
+        raise ValueError(
+            f"planted-copy id offset {_PLANT_OFFSET} collides with natural "
+            f"doc_id {max_id}; raise the offset"
+        )
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + _PLANT_OFFSET).alias("doc_id"), "text"
     )
@@ -950,7 +954,34 @@ def _q_simhash_planted_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from peakmatch_xcorr_spark.operators.dedup import simhash_buckets
 
-    sim = simhash_buckets(_planted_doc_copies(spark, sf_dir))
+    planted = _planted_doc_copies(spark, sf_dir)
+    # Oracle-parity precondition, asserted rather than assumed: a
+    # token-LESS planted source (null/empty/punctuation-only text)
+    # gets no fingerprint at all (simhash_buckets drops it), while the
+    # SQL oracle emits its pair unconditionally — the hash check would
+    # fail with no hint why.  Current testdata has none; verify that
+    # instead of trusting it.  (The minhash twin is immune: its
+    # shingle generator always emits >= 1 row.)
+    tokenless = (
+        planted.filter(F.col("doc_id") % 10 == 0)
+        .filter(
+            F.col("text").isNull()
+            | (
+                F.length(
+                    F.trim(F.regexp_replace("text", r"[^\p{L}\p{N}_\s]", " "))
+                )
+                == 0
+            )
+        )
+        .count()
+    )
+    if tokenless:
+        raise ValueError(
+            f"{tokenless} planted source docs tokenize to nothing; the "
+            "unconditional SQL oracle would diverge — exclude them from "
+            "the plant"
+        )
+    sim = simhash_buckets(planted)
     a, b = sim.alias("a"), sim.alias("b")
     pairs = a.join(
         b,
@@ -2223,7 +2254,12 @@ def _q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         df, stats = pruned_read(
             t, spark, {"user_id": (10, 40), "ts": (lo_ts, mid)}
         )
-        assert df is not None and stats["files_read"] <= stats["files_total"]
+        if df is None:  # raise, not assert: survives python -O, and
+            # None.filter would otherwise mask the real problem
+            raise RuntimeError(
+                f"pruned_read found no intersecting files for a range "
+                f"derived from the data itself: {stats}"
+            )
         out = df.filter(
             F.col("user_id").between(10, 40) & F.col("ts").between(lo_ts, mid)
         ).select(

@@ -123,17 +123,30 @@ def zorder_layout(
     )
 
 
-def _ser(v):
-    """Match warehouse._footer_bounds JSON serialization so range
-    endpoints compare against manifest bounds.  ISO datetime strings
-    are padded to full microsecond precision: ``isoformat()`` omits
-    ``.000000``, and "…T12:00:00" > "…T12:00:00.000000"
-    lexicographically even though the instants are EQUAL — unpadded, a
-    boundary-equal file would be wrongly excluded."""
-    if isinstance(v, (_dt.datetime, _dt.date)):
-        v = v.isoformat()
-    if isinstance(v, str) and len(v) >= 19 and v[10:11] == "T" and "." not in v:
-        v = v + ".000000"
+def _norm(v):
+    """Canonical comparison form for a bound / range endpoint.
+
+    Timestamp bounds reach the manifest as TZ-AWARE ISO strings
+    (pyarrow returns UTC-aware datetimes for Spark's TIMESTAMP_MICROS
+    stats), while query endpoints are naive datetimes — comparing the
+    raw isoformat strings lexicographically misorders EQUAL instants
+    ('+00:00' suffix vs '.000000' padding), which wrongly excludes
+    boundary-touching files and silently drops rows.  So: parse
+    anything datetime-ish back to a datetime and compare in UTC-naive
+    form.  Naive inputs are TAKEN AS UTC — the engine pins
+    spark.sql.session.timeZone=UTC (session.get_spark), so collected
+    timestamps and footer stats already share that frame."""
+    if isinstance(v, str) and len(v) >= 19 and v[10:11] == "T":
+        try:
+            v = _dt.datetime.fromisoformat(v)
+        except ValueError:
+            return v
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day)
     return v
 
 
@@ -159,8 +172,8 @@ def prune_files(
             b = f.get("bounds", {}).get(col)
             if b is None:
                 continue  # no stats -> cannot exclude
-            if (hi is not None and _ser(b[0]) > _ser(hi)) or (
-                lo is not None and _ser(b[1]) < _ser(lo)
+            if (hi is not None and _norm(b[0]) > _norm(hi)) or (
+                lo is not None and _norm(b[1]) < _norm(lo)
             ):
                 hit = False
                 break

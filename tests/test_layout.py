@@ -90,20 +90,35 @@ def test_time_only_query_still_prunes_on_zorder_table(spark, frame, tables):
 
 
 def test_boundary_equal_file_is_kept(spark, tmp_path):
-    """A file whose min bound EQUALS the query's hi endpoint contains
-    matching rows; the isoformat-precision normalization must not
-    exclude it (unpadded '12:00:00' sorts after '12:00:00.000000')."""
+    """A file whose bound EQUALS a query endpoint contains matching
+    rows and must be kept, in BOTH directions and at microsecond
+    precision.  Manifest bounds are tz-aware UTC isoformat strings
+    while endpoints are naive datetimes — raw string comparison
+    misorders equal instants ('+00:00' vs '.000000'), which dropped
+    the hi-boundary file before _norm parsed both sides back to
+    UTC-naive datetimes (found by review, reproduced live)."""
     t = WarehouseTable(str(tmp_path), "boundary")
     rows = [
         (1, dt.datetime(2025, 6, 1, 12, 0, 0)),
-        (2, dt.datetime(2025, 6, 1, 13, 0, 0)),
+        (2, dt.datetime(2025, 6, 1, 13, 0, 0, 500000)),
     ]
     df = spark.createDataFrame(rows, "user_id int, ts timestamp")
     t.append(df.repartition(1))
-    paths, total = prune_files(
-        t, {"ts": (None, dt.datetime(2025, 6, 1, 12, 0, 0))}
-    )
+    # hi endpoint == file min bound
+    paths, total = prune_files(t, {"ts": (None, dt.datetime(2025, 6, 1, 12))})
     assert total == 1 and len(paths) == 1
+    # lo endpoint == file max bound (with non-zero microseconds)
+    paths, _ = prune_files(
+        t, {"ts": (dt.datetime(2025, 6, 1, 13, 0, 0, 500000), None)}
+    )
+    assert len(paths) == 1
+    # strictly outside on either side -> pruned
+    paths, _ = prune_files(t, {"ts": (None, dt.datetime(2025, 6, 1, 11))})
+    assert paths == []
+    paths, _ = prune_files(
+        t, {"ts": (dt.datetime(2025, 6, 1, 13, 0, 0, 500001), None)}
+    )
+    assert paths == []
 
 
 def test_missing_bounds_and_nulls_are_conservative(spark, tmp_path):
