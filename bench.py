@@ -130,7 +130,12 @@ def headline_queries(spark, sf_dir: str):
     # (the scale path for near-dup candidates; exact Jaccard is the
     # sf0.01 correctness baseline, quadratic-in-bucket at sf0.1)
     extra = {}
-    for name in ("asof_join_clicks", "time_weighted_avg_1h", "minhash_candidates"):
+    for name in (
+        "asof_join_clicks",
+        "time_weighted_avg_1h",
+        "minhash_candidates",
+        "quantile_sketch_values",  # one-pass DDSketch over events.value
+    ):
         fn = registry[name]
         extra[name] = (lambda f=fn: f(spark, sf_dir).count())
     return qs, extra, events
