@@ -124,6 +124,68 @@ def test_quantile_sketch_bound_on_contract_data(spark):
             assert abs(est - exact) / abs(exact) <= 0.01 * 1.05, q
 
 
+def _sketch_from_values(vals, alpha):
+    """Driver-side sketch via the same partition kernel Spark runs."""
+    import pandas as pd
+
+    from peakmatch_xcorr_spark.operators.sketches import _qsketch_partition
+
+    out = list(_qsketch_partition(alpha)(iter([pd.DataFrame({"v": vals})])))
+    rows = []
+    if out:
+        for _, r in out[0].iterrows():
+            rows.append((int(r["store"]), int(r["bucket"]), int(r["cnt"])))
+    return QuantileSketch(alpha, rows)
+
+
+@pytest.mark.parametrize("alpha", [0.005, 0.01, 0.05])
+def test_quantile_sketch_property_bound(alpha):
+    """Hypothesis-style property sweep without Spark: for adversarial
+    value sets (denormals, huge magnitudes, negatives, zeros, exact
+    powers of gamma), every quantile estimate is within alpha relative
+    error of the true order statistic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    finite = st.floats(
+        allow_nan=False,
+        allow_infinity=False,
+        min_value=-1e30,
+        max_value=1e30,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(finite, min_size=1, max_size=300))
+    def check(vals):
+        sk = _sketch_from_values(vals, alpha)
+        assert sk.n == len(vals)
+        for q in (0.0, 0.25, 0.5, 0.75, 1.0):
+            exact = float(np.quantile(np.array(vals), q, method="lower"))
+            est = sk.quantile(q)
+            if exact == 0.0:
+                assert est == 0.0
+            else:
+                # 1.06 slack: a value EXACTLY on a gamma^b boundary can
+                # slip one bucket from fp log roundoff (locality only)
+                assert abs(est - exact) / abs(exact) <= alpha * 1.06
+
+    check()
+
+
+def test_quantile_sketch_merge_is_associative_and_commutative():
+    rng = np.random.default_rng(7)
+    parts = [rng.lognormal(1.0, 2.0, 500) for _ in range(3)]
+    a, b, c = (_sketch_from_values(list(p), 0.01) for p in parts)
+    qs = (0.1, 0.5, 0.9, 0.99)
+    left = a.merge(b).merge(c)
+    right = a.merge(b.merge(c))
+    swapped = c.merge(a).merge(b)
+    whole = _sketch_from_values([v for p in parts for v in p], 0.01)
+    for sk in (right, swapped, whole):
+        assert [left.quantile(q) for q in qs] == [sk.quantile(q) for q in qs]
+    assert left.n == whole.n == 1500
+
+
 def test_quantile_sketch_edge_cases(spark):
     df = spark.createDataFrame(
         [(0.0,), (0.0,), (None,), (-5.0,), (5.0,)], ["v"]
