@@ -2280,6 +2280,72 @@ WHERE user_id BETWEEN 10 AND 40
 """
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level COW MERGE (operators/merge.py), value-checked: the 1h
+    rollup tier is committed to a throwaway warehouse table, an upsert
+    doubles vavg for every user_id % 10 == 0 bucket and inserts one
+    brand-new user, and the post-merge read must equal DuckDB's
+    CASE-expressed merge semantics.  Only files whose manifest bounds
+    contain an updated key are rewritten (set-based selection); the
+    rest are carried by manifest record — the snapshot metrics in the
+    committed manifest prove it."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.merge import merge_upsert
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    rolled = tumbling_rollup(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour"
+    ).select("user_id", "bucket_start", "vavg")
+    root = tempfile.mkdtemp(prefix="pxs_merge_q_")
+    try:
+        t = WarehouseTable(root, "tier_1h")
+        t.append(rolled.repartitionByRange(8, "user_id"))
+        import datetime as _dtm
+
+        ts_type = dict(rolled.dtypes)["bucket_start"]  # ntz from parquet
+        uid_type = dict(rolled.dtypes)["user_id"]
+        new_row = spark.createDataFrame(
+            [(99999, _dtm.datetime(2024, 1, 1), 1.5)],
+            "user_id bigint, bucket_start timestamp, vavg double",
+        ).select(
+            F.col("user_id").cast(uid_type).alias("user_id"),
+            F.col("bucket_start").cast(ts_type).alias("bucket_start"),
+            "vavg",
+        )
+        updates = (
+            rolled.filter(F.col("user_id") % 10 == 0)
+            .withColumn("vavg", F.col("vavg") * 2)
+            .unionByName(new_row)
+        )
+        merge_upsert(t, spark, updates, ["user_id", "bucket_start"])
+        out = t.read(spark).select(
+            "user_id",
+            "bucket_start",
+            F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_MERGE_UPSERT = """
+WITH r AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start, avg(value) AS vavg
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, bucket_start,
+       round(CASE WHEN user_id % 10 = 0 THEN vavg * 2 ELSE vavg END + 1e-9, 6)
+         AS vavg
+FROM r
+UNION ALL
+SELECT 99999, TIMESTAMP '2024-01-01 00:00:00', round(1.5 + 1e-9, 6)
+"""
+
+
 def _q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch-style relative-error quantiles of events.value
     (operators/sketches.py quantile_sketch): map-side log-bucket
@@ -2936,6 +3002,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "frequent_tokens": (_q_frequent_tokens, None),
     "quantile_sketch_values": (_q_quantile_sketch_values, None),
     "zorder_pruned_scan": (_q_zorder_pruned_scan, _SQL_ZORDER_PRUNED),
+    "merge_upsert_tier": (_q_merge_upsert, _SQL_MERGE_UPSERT),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
