@@ -1,0 +1,344 @@
+"""Visual/statistical downsampling + per-key series analytics.
+
+The north rule names this engine a "rollup + downsample + retention"
+engine; the rollup cascade (operators/rollup.py) covers the
+*aggregate* downsample path (the reference's band-mean rollup,
+Util.java:214-251, generalized to time buckets).  This module adds the
+*shape-preserving* downsample family from the time-series literature
+plus the per-key sequential analytics that ride on the same
+partitioning:
+
+- ``m4_downsample``  — M4 (Jugel et al., VLDB 2014): per pixel bucket
+  keep the first/last/min/max rows.  Exact for line rendering at a
+  given width; pure built-in aggregation (one shuffle, map-side
+  partials), no Python in the plan.
+- ``lttb_downsample`` — Largest-Triangle-Three-Buckets (Steinarsson,
+  2013): fixed output budget n_out per key, perceptually best single
+  polyline.  Sequential (each pick depends on the previous), so it
+  runs as one applyInPandas per key with a vectorized numpy inner
+  loop over the n_out buckets.
+- ``ewma_smooth`` — exponentially-weighted moving average per key.
+  The recursion s_t = a*v_t + (1-a)*s_{t-1} carries O(1) state, so it
+  streams through ONE mapInPandas over key-sorted partitions carrying
+  only {key: last_s} across Arrow batches (pack_tier pattern) — no
+  group materialization, arbitrarily long series.
+- ``counter_increase`` — Prometheus-style increase() over cumulative
+  counters with reset detection (delta < 0 → the post-reset value is
+  the contribution).  Pure window + aggregate, whole-stage codegen.
+- ``rolling_zscore`` — trailing-window anomaly score over a rolled
+  tier: z = (v - mean)/stddev over the previous ``lookback`` buckets
+  (the current bucket excluded, so an anomaly can't mask itself).
+  Pure window functions.
+
+Scale notes (100 TB / 10^12 turns):
+- m4/counter/zscore are single-exchange plans keyed by (key[, bucket])
+  with map-side partial aggregation; skew is bounded by the largest
+  single conversation, same envelope as the rollup cascade.
+- lttb/ewma partition by key; per-task memory is one conversation's
+  curve (LTTB) or O(1) (EWMA).  Neither collects to the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from peakmatch_xcorr_spark.operators.rollup import epoch_seconds
+
+
+# ------------------------------------------------------------------ M4
+
+def m4_downsample(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """M4: per (key, bucket) emit the first/last/min/max points with
+    their timestamps — the exact row set needed to rasterize the
+    series at one pixel column per bucket (VLDB 2014 "M4" result).
+
+    Ties are broken deterministically through lexicographic struct
+    ordering: min/max over struct(value, ts, tiebreak) — Spark
+    compares structs field-by-field, so equal values fall back to the
+    earlier (min) / later (max) timestamp, then the tiebreak column.
+    One shuffle; the struct min/max still does partial aggregation
+    map-side.
+    """
+    tb = [F.col(tiebreak)] if tiebreak else []
+    df = df.filter(F.col(value_col).isNotNull())
+    w = F.window(ts_col, bucket)
+    v, t = F.col(value_col), F.col(ts_col)
+    aggs = [
+        F.min(F.struct(t, *tb, v)).alias("_first"),
+        F.max(F.struct(t, *tb, v)).alias("_last"),
+        F.min(F.struct(v, t, *tb)).alias("_min"),
+        F.max(F.struct(v, t, *tb)).alias("_max"),
+        F.count(F.lit(1)).alias("n_points"),
+    ]
+    out = df.groupBy(*keys, w.alias("w")).agg(*aggs)
+    return out.select(
+        *keys,
+        F.col("w.start").alias("bucket_start"),
+        F.col(f"_first.{ts_col}").alias("ts_first"),
+        F.col(f"_first.{value_col}").alias("v_first"),
+        F.col(f"_last.{ts_col}").alias("ts_last"),
+        F.col(f"_last.{value_col}").alias("v_last"),
+        F.col(f"_min.{ts_col}").alias("ts_min"),
+        F.col(f"_min.{value_col}").alias("v_min"),
+        F.col(f"_max.{ts_col}").alias("ts_max"),
+        F.col(f"_max.{value_col}").alias("v_max"),
+        "n_points",
+    )
+
+
+# ---------------------------------------------------------------- LTTB
+
+def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
+    """Largest-Triangle-Three-Buckets selection over one sorted series;
+    returns the selected indices (ascending).  Pure numpy; the loop is
+    over the n_out-2 interior buckets, the area computation inside each
+    bucket is vectorized.
+
+    Bucketing follows Steinarsson 2013: first and last points are
+    always kept; interior points [1, n-2] are split into n_out-2
+    equal-size buckets; each pick maximizes the triangle area between
+    the previously selected point and the *average* of the next
+    bucket.  Ties take the lowest index (np.argmax).
+    """
+    n = len(x)
+    if n_out < 3:
+        raise ValueError("lttb needs n_out >= 3")
+    if n <= n_out:
+        return np.arange(n)
+    # bucket boundaries over interior indices: bounds[i] .. bounds[i+1]
+    bounds = 1 + np.floor(
+        np.arange(n_out - 1, dtype=np.float64) * (n - 2) / (n_out - 2)
+    ).astype(np.int64)
+    bounds[-1] = n - 1  # exclusive end of the last interior bucket
+    sel = np.empty(n_out, dtype=np.int64)
+    sel[0] = 0
+    a = 0
+    for i in range(n_out - 2):
+        s, e = bounds[i], bounds[i + 1]
+        # average of the NEXT bucket (the final "bucket" is the last
+        # point alone)
+        if i + 2 <= n_out - 2:
+            s2, e2 = bounds[i + 1], bounds[i + 2]
+            cx, cy = x[s2:e2].mean(), y[s2:e2].mean()
+        else:
+            cx, cy = x[n - 1], y[n - 1]
+        ax, ay = x[a], y[a]
+        area = np.abs(
+            (ax - cx) * (y[s:e] - ay) - (ax - x[s:e]) * (ay - cy)
+        )
+        a = s + int(np.argmax(area))
+        sel[i + 1] = a
+    sel[-1] = n - 1
+    return sel
+
+
+def lttb_downsample(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_out: int = 100,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key LTTB downsample to at most ``n_out`` points, emitted
+    with their 0-based output position ``pos``.
+
+    Sequential per key (each pick depends on the previous), so this is
+    one applyInPandas per key — per-task memory is one conversation's
+    curve, no driver collect.  x-coordinates are epoch MICROseconds as
+    float64 (integer microseconds are exact in float64 up to 2^53, so
+    the area arithmetic is engine-reproducible).
+    """
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    schema = (
+        ", ".join(f"{k} string" for k in keys)
+        + f", pos int, {ts_col} timestamp, {value_col} double"
+    )
+
+    def pick(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[ts_col].astype("datetime64[us]").astype("int64").to_numpy().astype("float64")
+        y = pdf[value_col].astype("float64").to_numpy()
+        idx = lttb_indices(x, y, n_out)
+        out = {k: pdf[k].iloc[idx].astype(str).to_numpy() for k in keys}
+        out["pos"] = np.arange(len(idx), dtype=np.int32)
+        out[ts_col] = pdf[ts_col].iloc[idx].to_numpy()
+        out[value_col] = y[idx]
+        return pd.DataFrame(out)
+
+    slim = df.filter(F.col(value_col).isNotNull()).select(
+        *keys, *order, value_col
+    ) if tiebreak else df.filter(F.col(value_col).isNotNull()).select(
+        *keys, ts_col, value_col
+    )
+    return slim.groupBy(*keys).applyInPandas(pick, schema=schema)
+
+
+# ---------------------------------------------------------------- EWMA
+
+def ewma_smooth(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-key EWMA: s_1 = v_1; s_t = alpha*v_t + (1-alpha)*s_{t-1}
+    (pandas ewm(adjust=False) semantics), appended as column ``ewma``.
+
+    Runs as repartition(keys) + sortWithinPartitions + ONE mapInPandas
+    carrying only {key: last_s} across Arrow batches — the recursion
+    has O(1) state, so no group is ever materialized and a conversation
+    of any length streams through.  The carried state is injected by
+    prepending it as a synthetic first sample and dropping the first
+    output (ewm(adjust=False) then continues the recursion exactly).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    extra = f", {tiebreak} long" if tiebreak else ""
+    schema = (
+        f"{key_fields}, {ts_col} timestamp{extra}, {value_col} double, "
+        "ewma double"
+    )
+
+    def smooth(batches):
+        import pandas as pd
+
+        state: dict[tuple, float] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            key_arrs = [pdf[k].astype(str).to_numpy() for k in keys]
+            vals = pdf[value_col].astype("float64").to_numpy()
+            change = np.zeros(len(pdf), dtype=bool)
+            change[0] = True
+            for arr in key_arrs:
+                change[1:] |= arr[1:] != arr[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            out = np.empty(len(pdf), dtype=np.float64)
+            for s, e in zip(starts, ends):
+                key = tuple(arr[s] for arr in key_arrs)
+                run = vals[s:e]
+                prev = state.get(key)
+                if prev is None:
+                    sm = (
+                        pd.Series(run).ewm(alpha=alpha, adjust=False)
+                        .mean().to_numpy()
+                    )
+                else:
+                    sm = (
+                        pd.Series(np.concatenate(([prev], run)))
+                        .ewm(alpha=alpha, adjust=False)
+                        .mean().to_numpy()[1:]
+                    )
+                out[s:e] = sm
+                state[key] = sm[-1]
+            res = {k: arr for k, arr in zip(keys, key_arrs)}
+            res[ts_col] = pdf[ts_col].to_numpy()
+            if tiebreak:
+                res[tiebreak] = pdf[tiebreak].to_numpy()
+            res[value_col] = vals
+            res["ewma"] = out
+            yield pd.DataFrame(res)
+
+    slim = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, *order, value_col)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, *order)
+    )
+    return slim.mapInPandas(smooth, schema=schema)
+
+
+# ------------------------------------------------------------- counters
+
+def counter_increase(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Prometheus-style increase() per (key, bucket) over a cumulative
+    counter sample stream with reset handling: per key ordered by
+    (ts, tiebreak), d = v - lag(v); a negative d means the counter
+    reset, so the sample contributes its post-reset value v; the first
+    sample of a key contributes 0.  Emits increase / n_resets /
+    samples per bucket.
+
+    Pure lag-window + hash aggregate — whole-stage codegen end to end.
+    Two exchanges (window by key, then agg by key+bucket) but the
+    second only moves one partial row per (key, bucket) per partition.
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    v = F.col(value_col)
+    d = v - F.lag(value_col).over(w)
+    stepped = df.filter(v.isNotNull()).select(
+        *keys,
+        F.window(ts_col, bucket).start.alias("bucket_start"),
+        F.when(d.isNull(), F.lit(0.0))
+        .when(d < 0, v)
+        .otherwise(d)
+        .alias("_step"),
+        F.when(d < 0, 1).otherwise(0).alias("_reset"),
+    )
+    return stepped.groupBy(*keys, "bucket_start").agg(
+        F.sum("_step").alias("increase"),
+        F.sum("_reset").alias("n_resets"),
+        F.count(F.lit(1)).alias("samples"),
+    )
+
+
+# ------------------------------------------------------------ anomalies
+
+def rolling_zscore(
+    tier: DataFrame,
+    keys: list[str],
+    value_col: str = "vsum",
+    ts_col: str = "bucket_start",
+    lookback: int = 24,
+    min_periods: int = 12,
+) -> DataFrame:
+    """Trailing-window z-score per key over a rolled tier: for each
+    bucket, mean/stddev over the PREVIOUS ``lookback`` buckets (rows
+    between -lookback and -1 — the current bucket is excluded so a
+    spike cannot inflate its own baseline), z = (v - mean)/stddev.
+    Rows with fewer than ``min_periods`` trailing buckets or zero
+    variance get a null z.
+
+    Pure window functions (stddev_samp matches ANSI/DuckDB stddev);
+    one exchange on the keys.
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(ts_col)
+        .rowsBetween(-lookback, -1)
+    )
+    v = F.col(value_col)
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    n = F.count(value_col).over(w)
+    z = F.when((n >= min_periods) & (sd > 1e-12), (v - mu) / sd)
+    return tier.select(
+        *keys, ts_col, value_col,
+        F.round(mu + 1e-9, 6).alias("base_mean"),
+        n.alias("base_n"),
+        z.alias("_z"),
+    ).withColumn("z", F.round(F.col("_z") + 1e-9, 6)).drop("_z")

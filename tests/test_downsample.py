@@ -1,0 +1,277 @@
+"""Downsample family: M4, LTTB, EWMA, counter increase, rolling
+z-score — each checked against an independent brute-force reference
+computed in pandas/numpy on the same frame."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from peakmatch_xcorr_spark.operators.downsample import (
+    counter_increase,
+    ewma_smooth,
+    lttb_downsample,
+    lttb_indices,
+    m4_downsample,
+    rolling_zscore,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _series_frame(spark, rng, n_keys=3, n=200):
+    """Irregular per-key series with duplicate timestamps and ties."""
+    rows = []
+    eid = 0
+    for k in range(n_keys):
+        t = T0
+        for i in range(n):
+            t += dt.timedelta(seconds=int(rng.integers(1, 900)))
+            # quantized values force value-ties inside buckets
+            rows.append((f"k{k}", t, float(rng.integers(-5, 6)), eid))
+            eid += 1
+    # a duplicate-timestamp pair, disambiguated by the tiebreak
+    rows.append(("k0", rows[0][1], 99.0, eid))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "ts", "value", "event_id"])
+    return spark.createDataFrame(pdf), pdf
+
+
+# ------------------------------------------------------------------ M4
+
+def test_m4_matches_bruteforce(spark, rng):
+    df, pdf = _series_frame(spark, rng)
+    got = (
+        m4_downsample(df, ["conv_id"], "ts", "value", "1 hour", "event_id")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pdf = pdf.copy()
+    pdf["bucket_start"] = pdf["ts"].dt.floor("h")
+    exp_rows = []
+    for (cid, b), g in pdf.groupby(["conv_id", "bucket_start"]):
+        g = g.sort_values(["ts", "event_id"])
+        first, last = g.iloc[0], g.iloc[-1]
+        gmin = g.sort_values(["value", "ts", "event_id"]).iloc[0]
+        gmax = g.sort_values(
+            ["value", "ts", "event_id"], ascending=False
+        ).iloc[0]
+        exp_rows.append(
+            (cid, b, first.ts, first.value, last.ts, last.value,
+             gmin.ts, gmin.value, gmax.ts, gmax.value, len(g))
+        )
+    exp = pd.DataFrame(
+        exp_rows,
+        columns=["conv_id", "bucket_start", "ts_first", "v_first",
+                 "ts_last", "v_last", "ts_min", "v_min", "ts_max",
+                 "v_max", "n_points"],
+    ).sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False, check_exact=True
+    )
+
+
+def test_m4_bounds_output(spark, rng):
+    df, pdf = _series_frame(spark, rng)
+    n_buckets = (
+        pdf.assign(b=pdf["ts"].dt.floor("h"))
+        .groupby(["conv_id", "b"]).ngroups
+    )
+    assert m4_downsample(df, ["conv_id"]).count() == n_buckets
+
+
+# ---------------------------------------------------------------- LTTB
+
+def _lttb_reference(x, y, n_out):
+    """Independent scalar LTTB (straight from the thesis pseudocode)."""
+    n = len(x)
+    if n <= n_out:
+        return list(range(n))
+    sel = [0]
+    bounds = [
+        1 + int(np.floor(i * (n - 2) / (n_out - 2)))
+        for i in range(n_out - 1)
+    ]
+    bounds[-1] = n - 1
+    a = 0
+    for i in range(n_out - 2):
+        s, e = bounds[i], bounds[i + 1]
+        if i + 2 <= n_out - 2:
+            nxt = slice(bounds[i + 1], bounds[i + 2])
+            cx, cy = float(np.mean(x[nxt])), float(np.mean(y[nxt]))
+        else:
+            cx, cy = float(x[-1]), float(y[-1])
+        best, best_area = s, -1.0
+        for j in range(s, e):
+            area = abs(
+                (x[a] - cx) * (y[j] - y[a]) - (x[a] - x[j]) * (y[a] - cy)
+            )
+            if area > best_area:
+                best, best_area = j, area
+        sel.append(best)
+        a = best
+    sel.append(n - 1)
+    return sel
+
+
+@pytest.mark.parametrize("n,n_out", [(500, 3), (500, 10), (500, 101),
+                                     (10, 10), (5, 20), (3, 3)])
+def test_lttb_indices_vs_reference(rng, n, n_out):
+    x = np.cumsum(rng.integers(1, 50, n)).astype("float64")
+    y = rng.normal(0, 10, n)
+    got = lttb_indices(x, y, n_out)
+    assert got.tolist() == _lttb_reference(x, y, n_out)
+    assert got[0] == 0 and got[-1] == n - 1
+    assert len(got) == min(n, n_out)
+    assert (np.diff(got) > 0).all()
+
+
+def test_lttb_keeps_extreme_spike(rng):
+    """A single huge spike must survive any budget >= 3."""
+    x = np.arange(1000, dtype="float64")
+    y = rng.normal(0, 1, 1000)
+    y[617] = 1e6
+    assert 617 in lttb_indices(x, y, 30)
+
+
+def test_lttb_downsample_spark_parity(spark, rng):
+    df, pdf = _series_frame(spark, rng)
+    got = (
+        lttb_downsample(df, ["conv_id"], "ts", "value", 20, "event_id")
+        .toPandas()
+        .sort_values(["conv_id", "pos"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    for cid, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "event_id"])
+        x = g["ts"].astype("datetime64[us]").astype("int64").to_numpy().astype("float64")
+        y = g["value"].to_numpy()
+        for p, j in enumerate(lttb_indices(x, y, 20)):
+            exp_rows.append((cid, p, g["ts"].iloc[j], g["value"].iloc[j]))
+    exp = pd.DataFrame(exp_rows, columns=["conv_id", "pos", "ts", "value"])
+    pd.testing.assert_frame_equal(
+        got, exp, check_dtype=False, check_exact=True
+    )
+
+
+# ---------------------------------------------------------------- EWMA
+
+def test_ewma_matches_recursion_with_tiny_arrow_batches(spark, rng):
+    """Parity vs the direct recursion; Arrow batches forced tiny so a
+    key's run straddles many batches and the carried state is what
+    produces the right answer."""
+    df, pdf = _series_frame(spark, rng, n_keys=4, n=150)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        got = (
+            ewma_smooth(df, ["conv_id"], "ts", "value", 0.3, "event_id")
+            .toPandas()
+            .sort_values(["conv_id", "ts", "event_id"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    for cid, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "event_id"])
+        s, out = None, []
+        for v in g["value"]:
+            s = v if s is None else 0.3 * v + 0.7 * s
+            out.append(s)
+        np.testing.assert_allclose(
+            got.loc[got.conv_id == cid, "ewma"].to_numpy(),
+            np.array(out), rtol=1e-12,
+        )
+
+
+def test_ewma_alpha_one_is_identity(spark, rng):
+    df, pdf = _series_frame(spark, rng, n_keys=1, n=50)
+    got = ewma_smooth(df, ["conv_id"], "ts", "value", 1.0, "event_id").toPandas()
+    np.testing.assert_array_equal(
+        got["ewma"].to_numpy(), got["value"].to_numpy()
+    )
+
+
+# ------------------------------------------------------------- counters
+
+def test_counter_increase_with_resets(spark):
+    ts = [T0 + dt.timedelta(minutes=10 * i) for i in range(12)]
+    # two hours: counter climbs 0..50, resets to 3, climbs again
+    vals = [0, 10, 25, 25, 40, 50, 3, 9, 9, 20, 1, 7]
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": "c", "ts": ts, "value":
+                      [float(v) for v in vals], "event_id": range(12)})
+    )
+    got = (
+        counter_increase(df, ["conv_id"], "ts", "value", "1 hour", "event_id")
+        .toPandas().sort_values("bucket_start").reset_index(drop=True)
+    )
+    # hour 1: deltas 0(first),10,15,0,15,10 -> 50; no resets
+    # hour 2: reset to 3 (+3), +6, 0, +11, reset to 1 (+1), +6 -> 27; 2 resets
+    assert got["increase"].tolist() == [50.0, 27.0]
+    assert got["n_resets"].tolist() == [0, 2]
+    assert got["samples"].tolist() == [6, 6]
+
+
+def test_counter_increase_monotone_telescopes(spark, rng):
+    """On a reset-free counter the total increase telescopes to
+    last - first."""
+    n = 500
+    vals = np.cumsum(rng.integers(0, 20, n)).astype("float64")
+    ts = [T0 + dt.timedelta(seconds=int(s)) for s in
+          np.cumsum(rng.integers(1, 300, n))]
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": "c", "ts": ts, "value": vals,
+                      "event_id": range(n)})
+    )
+    got = counter_increase(df, ["conv_id"], "ts", "value", "1 hour",
+                           "event_id").toPandas()
+    assert got["n_resets"].sum() == 0
+    assert got["increase"].sum() == pytest.approx(vals[-1] - vals[0])
+
+
+# ------------------------------------------------------------ anomalies
+
+def test_rolling_zscore_matches_pandas(spark, rng):
+    n = 300
+    pdf = pd.DataFrame({
+        "conv_id": "c",
+        "bucket_start": [T0 + dt.timedelta(hours=i) for i in range(n)],
+        "vsum": rng.normal(100, 15, n),
+    })
+    got = (
+        rolling_zscore(spark.createDataFrame(pdf), ["conv_id"], "vsum",
+                       lookback=24, min_periods=12)
+        .toPandas().sort_values("bucket_start").reset_index(drop=True)
+    )
+    base = pdf["vsum"].rolling(24, min_periods=12).agg(["mean", "std", "count"]).shift(1)
+    exp_z = ((pdf["vsum"] - base["mean"]) / base["std"]).where(
+        base["count"] >= 12
+    )
+    np.testing.assert_allclose(
+        got["z"].to_numpy(),
+        np.round(exp_z.to_numpy() + 1e-9, 6),
+        rtol=1e-9, equal_nan=True,
+    )
+
+
+def test_rolling_zscore_flags_planted_spike(spark, rng):
+    vals = rng.normal(50, 2, 100)
+    vals[80] = 500.0
+    pdf = pd.DataFrame({
+        "conv_id": "c",
+        "bucket_start": [T0 + dt.timedelta(hours=i) for i in range(100)],
+        "vsum": vals,
+    })
+    got = rolling_zscore(
+        spark.createDataFrame(pdf), ["conv_id"], "vsum"
+    ).toPandas().sort_values("bucket_start").reset_index(drop=True)
+    assert got["z"].iloc[80] > 10
+    # the spike inflates the NEXT buckets' baseline stddev instead of
+    # its own (current bucket excluded from its own window)
+    assert abs(got["z"].iloc[79]) < 5
