@@ -2953,6 +2953,236 @@ FROM split
 """
 
 
+# ----------------------------------------------- downsample family
+# Shape-preserving downsampling + per-key series analytics
+# (operators/downsample.py): M4, LTTB, EWMA, counter increase,
+# rolling z-score.  All five are hash-checked against DuckDB.
+
+def _q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 (first/last/min/max rows per pixel bucket, VLDB 2014): pure
+    built-in aggregation; ties broken by lexicographic struct order,
+    reproduced in the oracle with row_number windows."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.downsample import m4_downsample
+
+    return m4_downsample(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value",
+        "1 hour", "event_id",
+    )
+
+
+_SQL_M4 = """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start, ts, value, event_id
+  FROM events WHERE value IS NOT NULL
+), r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY user_id, bucket_start
+                       ORDER BY ts, event_id) AS rf,
+    row_number() OVER (PARTITION BY user_id, bucket_start
+                       ORDER BY ts DESC, event_id DESC) AS rl,
+    row_number() OVER (PARTITION BY user_id, bucket_start
+                       ORDER BY value, ts, event_id) AS rmn,
+    row_number() OVER (PARTITION BY user_id, bucket_start
+                       ORDER BY value DESC, ts DESC, event_id DESC) AS rmx
+  FROM b
+)
+SELECT user_id, bucket_start,
+  min(CASE WHEN rf = 1 THEN ts END) AS ts_first,
+  min(CASE WHEN rf = 1 THEN value END) AS v_first,
+  min(CASE WHEN rl = 1 THEN ts END) AS ts_last,
+  min(CASE WHEN rl = 1 THEN value END) AS v_last,
+  min(CASE WHEN rmn = 1 THEN ts END) AS ts_min,
+  min(CASE WHEN rmn = 1 THEN value END) AS v_min,
+  min(CASE WHEN rmx = 1 THEN ts END) AS ts_max,
+  min(CASE WHEN rmx = 1 THEN value END) AS v_max,
+  count(*) AS n_points
+FROM r GROUP BY 1, 2
+"""
+
+
+def _q_lttb_downsample_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTTB at n_out=3: first + last + the interior point maximizing
+    the triangle area with the fixed endpoints — the one budget where
+    the sequential pick collapses to a single argmax and is therefore
+    exactly SQL-stateable (the general-budget path is covered by
+    brute-force parity in tests/test_downsample.py).  x-coordinates
+    are integer epoch microseconds as float64 in BOTH engines, so the
+    area arithmetic is bit-identical and ties resolve the same way."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.downsample import lttb_downsample
+
+    out = lttb_downsample(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", 3,
+        "event_id",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "pos", "ts", "value",
+    )
+
+
+_SQL_LTTB_3 = """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n
+  FROM events WHERE value IS NOT NULL
+), ends AS (
+  SELECT user_id,
+         min(CASE WHEN rn = 1 THEN epoch_us(ts) END)::DOUBLE AS x1,
+         min(CASE WHEN rn = 1 THEN value END) AS y1,
+         min(CASE WHEN rn = n THEN epoch_us(ts) END)::DOUBLE AS xn,
+         min(CASE WHEN rn = n THEN value END) AS yn,
+         min(CASE WHEN rn = 1 THEN ts END) AS ts1,
+         min(CASE WHEN rn = n THEN ts END) AS tsn
+  FROM s WHERE n >= 3 GROUP BY user_id
+), cand AS (
+  SELECT s.user_id, s.ts, s.value, s.rn,
+         abs( (e.x1 - e.xn) * (s.value - e.y1)
+            - (e.x1 - epoch_us(s.ts)::DOUBLE) * (e.y1 - e.yn) ) AS area
+  FROM s JOIN ends e USING (user_id)
+  WHERE s.rn > 1 AND s.rn < s.n
+)
+SELECT user_id, 0 AS pos, ts1 AS ts, y1 AS value FROM ends
+UNION ALL
+SELECT user_id, 1 AS pos, ts, value FROM (
+  SELECT user_id, ts, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY area DESC, rn ASC) AS pr
+  FROM cand
+) WHERE pr = 1
+UNION ALL
+SELECT user_id, 2 AS pos, tsn AS ts, yn AS value FROM ends
+"""
+
+
+def _q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA (alpha=0.2) over each user's first 40 samples.  The Spark
+    side runs the O(1)-state streaming recursion; the oracle evaluates
+    the closed form s_n = (1-a)^n * (a*cumsum(v_i*(1-a)^-i) + (1-a)*u_1),
+    whose (1-a)^-rn factor is numerically safe only for bounded rn —
+    40 keeps the worst-case closed-form error ~1e-10, four orders
+    below the 6-dp rounding.  Full-length parity vs the direct
+    recursion is pytest-covered (test_downsample.py)."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from peakmatch_xcorr_spark.operators.downsample import ewma_smooth
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    head = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+    )
+    out = ewma_smooth(head, ["user_id"], "ts", "value", 0.2, "event_id")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts", "event_id", "value",
+        F.round(F.col("ewma") + 1e-9, 6).alias("ewma"),
+    )
+
+
+_SQL_EWMA = """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+), h AS (
+  SELECT *, value * pow(1.25, rn) AS u FROM s WHERE rn <= 40
+), c AS (
+  SELECT *, sum(u) OVER (PARTITION BY user_id ORDER BY rn) AS cum,
+         first_value(u) OVER (PARTITION BY user_id ORDER BY rn) AS u1
+  FROM h
+)
+SELECT user_id, ts, event_id, value,
+       round(pow(0.8, rn) * (0.2 * cum + 0.8 * u1) + 1e-9, 6) AS ewma
+FROM c
+"""
+
+
+def _q_counter_increase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus-style increase() with counter-reset handling per
+    (user, hour): d < 0 means reset, contributing the post-reset value."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.downsample import counter_increase
+
+    out = counter_increase(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value",
+        "1 hour", "event_id",
+    )
+    return out.select(
+        "user_id", "bucket_start",
+        F.round(F.col("increase") + 1e-9, 2).alias("increase"),
+        "n_resets", "samples",
+    )
+
+
+_SQL_COUNTER_INCREASE = """
+WITH s AS (
+  SELECT user_id, ts, value,
+         value - lag(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS d
+  FROM events WHERE value IS NOT NULL
+)
+SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+       round(sum(CASE WHEN d IS NULL THEN 0
+                      WHEN d < 0 THEN value ELSE d END) + 1e-9, 2)
+         AS increase,
+       CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_resets,
+       count(*) AS samples
+FROM s GROUP BY 1, 2
+"""
+
+
+def _q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-bucket z-score over the 1m vsum tier (current bucket
+    excluded from its own baseline); emits every scored bucket with an
+    is_anomaly flag at |z| > 3.  The flag is derived from the ROUNDED
+    z on both sides so the boundary comparison is engine-identical."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.downsample import rolling_zscore
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    tier = tumbling_rollup(ev, ["user_id"], "ts", "value", "1 minute")
+    out = rolling_zscore(tier, ["user_id"], "vsum",
+                         lookback=24, min_periods=12)
+    return out.filter(F.col("z").isNotNull()).select(
+        "user_id", "bucket_start",
+        F.round(F.col("vsum") + 1e-9, 2).alias("vsum"),
+        "base_mean", "base_n", "z",
+        (F.abs(F.col("z")) > 3.0).alias("is_anomaly"),
+    )
+
+
+_SQL_ANOMALY_ZSCORE = """
+WITH t AS (
+  SELECT user_id, date_trunc('minute', ts) AS bucket_start,
+         sum(value) AS vsum
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), w AS (
+  SELECT user_id, bucket_start, vsum,
+         avg(vsum) OVER win AS mu,
+         stddev_samp(vsum) OVER win AS sd,
+         count(vsum) OVER win AS n
+  FROM t
+  WINDOW win AS (PARTITION BY user_id ORDER BY bucket_start
+                 ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, bucket_start,
+       round(vsum + 1e-9, 2) AS vsum,
+       round(mu + 1e-9, 6) AS base_mean,
+       n AS base_n,
+       round((vsum - mu) / sd + 1e-9, 6) AS z,
+       (abs(round((vsum - mu) / sd + 1e-9, 6)) > 3.0) AS is_anomaly
+FROM w WHERE n >= 12 AND sd > 1e-12
+"""
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -3031,6 +3261,11 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_dominant_freq_planted, _SQL_DOMINANT_FREQ_PLANTED
     ),
     "band_mean_planted": (_q_band_mean_planted, _SQL_BAND_MEAN_PLANTED),
+    "m4_downsample_1h": (_q_m4_downsample, _SQL_M4),
+    "lttb_downsample_3": (_q_lttb_downsample_3, _SQL_LTTB_3),
+    "ewma_smooth": (_q_ewma_smooth, _SQL_EWMA),
+    "counter_increase_1h": (_q_counter_increase, _SQL_COUNTER_INCREASE),
+    "anomaly_zscore_1m": (_q_anomaly_zscore, _SQL_ANOMALY_ZSCORE),
     # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
     "minhash_candidates": (_q_minhash_candidates, None),

@@ -222,3 +222,59 @@ def test_tpch_q4_semi_join_pushdown(spark):
     assert any("o_orderdate" in s for s in pushed)
     assert any("l_returnflag" in s for s in pushed)
     assert "partial_count" in p or "partial count" in p.lower()
+
+
+def test_m4_single_exchange_pruned_no_python(spark, events):
+    """M4 must stay entirely JVM-side: one shuffle on (key, bucket)
+    with map-side partial struct min/max, the wide columns pruned from
+    the scan, and no Python evaluation node anywhere."""
+    from peakmatch_xcorr_spark.operators.downsample import m4_downsample
+
+    import re
+
+    p = plan(m4_downsample(events, ["user_id"], "ts", "value",
+                           "1 hour", "event_id"))
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema
+    # formatted output prints each operator twice (tree + detail)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "partial_min" in p or "partial min" in p.lower()
+    assert "Python" not in p  # no ArrowEval/BatchEval/MapInPandas
+
+
+def test_counter_and_zscore_are_pure_window_plans(spark, events):
+    """counter_increase and rolling_zscore are lag/stat windows +
+    hash aggregate — whole-stage-codegen territory, no Python nodes,
+    the value-not-null filter pushed to the scan."""
+    from peakmatch_xcorr_spark.operators.downsample import (
+        counter_increase,
+        rolling_zscore,
+    )
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+
+    p = plan(counter_increase(events, ["user_id"], "ts", "value",
+                              "1 hour", "event_id"))
+    assert "Python" not in p
+    assert "Window" in p
+    assert "partial_sum" in p or "partial sum" in p.lower()
+    assert "value" in p.split("PushedFilters:")[1].splitlines()[0]
+
+    tier = tumbling_rollup(events, ["user_id"], "ts", "value", "1 minute")
+    pz = plan(rolling_zscore(tier, ["user_id"], "vsum"))
+    assert "Python" not in pz
+    assert "Window" in pz
+
+
+def test_ewma_is_single_repartition_mapinpandas(spark, events):
+    """EWMA: exactly one exchange (the key repartition), a partition-
+    local sort (never a global one), and the work in one MapInPandas."""
+    from peakmatch_xcorr_spark.operators.downsample import ewma_smooth
+
+    import re
+
+    p = plan(ewma_smooth(events, ["user_id"], "ts", "value", 0.2,
+                         "event_id"))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "MapInPandas" in p
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "event_type" not in read_schema
