@@ -135,6 +135,8 @@ def headline_queries(spark, sf_dir: str):
         "time_weighted_avg_1h",
         "minhash_candidates",
         "quantile_sketch_values",  # one-pass DDSketch over events.value
+        "m4_downsample_1h",        # struct-min/max pixel downsample (pure JVM)
+        "ewma_smooth",             # O(1)-state mapInPandas recursion
     ):
         fn = registry[name]
         extra[name] = (lambda f=fn: f(spark, sf_dir).count())

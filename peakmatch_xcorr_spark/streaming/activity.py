@@ -144,6 +144,64 @@ def stateful_conv_totals(stream: DataFrame) -> DataFrame:
     )
 
 
+def stateful_ewma(
+    stream: DataFrame,
+    value_col: str = "turn_idx",
+    alpha: float = 0.2,
+) -> DataFrame:
+    """Streaming mirror of operators/downsample.ewma_smooth: the EWMA
+    recursion s_t = a*v_t + (1-a)*s_{t-1} carries O(1) state, so each
+    micro-batch continues it from {conv_id: last_s} in the state store
+    — exactly the same carry the batch kernel threads across Arrow
+    batches, here persisted by the streaming checkpoint instead.
+
+    Emits one smoothed row per input row (update mode).  In-order
+    arrival per key is assumed (rows inside a batch are sorted by ts;
+    a row older than the carried state's timestamp would need
+    watermark-bounded buffering, which the activity rollup path —
+    finalized buckets — is the right place for, not the raw-turn
+    recursion)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"conv_id string, ts timestamp, {value_col} double, ewma double"
+    )
+    state_schema = "last_s double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        prev = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            vals = pdf[value_col].astype("float64")
+            if prev is None:
+                sm = vals.ewm(alpha=alpha, adjust=False).mean()
+            else:
+                sm = (
+                    pd.concat([pd.Series([prev]), vals], ignore_index=True)
+                    .ewm(alpha=alpha, adjust=False)
+                    .mean()
+                    .iloc[1:]
+                )
+            prev = float(sm.iloc[-1])
+            yield pd.DataFrame({
+                "conv_id": key[0],
+                "ts": pdf["ts"].to_numpy(),
+                value_col: vals.to_numpy(),
+                "ewma": sm.to_numpy(),
+            })
+        if prev is not None:
+            state.update((prev,))
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_sessionize(
     stream: DataFrame,
     gap: str = "30 minutes",

@@ -121,3 +121,33 @@ def test_stream_to_warehouse_drives_incremental_refresh(spark, stream_dir, tmp_p
         .toPandas().sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp[got.columns], check_dtype=False)
+
+
+def test_stateful_ewma_matches_batch_recursion(spark, stream_dir):
+    """The streaming EWMA must continue the recursion exactly across
+    micro-batch boundaries: final emitted values == the one-shot batch
+    recursion over each conversation's full series."""
+    from peakmatch_xcorr_spark.streaming.activity import stateful_ewma
+
+    path, pdf = stream_dir
+    stream = read_transcript_stream(spark, path)
+    out = stateful_ewma(stream, "turn_idx", alpha=0.3)
+    run_stream_to_memory(out, "s_ewma", mode="update")
+    got = (
+        spark.sql("SELECT * FROM s_ewma")
+        .toPandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)  # one smoothed row per turn, each once
+    for cid, g in pdf.groupby("conv_id"):
+        g = g.sort_values("ts", kind="mergesort")
+        s, exp = None, []
+        for v in g["turn_idx"].astype(float):
+            s = v if s is None else 0.3 * v + 0.7 * s
+            exp.append(s)
+        np.testing.assert_allclose(
+            got.loc[got.conv_id == cid, "ewma"].to_numpy(),
+            np.array(exp), rtol=1e-12,
+            err_msg=f"conv {cid} diverged across batch boundaries",
+        )
