@@ -18,6 +18,8 @@ re-expressed as engine jobs:
               lines with --events (DominantFreqProcessor.java:142-159)
   cluster     band features -> KNN graph -> connected components
               (ClusteringProcessor.java)
+  downsample  activity curve -> m4 / lttb / ewma table (engine
+              addition: shape-preserving downsample family)
 
 completing the reference's 9-mode dispatch (PLOT1D/PLOT2D are debug
 console formatters; PLOT2D exists as spectrogram_table).
@@ -39,7 +41,16 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("mode", choices=[
         "peakmatch", "postprocess", "fused", "analyse", "dedup",
         "rollup", "xcorr", "bruteforce", "fftdom", "cluster", "plot",
+        "downsample",
     ])
+    p.add_argument("--method", choices=["m4", "lttb", "ewma"], default="m4",
+                   help="downsample mode: M4 buckets / LTTB budget / EWMA")
+    p.add_argument("--out-bucket", default="1 hour",
+                   help="downsample m4 pixel-bucket width")
+    p.add_argument("--n-out", type=int, default=100,
+                   help="downsample lttb point budget per conversation")
+    p.add_argument("--alpha", type=float, default=0.2,
+                   help="downsample ewma smoothing factor")
     p.add_argument("--style", choices=["1d", "2d", "tiny"], default="1d",
                    help="plot mode style (XCorrProcessor.java:78-91)")
     p.add_argument("--plot-bucket-sec", type=float, default=0.64,
@@ -281,6 +292,39 @@ def main(argv: list[str] | None = None) -> None:
             args.warehouse, src, keys=["conv_id"], ts_col="ts", value_col=None
         )
         print(json.dumps(agg.refresh(spark)))
+        return
+
+    if args.mode == "downsample":
+        # shape-preserving downsample of the per-conversation activity
+        # curve (engine addition; operators/downsample.py)
+        from pyspark.sql import functions as F
+
+        from peakmatch_xcorr_spark.operators.downsample import (
+            ewma_smooth,
+            lttb_downsample,
+            m4_downsample,
+        )
+        from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+
+        curve = tumbling_rollup(
+            load_transcripts(), ["conv_id"], "ts", None, args.bucket
+        ).withColumn("turns", F.col("turns").cast("double"))
+        if args.method == "m4":
+            out = m4_downsample(
+                curve, ["conv_id"], "bucket_start", "turns", args.out_bucket
+            )
+        elif args.method == "lttb":
+            out = lttb_downsample(
+                curve, ["conv_id"], "bucket_start", "turns", args.n_out
+            )
+        else:
+            out = ewma_smooth(
+                curve, ["conv_id"], "bucket_start", "turns", args.alpha
+            )
+        snap = table(args.output or f"downsample_{args.method}").overwrite(
+            out, job_id=f"downsample_{args.method}"
+        )
+        print(json.dumps({"rows": snap.metrics.get("rows")}))
         return
 
 

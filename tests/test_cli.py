@@ -103,3 +103,15 @@ def test_cli_xcorr_requires_two_events(capsys, cli_env):
     with pytest.raises(SystemExit):
         main(["xcorr", "--input", cli_env["input"], "--events", a])
     assert "exactly 2" in capsys.readouterr().err
+
+
+def test_cli_downsample_all_methods(capsys, cli_env):
+    for method, extra in (
+        ("m4", ("--out-bucket", "1 hour")),
+        ("lttb", ("--n-out", "5")),
+        ("ewma", ("--alpha", "0.4")),
+    ):
+        out = json.loads(
+            _run(capsys, cli_env, "downsample", "--method", method, *extra)
+        )
+        assert out["rows"] > 0, method
