@@ -706,3 +706,115 @@ class ContinuousAggregate:
         if full_rebuild:
             metrics["full_rebuild"] = True
         return metrics
+
+
+def archive_expired(
+    spark: SparkSession,
+    tier: WarehouseTable,
+    sketch: WarehouseTable,
+    keys: list[str],
+    horizon_s: int,
+    pixel_bucket: str = "1 day",
+    value_col: str = "vavg",
+) -> dict:
+    """Downsample-on-expiry: before fine-tier buckets older than
+    ``horizon_s`` (behind the tier's max bucket — event time, no wall
+    clock) are dropped, append an M4 sketch of them to ``sketch`` so
+    the expired range stays renderable at ``pixel_bucket`` resolution
+    forever at ~4 rows per (key, pixel).  The TimescaleDB
+    "retention policy + continuous aggregate" pairing, with the
+    shape-preserving M4 tier as the aggregate.
+
+    Idempotent and crash-resumable with ZERO extra state: the sketch
+    table's own manifest max bucket marks what is already archived —
+    a rerun after a crash between the sketch append and the expiry
+    commit recomputes an empty slice and skips straight to expiry
+    (the same no-clobber discipline as the refresh phase checkpoints).
+    Expiry itself is the COW split: fully-expired files DROPPED
+    metadata-only, straddling files rewritten, the rest carried.
+
+    Backfill note: rows landing below the retention cutoff are dropped
+    by the tier refresh's own retention filter before this job could
+    see them, so archival never observes a partially-archived pixel
+    bucket growing after the fact.
+    """
+    from peakmatch_xcorr_spark.operators.downsample import m4_downsample
+
+    v = tier.current_version()
+    if v is None:
+        return {"status": "empty"}
+    hi = _parse_bound_ts(tier.manifest_column_max("bucket_start"))
+    if hi is None:  # legacy manifest without bounds: one scan
+        hi_row = tier.read(spark).agg(F.max("bucket_start").alias("hi")).collect()[0]
+        hi = hi_row["hi"]
+        if hi is None:
+            return {"status": "empty"}
+    arch_hi = _floor_bucket(hi - datetime.timedelta(seconds=horizon_s), pixel_bucket)
+
+    prev_end = None
+    if sketch.current_version() is not None:
+        prev_max = _parse_bound_ts(sketch.manifest_column_max("bucket_start"))
+        if prev_max is not None:
+            prev_end = prev_max + datetime.timedelta(
+                seconds=bucket_seconds(pixel_bucket)
+            )
+
+    metrics: dict = {"archived_until": arch_hi.isoformat()}
+    if prev_end is None or prev_end < arch_hi:
+        expired = tier.read(spark).filter(F.col("bucket_start") < F.lit(arch_hi))
+        if prev_end is not None:
+            expired = expired.filter(F.col("bucket_start") >= F.lit(prev_end))
+        sk = m4_downsample(expired, keys, "bucket_start", value_col, pixel_bucket)
+        if sk.isEmpty():
+            metrics["sketch_rows_appended"] = 0
+        else:
+            snap = sketch.append(
+                sk, job_id=f"archive_{arch_hi:%Y%m%dT%H%M%S}"
+            )
+            metrics["sketch_rows_appended"] = snap.metrics.get("rows_appended")
+    else:
+        metrics["sketch_rows_appended"] = 0  # resume: append already done
+
+    # expiry: COW split on manifest bounds (metadata-only drops)
+    files = tier.snapshot(tier.current_version()).files
+    carried, rewrite, dropped = [], [], []
+    legacy = False
+    for f in files:
+        if f.get("rows", 1) == 0:
+            dropped.append(f["path"])
+            continue
+        b = f.get("bounds", {}).get("bucket_start")
+        mn = _parse_bound_ts(b[0]) if b else None
+        mx = _parse_bound_ts(b[1]) if b else None
+        if mn is None or mx is None:
+            legacy = True
+            break
+        if mx < arch_hi:
+            dropped.append(f["path"])
+        elif mn < arch_hi:
+            rewrite.append(f["path"])
+        else:
+            carried.append(f["path"])
+    if legacy:
+        kept = tier.read(spark).filter(F.col("bucket_start") >= F.lit(arch_hi))
+        tier.overwrite(kept, job_id="archive_expire")
+        metrics.update(status="expired_full_rewrite")
+        return metrics
+    if not dropped and not rewrite:
+        metrics.update(status="up-to-date")
+        return metrics
+    kept_part = tier.read_paths(spark, rewrite)
+    if kept_part is not None:
+        kept_part = kept_part.filter(F.col("bucket_start") >= F.lit(arch_hi))
+    snap = tier.overwrite_with_carried(
+        kept_part, carried, job_id="archive_expire",
+        metrics={"files_dropped": len(dropped)},
+    )
+    metrics.update(
+        status="expired",
+        files_dropped=len(dropped),
+        files_rewritten=len(rewrite),
+        files_carried=len(carried),
+        tier_version=snap.version,
+    )
+    return metrics

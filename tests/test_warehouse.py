@@ -729,3 +729,148 @@ def test_exclusive_write_fallback_without_hardlinks(tmp_path, monkeypatch):
     with open(path) as f:
         assert _json.load(f) == {"version": 1}  # winner untouched
     monkeypatch.setattr(whmod.os, "link", real_link)
+
+
+# ------------------------------------------------- downsample-on-expiry
+
+def _hourly_tier(spark, n_days=10, keys=("a", "b", "c")):
+    """Deterministic 1h tier: one row per (key, hour) over n_days."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for k in keys:
+        for h in range(24 * n_days):
+            rows.append((k, t0 + dt.timedelta(hours=h), 3,
+                         3, float((h * 7) % 100), 0.0, 99.0,
+                         float((h * 7) % 100) / 3))
+    pdf = pd.DataFrame(rows, columns=[
+        "conv_id", "bucket_start", "turns", "vcount", "vsum",
+        "vmin", "vmax", "vavg",
+    ])
+    return spark.createDataFrame(pdf)
+
+
+def test_archive_expired_sketches_then_drops(spark, wh):
+    import datetime as dt
+
+    from peakmatch_xcorr_spark.operators.downsample import m4_downsample
+    from peakmatch_xcorr_spark.operators.refresh import archive_expired
+
+    tier = WarehouseTable(wh, "tier_1h")
+    sketch = WarehouseTable(wh, "tier_1h_sketch")
+    df = _hourly_tier(spark, n_days=10)
+    tier.overwrite(
+        df.repartitionByRange(8, "bucket_start"), job_id="seed"
+    )
+    v0 = tier.current_version()
+
+    horizon = 4 * 86400  # keep 4 days behind the max bucket
+    m = archive_expired(spark, tier, sketch, ["conv_id"], horizon,
+                        pixel_bucket="1 day", value_col="vavg")
+    assert m["status"] == "expired"
+    assert m["files_dropped"] >= 1      # metadata-only drops happened
+    assert m["files_carried"] >= 1      # untouched files never read
+    arch_hi = dt.datetime.fromisoformat(m["archived_until"])
+
+    # tier now holds exactly the buckets >= the archive cutoff
+    kept = tier.read(spark).toPandas()
+    assert (kept["bucket_start"] >= arch_hi).all()
+    full = df.toPandas()
+    assert len(kept) == (full["bucket_start"] >= arch_hi).sum()
+
+    # the sketch equals M4 computed directly over the expired slice
+    exp = (
+        m4_downsample(
+            df.filter(f"bucket_start < '{arch_hi}'"),
+            ["conv_id"], "bucket_start", "vavg", "1 day",
+        ).toPandas().sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    got = (
+        sketch.read(spark).toPandas()
+        .sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    # time travel: the pre-archive snapshot still reads in full
+    assert tier.read(spark, version=v0).count() == len(full)
+
+    # idempotent rerun: no new sketch rows, no new tier snapshot
+    sv, tv = sketch.current_version(), tier.current_version()
+    m2 = archive_expired(spark, tier, sketch, ["conv_id"], horizon,
+                         pixel_bucket="1 day", value_col="vavg")
+    assert m2["status"] == "up-to-date"
+    assert m2["sketch_rows_appended"] == 0
+    assert sketch.current_version() == sv and tier.current_version() == tv
+
+
+def test_archive_expired_resumes_after_crash_between_commits(spark, wh):
+    """Crash window: sketch append committed, expiry not.  The rerun
+    must NOT double-append (the sketch manifest is the watermark) and
+    must still expire the tier."""
+    from peakmatch_xcorr_spark.operators.downsample import m4_downsample
+    from peakmatch_xcorr_spark.operators.refresh import (
+        _floor_bucket,
+        archive_expired,
+    )
+    import datetime as dt
+
+    tier = WarehouseTable(wh, "tier_1h_b")
+    sketch = WarehouseTable(wh, "tier_1h_b_sketch")
+    df = _hourly_tier(spark, n_days=10)
+    tier.overwrite(df.repartitionByRange(8, "bucket_start"), job_id="seed")
+
+    horizon = 4 * 86400
+    hi = df.toPandas()["bucket_start"].max().to_pydatetime()
+    arch_hi = _floor_bucket(hi - dt.timedelta(seconds=horizon), "1 day")
+    # simulate the crashed first attempt: sketch append landed
+    sketch.append(
+        m4_downsample(df.filter(f"bucket_start < '{arch_hi}'"),
+                      ["conv_id"], "bucket_start", "vavg", "1 day"),
+        job_id="archive_crashed",
+    )
+    n_sketch = sketch.read(spark).count()
+
+    m = archive_expired(spark, tier, sketch, ["conv_id"], horizon,
+                        pixel_bucket="1 day", value_col="vavg")
+    assert m["sketch_rows_appended"] == 0          # no double-append
+    assert m["status"] == "expired"                # expiry completed
+    assert sketch.read(spark).count() == n_sketch
+    assert (tier.read(spark).toPandas()["bucket_start"] >= arch_hi).all()
+
+
+def test_archive_expired_advances_incrementally(spark, wh):
+    """New ingest moves the tier max forward; the next archive run
+    sketches ONLY the newly-expired pixel buckets."""
+    import datetime as dt
+
+    from peakmatch_xcorr_spark.operators.refresh import archive_expired
+
+    tier = WarehouseTable(wh, "tier_1h_c")
+    sketch = WarehouseTable(wh, "tier_1h_c_sketch")
+    df10 = _hourly_tier(spark, n_days=10)
+    tier.overwrite(df10.repartitionByRange(8, "bucket_start"), job_id="seed")
+    horizon = 4 * 86400
+    m1 = archive_expired(spark, tier, sketch, ["conv_id"], horizon,
+                         pixel_bucket="1 day", value_col="vavg")
+    hi1 = dt.datetime.fromisoformat(m1["archived_until"])
+
+    # two more days arrive (tier = kept rows + new days, as a refresh
+    # would rewrite it)
+    df12 = _hourly_tier(spark, n_days=12)
+    newer = df12.filter(f"bucket_start >= '{hi1}'")
+    tier.overwrite(newer.repartitionByRange(8, "bucket_start"),
+                   job_id="refresh")
+    m2 = archive_expired(spark, tier, sketch, ["conv_id"], horizon,
+                         pixel_bucket="1 day", value_col="vavg")
+    hi2 = dt.datetime.fromisoformat(m2["archived_until"])
+    assert hi2 == hi1 + dt.timedelta(days=2)
+    # exactly 2 new pixel days x 3 keys appended
+    assert m2["sketch_rows_appended"] == 6
+    sk = sketch.read(spark).toPandas()
+    # sketch covers a contiguous, non-overlapping pixel range
+    assert sk.groupby("conv_id")["bucket_start"].nunique().eq(
+        sk["bucket_start"].nunique()
+    ).all()
+    assert sk["bucket_start"].nunique() == (hi2 - dt.datetime(2024, 1, 1)).days
