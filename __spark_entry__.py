@@ -103,6 +103,38 @@ def _q_rollup_1d_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_ROLLUP_1D = _SQL_ROLLUP_1M.replace("'minute'", "'day'")
 
 
+def _q_rollup_15m_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-width tier: 15m cascaded FROM the 1m tier, proving the
+    cascade is not hardwired to the 1m/1h/1d trio (bucket_seconds
+    accepts any fixed-width interval in F.window's grammar).  Oracle
+    recomputes from raw at epoch//900; bucket emitted as epoch seconds
+    BIGINT on both sides to sidestep timestamp-type parity."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import rollup_cascade
+
+    tiers = rollup_cascade(_t(spark, sf_dir, "events"), ["user_id"], "ts", "value",
+                           ("1 minute", "15 minutes"))
+    t = tiers["15 minutes"]
+    return t.select(
+        "user_id",
+        F.col("bucket_start").cast("timestamp").cast("long").alias("bucket_sec"),
+        "turns",
+        F.round(F.col("vsum") + 1e-9, 2).alias("vsum"),
+        "vmin", "vmax",
+        F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+    )
+
+
+_SQL_ROLLUP_15M = """
+SELECT user_id, (epoch_us(ts) // 900000000) * 900 AS bucket_sec,
+       count(*) AS turns,
+       round(sum(value) + 1e-9, 2) AS vsum,
+       min(value) AS vmin, max(value) AS vmax,
+       round(avg(value) + 1e-9, 6) AS vavg
+FROM events GROUP BY 1, 2
+"""
+
+
 def _q_activity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transcript-shaped activity rollup: turns per (conv, 1m bucket),
     count-only (the curve that feeds the xcorr dedup kernels)."""
@@ -3195,6 +3227,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rollup_1m": (_q_rollup_1m, _SQL_ROLLUP_1M),
     "rollup_1h_cascade": (_q_rollup_1h_cascade, _SQL_ROLLUP_1H),
     "rollup_1d_cascade": (_q_rollup_1d_cascade, _SQL_ROLLUP_1D),
+    "rollup_15m_cascade": (_q_rollup_15m_cascade, _SQL_ROLLUP_15M),
     "activity_curve_1m": (_q_activity_curve, _SQL_ACTIVITY),
     "gapfill_locf_1h": (_q_gapfill_locf, _SQL_GAPFILL_LOCF),
     "gapfill_linear_1h": (_q_gapfill_linear, _SQL_GAPFILL_LINEAR),

@@ -55,13 +55,29 @@ def epoch_seconds(col):
     directly; session TZ is pinned UTC so the hop is exact)."""
     return F.col(col).cast("timestamp").cast("long") if isinstance(col, str) else col.cast("timestamp").cast("long")
 
-_BUCKET_SECONDS = {"1 minute": 60, "1 hour": 3600, "1 day": 86400}
+_BUCKET_UNIT_SECONDS = {
+    "second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800,
+}
 
 
 def bucket_seconds(bucket: str) -> int:
-    if bucket not in _BUCKET_SECONDS:
+    """Parse a Spark interval string ('N minutes', '12 hours', ...) to
+    seconds.  Same grammar F.window accepts for fixed-width tumbling
+    buckets, so every engine op keyed on a bucket width (gap-fill
+    scaffolds, cascade alignment, pack framing, archive pixels) agrees
+    with the window operator byte-for-byte.  Months/years are
+    rejected: they are not fixed-width, and F.window's tumbling math
+    (epoch modulo) can't express them either."""
+    parts = bucket.strip().split()
+    if len(parts) == 1:
+        parts = ["1", parts[0]]
+    if len(parts) != 2:
         raise ValueError(f"unsupported bucket {bucket!r}")
-    return _BUCKET_SECONDS[bucket]
+    n_str, unit = parts
+    unit = unit.rstrip("s").lower()
+    if unit not in _BUCKET_UNIT_SECONDS or not n_str.isdigit() or int(n_str) == 0:
+        raise ValueError(f"unsupported bucket {bucket!r}")
+    return int(n_str) * _BUCKET_UNIT_SECONDS[unit]
 
 
 def tumbling_rollup(

@@ -325,3 +325,55 @@ def test_sliding_window_agg_semantics(spark):
     assert out.loc[ts(3)].mmax == 20.0
     with pytest.raises(ValueError):
         sliding_window_agg(tier, ["user_id"], 5400, "1 hour")
+
+
+def test_bucket_seconds_grammar():
+    from peakmatch_xcorr_spark.operators.rollup import bucket_seconds
+
+    # canonical widths the tiers use
+    assert bucket_seconds("1 minute") == 60
+    assert bucket_seconds("1 hour") == 3600
+    assert bucket_seconds("1 day") == 86400
+    # arbitrary fixed widths in F.window's grammar
+    assert bucket_seconds("5 minutes") == 300
+    assert bucket_seconds("15 minutes") == 900
+    assert bucket_seconds("12 hours") == 43200
+    assert bucket_seconds("30 seconds") == 30
+    assert bucket_seconds("2 weeks") == 1209600
+    assert bucket_seconds("hour") == 3600  # bare unit = 1 unit
+    for bad in ("1 month", "1 year", "0 minutes", "-5 minutes", "1.5 hours", ""):
+        with pytest.raises(ValueError):
+            bucket_seconds(bad)
+
+
+def test_noncanonical_bucket_rollup_and_gapfill(spark, transcripts):
+    """5-minute buckets: tumbling_rollup must agree with a pandas
+    floor-to-300s oracle, and gap_fill_locf's scaffold (driven by
+    bucket_seconds) must land on the same grid F.window produced."""
+    got = (
+        tumbling_rollup(transcripts, ["conv_id"], "ts", None, "5 minutes")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pdf = transcripts.toPandas()
+    exp = (
+        pdf.assign(bucket_start=pdf.ts.dt.floor("300s"))
+        .groupby(["conv_id", "bucket_start"])
+        .size()
+        .rename("turns")
+        .reset_index()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["conv_id", "bucket_start", "turns"]], exp, check_dtype=False
+    )
+
+    tier = tumbling_rollup(transcripts, ["conv_id"], "ts", None, "5 minutes")
+    filled = gap_fill_locf(tier, ["conv_id"], "5 minutes", fill_cols=()).toPandas()
+    # every conv covers its own [min, max] range with no 300s gaps
+    for _, grp in filled.groupby("conv_id"):
+        secs = grp.bucket_start.sort_values().astype("int64") // 10**9
+        assert (secs.diff().dropna() == 300).all()
+        assert (secs % 300 == 0).all()
