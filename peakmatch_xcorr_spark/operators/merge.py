@@ -1,4 +1,5 @@
-"""MERGE / upsert for the parquet warehouse, as file-level copy-on-write.
+"""MERGE / upsert and DELETE for the parquet warehouse, as file-level
+copy-on-write.
 
 SQL ``MERGE INTO t USING u ON t.k = u.k WHEN MATCHED THEN UPDATE WHEN
 NOT MATCHED THEN INSERT`` re-expressed with the engine's snapshot
@@ -120,12 +121,84 @@ def merge_upsert(
     if current is None:
         rewrite = updates
     else:
+        # allowMissingColumns: an upsert may CARRY a brand-new column
+        # (schema evolution through MERGE — current rows get null), or
+        # omit an existing one (matched rows' omitted column becomes
+        # null: full-row replace, not a partial patch)
         rewrite = current.join(
             F.broadcast(updates.select(*key_cols)), key_cols, "left_anti"
-        ).unionByName(updates)
+        ).unionByName(updates, allowMissingColumns=True)
     return table.overwrite_with_carried(
         rewrite,
         carried,
         job_id=job_id,
         metrics={"merge_keys": key_cols, "merge_affected_files": len(affected)},
+    )
+
+
+def delete_rows(
+    table: WarehouseTable,
+    spark: SparkSession,
+    keys: DataFrame,
+    key_cols: list[str],
+    prune_col: str | None = None,
+    job_id: str | None = None,
+) -> Snapshot:
+    """DELETE by key set (``DELETE FROM t WHERE (k...) IN (SELECT k...
+    FROM keys)``) as file-level copy-on-write — the right-to-be-
+    forgotten path a training-data warehouse needs: purging one
+    conversation/user from a 100 TB tier must rewrite the few files
+    whose manifest bounds can contain it, never the tier.
+
+    Same pruning-soundness argument as MERGE (prune_col must be a key
+    col, so every file holding a matched row intersects the key set
+    and is selected for rewrite; carried files provably contain no
+    matched row).  Duplicate rows in ``keys`` are harmless — the
+    anti-join is set-semantics — so unlike MERGE no uniqueness check
+    runs.  Older snapshot versions still see the deleted rows (commits
+    never mutate data files): PHYSICAL purge of history additionally
+    requires ``expire_snapshots`` past this commit, which the metrics
+    record ("delete_committed_at") lets a compliance job verify.
+
+    Returns the committed snapshot; metrics carry affected-file count
+    and the affected files' pre-rewrite row total, so deleted-row
+    count is derivable from the manifest alone (no extra scan)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    prune_col = prune_col or key_cols[0]
+    if prune_col not in key_cols:
+        raise ValueError(
+            f"prune_col {prune_col!r} must be one of the delete keys "
+            f"{key_cols} — bounds pruning on a non-key column could "
+            "carry a file that holds a matched row"
+        )
+    cur = table.current_version()
+    if cur is None:
+        raise FileNotFoundError(f"table {table.dir} has no snapshots")
+    if keys.limit(1).count() == 0:
+        # empty key set (no-op compliance tick): return the current
+        # snapshot rather than committing an identical one
+        return table.snapshot(cur)
+    affected = _affected_paths(table, prune_col, keys)
+    snap = table.snapshot(cur)
+    if not affected:
+        return snap  # no file can contain a matched row
+    affected_set = set(affected)
+    carried = [f["path"] for f in snap.files if f["path"] not in affected_set]
+    rows_before = sum(
+        f["rows"] for f in snap.files if f["path"] in affected_set
+    )
+    current = table.read_paths(spark, affected)
+    rewrite = current.join(
+        F.broadcast(keys.select(*key_cols).distinct()), key_cols, "left_anti"
+    )
+    return table.overwrite_with_carried(
+        rewrite,
+        carried,
+        job_id=job_id,
+        metrics={
+            "delete_keys": key_cols,
+            "delete_affected_files": len(affected),
+            "delete_rows_before_rewrite": rows_before,
+        },
     )

@@ -85,6 +85,9 @@ class Snapshot:
     files: list[dict]  # [{path, rows}] relative to table data dir
     job_id: str | None = None
     metrics: dict = field(default_factory=dict)
+    # table schema as of this snapshot (StructType.jsonValue()).
+    # None on legacy manifests -> readers fall back to footer sampling.
+    schema: dict | None = None
 
     def to_json(self) -> dict:
         return {
@@ -94,6 +97,7 @@ class Snapshot:
             "files": self.files,
             "job_id": self.job_id,
             "metrics": self.metrics,
+            "schema": self.schema,
         }
 
 
@@ -133,10 +137,53 @@ class WarehouseTable:
             files=j["files"],
             job_id=j.get("job_id"),
             metrics=j.get("metrics", {}),
+            schema=j.get("schema"),
         )
 
+    def _evolved_schema(self, df: DataFrame | None, reset: bool = False) -> dict | None:
+        """Iceberg-style schema evolution: the committed snapshot
+        records the table schema = parent schema UNION the write's
+        columns (new columns appended, forced nullable — files written
+        before the column existed read as null).  Same-name columns
+        must keep their type; a type change is a rejected commit, not
+        a silently corrupted read.  ``reset=True`` (plain overwrite:
+        no parent data files survive) records the write's schema
+        alone.  Returns None only when there is nothing to record
+        (df None and no parent schema — legacy chains stay legacy)."""
+        from pyspark.sql.types import StructField, StructType
+
+        cur = self.current_version()
+        parent_json = (
+            self.snapshot(cur).schema if (cur is not None and not reset) else None
+        )
+        if df is None:
+            return parent_json
+        write_fields = [
+            StructField(f.name, f.dataType, True) for f in df.schema.fields
+        ]
+        if parent_json is None:
+            return StructType(write_fields).jsonValue()
+        merged = [
+            StructField(f.name, f.dataType, True)
+            for f in StructType.fromJson(parent_json).fields
+        ]
+        by_name = {f.name: f for f in merged}
+        for f in write_fields:
+            have = by_name.get(f.name)
+            if have is None:
+                merged.append(f)
+                by_name[f.name] = f
+            elif have.dataType != f.dataType:
+                raise ValueError(
+                    f"schema evolution cannot change column {f.name!r} "
+                    f"from {have.dataType.simpleString()} to "
+                    f"{f.dataType.simpleString()}; write to a new column"
+                )
+        return StructType(merged).jsonValue()
+
     def _commit(self, op: str, new_files: list[dict], job_id: str | None,
-                metrics: dict, keep_parent_files: bool) -> Snapshot:
+                metrics: dict, keep_parent_files: bool,
+                schema: dict | None = None) -> Snapshot:
         cur = self.current_version()
         files = []
         if keep_parent_files and cur is not None:
@@ -149,6 +196,7 @@ class WarehouseTable:
             files=files,
             job_id=job_id,
             metrics=metrics,
+            schema=schema,
         )
         _exclusive_write_json(
             os.path.join(self.snap_dir, f"v{snap.version:05d}.json"),
@@ -248,16 +296,22 @@ class WarehouseTable:
         return max(vals) if vals else None
 
     def append(self, df: DataFrame, job_id: str | None = None, metrics: dict | None = None) -> Snapshot:
+        schema = self._evolved_schema(df)  # before write: reject type conflicts without paying the write
         files = self._write_data(df)
         rows = sum(f["rows"] for f in files)
         m = {"rows_appended": rows, "committed_at": time.time(), **(metrics or {})}
-        return self._commit("append", files, job_id, m, keep_parent_files=True)
+        return self._commit(
+            "append", files, job_id, m, keep_parent_files=True, schema=schema
+        )
 
     def overwrite(self, df: DataFrame, job_id: str | None = None, metrics: dict | None = None) -> Snapshot:
+        schema = self._evolved_schema(df, reset=True)
         files = self._write_data(df)
         rows = sum(f["rows"] for f in files)
         m = {"rows": rows, "committed_at": time.time(), **(metrics or {})}
-        return self._commit("overwrite", files, job_id, m, keep_parent_files=False)
+        return self._commit(
+            "overwrite", files, job_id, m, keep_parent_files=False, schema=schema
+        )
 
     def overwrite_with_carried(
         self,
@@ -280,6 +334,7 @@ class WarehouseTable:
         if len(carried) != len(carried_set):
             missing = carried_set - {f["path"] for f in carried}
             raise ValueError(f"carried paths not in current snapshot: {missing}")
+        schema = self._evolved_schema(df)  # carried files keep reading under the union schema
         new_files = self._write_data(df) if df is not None else []
         rows = sum(f["rows"] for f in carried) + sum(f["rows"] for f in new_files)
         m = {
@@ -290,7 +345,8 @@ class WarehouseTable:
             **(metrics or {}),
         }
         return self._commit(
-            "merge", carried + new_files, job_id, m, keep_parent_files=False
+            "merge", carried + new_files, job_id, m, keep_parent_files=False,
+            schema=schema,
         )
 
     # ---- reads ----
@@ -298,7 +354,17 @@ class WarehouseTable:
         v = version if version is not None else self.current_version()
         if v is None:
             raise FileNotFoundError(f"table {self.dir} has no snapshots")
-        paths = [os.path.join(self.data_dir, f["path"]) for f in self.snapshot(v).files]
+        snap = self.snapshot(v)
+        paths = [os.path.join(self.data_dir, f["path"]) for f in snap.files]
+        if snap.schema is not None:
+            # the manifest-recorded schema, not footer sampling: files
+            # written before a column existed read as null, and the
+            # reader never pays a footer pass to discover the schema
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(
+                StructType.fromJson(snap.schema)
+            ).parquet(*paths)
         return spark.read.parquet(*paths)
 
     # ---- maintenance ----
@@ -391,18 +457,34 @@ class WarehouseTable:
             old = {f["path"] for f in self.snapshot(from_version).files}
         return sorted(new - old)
 
-    def read_paths(self, spark: SparkSession, paths: list[str]) -> DataFrame | None:
+    def read_paths(
+        self,
+        spark: SparkSession,
+        paths: list[str],
+        version: int | None = None,
+    ) -> DataFrame | None:
         """Read a subset of the table's data files (relative paths from
-        a snapshot's file records)."""
+        a snapshot's file records), under the manifest-recorded schema
+        of ``version`` (default: current) when one exists — a COW
+        rewrite of pre-evolution files must carry the evolved columns
+        (as nulls), or the rewritten frame couldn't union with new
+        data."""
         if not paths:
             return None
-        return spark.read.parquet(
-            *[os.path.join(self.data_dir, p) for p in paths]
-        )
+        full = [os.path.join(self.data_dir, p) for p in paths]
+        v = version if version is not None else self.current_version()
+        schema_json = self.snapshot(v).schema if v is not None else None
+        if schema_json is not None:
+            from pyspark.sql.types import StructType
+
+            return spark.read.schema(StructType.fromJson(schema_json)).parquet(*full)
+        return spark.read.parquet(*full)
 
     def read_diff(self, spark: SparkSession, from_version: int | None, to_version: int) -> DataFrame | None:
+        # diff files all belong to to_version -> read under ITS schema
         return self.read_paths(
-            spark, self.diff_files(from_version, to_version)
+            spark, self.diff_files(from_version, to_version),
+            version=to_version,
         )
 
 

@@ -86,3 +86,70 @@ def test_composite_key_merge(spark, tmp_path):
     merge_upsert(t, spark, u, ["k", "s"])
     got = {(r["k"], r["s"]): r["v"] for r in t.read(spark).collect()}
     assert got == {(1, "a"): 1.0, (1, "b"): 9.0, (2, "a"): 3.0, (3, "c"): 4.0}
+
+
+# ---- delete_rows ----
+
+
+def test_delete_removes_only_matched_keys_and_carries_files(spark, seeded):
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+
+    t = seeded
+    doomed = spark.createDataFrame([(5,), (6,), (7,)], "k long")
+    snap = delete_rows(t, spark, doomed, ["k"])
+    left = t.read(spark)
+    assert left.count() == 9_997
+    assert left.filter(F.col("k").isin(5, 6, 7)).count() == 0
+    # COW proportional to the key set: one file holds keys 5-7
+    assert snap.metrics["carried_files"] >= 15
+    assert snap.metrics["delete_affected_files"] <= 1
+    assert snap.metrics["delete_rows_before_rewrite"] >= 3
+
+
+def test_delete_old_version_still_sees_rows(spark, seeded):
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+
+    t = seeded
+    v0 = t.current_version()
+    delete_rows(t, spark, spark.createDataFrame([(0,)], "k long"), ["k"])
+    assert t.read(spark, version=v0).filter("k = 0").count() == 1
+    assert t.read(spark).filter("k = 0").count() == 0
+
+
+def test_delete_noop_on_empty_keys_and_missing_keys(spark, seeded):
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+
+    t = seeded
+    v0 = t.current_version()
+    empty = spark.createDataFrame([], "k long")
+    assert delete_rows(t, spark, empty, ["k"]).version == v0
+    # keys present in no file: bounds pruning selects nothing -> no-op
+    absent = spark.createDataFrame([(123_456,)], "k long")
+    assert delete_rows(t, spark, absent, ["k"]).version == v0
+    assert t.read(spark).count() == 10_000
+
+
+def test_delete_duplicate_keys_harmless_and_composite(spark, tmp_path):
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+
+    t = WarehouseTable(str(tmp_path), "ck")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (1, "b", 2.0), (2, "a", 3.0)],
+        "k long, s string, v double",
+    )
+    t.append(base)
+    dup = spark.createDataFrame([(1, "b"), (1, "b")], "k long, s string")
+    delete_rows(t, spark, dup, ["k", "s"])
+    got = {(r["k"], r["s"]) for r in t.read(spark).collect()}
+    assert got == {(1, "a"), (2, "a")}
+
+
+def test_delete_whole_table_leaves_typed_empty_read(spark, tmp_path):
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+
+    t = WarehouseTable(str(tmp_path), "kv2")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    delete_rows(t, spark, spark.createDataFrame([(1,), (2,)], "k long"), ["k"])
+    out = t.read(spark)
+    assert out.count() == 0
+    assert [f.name for f in out.schema] == ["k", "v"]

@@ -874,3 +874,97 @@ def test_archive_expired_advances_incrementally(spark, wh):
         sk["bucket_start"].nunique()
     ).all()
     assert sk["bucket_start"].nunique() == (hi2 - dt.datetime(2024, 1, 1)).days
+
+
+# ---- schema evolution (manifest-recorded schema) ----
+
+
+def test_schema_evolution_add_column_reads_null(spark, wh):
+    from pyspark.sql import functions as F
+
+    t = WarehouseTable(wh, "evolving")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"))
+    t.append(
+        spark.createDataFrame([(3, "c", 9.5)], "k long, s string, score double")
+    )
+    cur = t.read(spark)
+    assert [f.name for f in cur.schema] == ["k", "s", "score"]
+    rows = {r["k"]: r["score"] for r in cur.collect()}
+    assert rows == {1: None, 2: None, 3: 9.5}
+    # time travel still sees the pre-evolution schema
+    assert [f.name for f in t.read(spark, version=1).schema] == ["k", "s"]
+    # a later append MISSING the evolved column also reads as null
+    t.append(spark.createDataFrame([(4, "d")], "k long, s string"))
+    assert t.read(spark).filter(F.col("k") == 4).first()["score"] is None
+    assert t.read(spark).count() == 4
+
+
+def test_schema_evolution_type_conflict_rejected(spark, wh):
+    t = WarehouseTable(wh, "conflicted")
+    t.append(spark.createDataFrame([(1, "a")], "k long, s string"))
+    v = t.current_version()
+    with pytest.raises(ValueError, match="cannot change column"):
+        t.append(spark.createDataFrame([(2.5, "b")], "k double, s string"))
+    # the rejected commit left no new snapshot behind
+    assert t.current_version() == v
+
+
+def test_schema_evolution_survives_delete_cow(spark, wh):
+    """A COW rewrite of pre-evolution files must carry the evolved
+    column (as null), and the committed snapshot keeps the union
+    schema."""
+    from pyspark.sql import functions as F
+
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+
+    t = WarehouseTable(wh, "evodel")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    t.append(spark.createDataFrame([(3, 3.0, "x")], "k long, v double, tag string"))
+    delete_rows(t, spark, spark.createDataFrame([(2,)], "k long"), ["k"])
+    out = t.read(spark)
+    assert [f.name for f in out.schema] == ["k", "v", "tag"]
+    got = {r["k"]: r["tag"] for r in out.collect()}
+    assert got == {1: None, 3: "x"}
+
+
+def test_merge_can_evolve_schema(spark, wh):
+    from peakmatch_xcorr_spark.operators.merge import merge_upsert
+
+    t = WarehouseTable(wh, "evomerge")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    merge_upsert(
+        t, spark,
+        spark.createDataFrame([(2, 20.0, "new")], "k long, v double, tag string"),
+        ["k"],
+    )
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+    assert got == {1: (1.0, None), 2: (20.0, "new")}
+
+
+def test_delete_then_expire_physically_purges(spark, wh):
+    """Right-to-be-forgotten END state: delete_rows removes the rows
+    from the current view, and expire_snapshots past that commit
+    removes the pre-delete data files from DISK — no retained
+    snapshot can resurrect the purged rows."""
+    from pyspark.sql import functions as F
+
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+
+    t = WarehouseTable(wh, "gdpr")
+    base = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 5.0).alias("v")
+    )
+    t.append(base.repartitionByRange(4, "k"))
+    pre_files = {f["path"] for f in t.snapshot(t.current_version()).files}
+    delete_rows(
+        t, spark, spark.createDataFrame([(i,) for i in range(100, 120)], "k long"),
+        ["k"],
+    )
+    res = t.expire_snapshots(keep_last=1)
+    assert res["expired_snapshots"] == 1 and res["deleted_files"] >= 1
+    survivors = {f["path"] for f in t.snapshot(t.current_version()).files}
+    for p in pre_files - survivors:
+        assert not os.path.exists(os.path.join(t.data_dir, p))
+    assert t.read(spark).count() == 980
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(1)  # pre-delete snapshot is gone, not just dangling
