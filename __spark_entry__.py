@@ -2129,6 +2129,327 @@ LIMIT 100
 """
 
 
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-priority classes): conditional
+    aggregation over a fact x fact join — two CASE counters in ONE
+    grouped pass, never two scans unioned.  The testdata lacks
+    l_shipmode/commitdate, so the class predicate rides
+    o_orderpriority as in the spec's CASE and the date window rides
+    l_shipdate.  Integer counters: no float-rounding parity risk.
+
+    Scale shape: both CASE branches are map-side-combinable partial
+    sums over the single orderkey shuffle; the date filter pushes to
+    the lineitem scan so the join's probe side is pre-pruned."""
+    _utc(spark)
+    lo, hi = "1996-01-01", "1997-01-01"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+    )
+
+
+_SQL_TPCH_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promo-revenue ratio): a GLOBAL scalar whose
+    numerator is a CASE-gated slice of its own denominator — one
+    aggregate pass computes both, then divides.  p_type here is a
+    bare class word ('PROMO'), not the spec's 3-word string, so the
+    predicate is equality rather than LIKE.
+
+    Scale shape: part is dimension-sized -> broadcast (the only
+    shuffle is the final 1-row global agg); the one-month shipdate
+    window pushes to the lineitem scan.  Ratio rounded at 4dp with
+    the +1e-9 nudge (sum order differs across engines at ~1e-12
+    relative; the nudge absorbs it)."""
+    _utc(spark)
+    lo, hi = "1996-09-01", "1996-10-01"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    return j.agg(
+        F.round(
+            100.0
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev)
+            + 1e-9,
+            4,
+        ).alias("promo_revenue")
+    )
+
+
+_SQL_TPCH_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 4)
+       AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l_shipdate <  TIMESTAMP '1996-10-01'
+"""
+
+
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier): an aggregate view joined
+    against its OWN global max — the agg-then-self-max topology none
+    of the other shapes exercises.  Revenue is rounded to 2dp BEFORE
+    the max comparison on both engines, so the float-equality join is
+    deterministic (pre-rounding sums differ at ~1e-12 relative).
+
+    Scale shape: revenue-per-supplier is one map-side-combinable
+    shuffle on l_suppkey; the 1-row max broadcasts back over it (no
+    second fact scan, no sort of the agg), and supplier broadcasts
+    into the survivor set."""
+    _utc(spark)
+    lo, hi = "1996-01-01", "1996-04-01"
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi)
+    )
+    rev = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-9,
+                2,
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_SQL_TPCH_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    per-group threshold — each lineitem compares against 0.5 * the
+    avg quantity OF ITS OWN PART.  The testdata lacks p_container, so
+    the slice is p_brand alone (threshold 0.5, not 0.2, so the
+    synthetic uniform quantities still qualify rows).
+
+    The float comparison is exactly deterministic across engines:
+    l_quantity is integer-valued, so every partial sum in avg() is
+    exact in double regardless of summation order.
+
+    Scale shape: per-part avgs are one map-side-combinable shuffle
+    producing a part-sized (dimension-sized) frame that broadcasts
+    back into the filtered fact — never a fact-x-fact shuffle; brand
+    filter pushes to the part scan and prunes the fact via the
+    broadcast join."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    li_branded = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    thresholds = (
+        li_branded.groupBy(F.col("l_partkey").alias("t_partkey"))
+        .agg((0.5 * F.avg("l_quantity")).alias("qty_threshold"))
+    )
+    return (
+        li_branded.join(
+            F.broadcast(thresholds),
+            F.col("l_partkey") == F.col("t_partkey"),
+        )
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0 + 1e-9, 2).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+_SQL_TPCH_Q17 = """
+SELECT round(sum(l_extendedprice) / 7.0 + 1e-9, 2) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+    SELECT 0.5 * avg(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    an OR of per-branch conjunctions that straddle BOTH join sides
+    (brand+size from part, quantity from lineitem).  The testdata
+    lacks l_shipmode/p_container, so each branch predicates on
+    brand + size + quantity.
+
+    Scale shape: Catalyst does not split a cross-side OR, so the
+    derived single-side envelopes are applied EXPLICITLY — part
+    pre-filtered to the three brands with their size ranges (pushes
+    to the scan, shrinks the broadcast), lineitem pre-filtered to the
+    quantity envelope [1, 30] (pushes to the fact scan) — and the
+    exact OR re-checked post-join.  Same result, but both scans prune
+    instead of neither."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    part_env = part.filter(
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15))
+    )
+    li_env = li.filter(F.col("l_quantity").between(1, 30))
+    return (
+        li_env.join(F.broadcast(part_env), li.l_partkey == part.p_partkey)
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                + 1e-9,
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_TPCH_Q19 = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+_Q22_CODES = ("13", "31", "23", "29", "30", "18", "17")
+
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (global-sales opportunity): a GLOBAL scalar
+    subquery (avg positive balance over the code slice) gating a
+    filter, composed with an anti-join and a derived substring key.
+    The country code is the last two digits of c_name (chars 17-18 of
+    'Customer#000000123') — the testdata has no c_phone, and the
+    spec's substring(1,2) is constant '00' on this generator.  The
+    anti-join is against orders SINCE 2000-01-01 (dormant accounts):
+    this generator gives every customer at least one order ever, so
+    the spec's no-orders-at-all predicate is vacuously empty, while
+    the dormancy variant keeps the identical plan topology and
+    returns rows (5 at sf0.01).
+
+    Scale shape: the avg is a 1-row aggregate broadcast into the
+    filter (never a driver collect); the anti-join build side is
+    orders' custkeys projected to ONE column.  The acctbal > avg
+    comparison is boundary-safe: avg carries ~15 significant digits
+    while balances have 2dp, so cross-engine sum-order jitter
+    (~1e-12 relative) cannot flip it."""
+    _utc(spark)
+    cust = _t(spark, sf_dir, "customer").withColumn(
+        "cntrycode", F.substring("c_name", 17, 2)
+    )
+    sliced = cust.filter(F.col("cntrycode").isin(*_Q22_CODES))
+    avg_bal = sliced.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    return (
+        sliced.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("c_acctbal") + 1e-9, 2).alias("totacctbal"),
+        )
+    )
+
+
+_SQL_TPCH_Q22 = f"""
+WITH sliced AS (
+  SELECT substring(c_name, 17, 2) AS cntrycode, c_custkey, c_acctbal
+  FROM customer
+  WHERE substring(c_name, 17, 2) IN {_Q22_CODES!r}
+)
+SELECT cntrycode, count(*) AS numcust,
+       round(sum(c_acctbal) + 1e-9, 2) AS totacctbal
+FROM sliced
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM sliced WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01'
+  )
+GROUP BY cntrycode
+"""
+
+
 def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type (rsd=0.02) — the
     100 TB path for distinct counts: one mergeable-sketch pass,
@@ -2375,6 +2696,107 @@ SELECT user_id, bucket_start,
 FROM r
 UNION ALL
 SELECT 99999, TIMESTAMP '2024-01-01 00:00:00', round(1.5 + 1e-9, 6)
+"""
+
+
+def _q_delete_users_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE as file-level COW (operators/merge.py
+    delete_rows), value-checked — the right-to-be-forgotten path: the
+    1h tier is committed range-partitioned on user_id, users 30-49
+    are purged by key set, and the post-delete read must equal
+    DuckDB's rollup excluding them.  The key slice is CONTIGUOUS so
+    manifest-bounds pruning has something to prune (a %-scattered set
+    touches every range-partitioned file by construction); the query
+    asserts most files were carried, not rewritten."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    rolled = tumbling_rollup(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour"
+    ).select("user_id", "bucket_start", "turns", "vavg")
+    root = tempfile.mkdtemp(prefix="pxs_delete_q_")
+    try:
+        t = WarehouseTable(root, "tier_1h")
+        t.append(rolled.repartitionByRange(8, "user_id"))
+        doomed = (
+            rolled.filter(F.col("user_id").between(30, 49))
+            .select("user_id")
+            .distinct()
+        )
+        snap = delete_rows(t, spark, doomed, ["user_id"])
+        if snap.metrics.get("carried_files", 0) <= snap.metrics.get(
+            "rewritten_files", 0
+        ):
+            raise ValueError(
+                "delete rewrote most files for a 13%-of-keys contiguous "
+                f"slice — bounds pruning is broken (metrics: {snap.metrics})"
+            )
+        out = t.read(spark).select(
+            "user_id",
+            "bucket_start",
+            "turns",
+            F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_DELETE_USERS = """
+SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+       count(*) AS turns, round(avg(value) + 1e-9, 6) AS vavg
+FROM events
+WHERE user_id NOT BETWEEN 30 AND 49
+GROUP BY 1, 2
+"""
+
+
+def _q_time_travel_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-isolation / time-travel contract: the 1h tier is
+    committed in two appends (even user_ids, then odd), and reading
+    the FIRST version AFTER the second commit must equal DuckDB's
+    rollup over even users only — later commits never disturb an
+    older snapshot's view (commits add manifests; data files are
+    immutable).  This is the property every resumable retention job
+    and every reproducible training-data snapshot leans on."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    rolled = tumbling_rollup(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour"
+    ).select("user_id", "bucket_start", "turns", "vavg")
+    root = tempfile.mkdtemp(prefix="pxs_timetravel_q_")
+    try:
+        t = WarehouseTable(root, "tier_1h")
+        v1 = t.append(rolled.filter(F.col("user_id") % 2 == 0)).version
+        t.append(rolled.filter(F.col("user_id") % 2 == 1))
+        assert t.current_version() != v1
+        out = t.read(spark, version=v1).select(
+            "user_id",
+            "bucket_start",
+            "turns",
+            F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_TIME_TRAVEL = """
+SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+       count(*) AS turns, round(avg(value) + 1e-9, 6) AS vavg
+FROM events
+WHERE user_id % 2 = 0
+GROUP BY 1, 2
 """
 
 
@@ -3234,6 +3656,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q1": (_q_tpch_q1, _SQL_TPCH_Q1),
     "tpch_q3": (_q_tpch_q3, _SQL_TPCH_Q3),
     "tpch_q18": (_q_tpch_q18, _SQL_TPCH_Q18),
+    "tpch_q12": (_q_tpch_q12, _SQL_TPCH_Q12),
+    "tpch_q14": (_q_tpch_q14, _SQL_TPCH_Q14),
+    "tpch_q15": (_q_tpch_q15, _SQL_TPCH_Q15),
+    "tpch_q17": (_q_tpch_q17, _SQL_TPCH_Q17),
+    "tpch_q19": (_q_tpch_q19, _SQL_TPCH_Q19),
+    "tpch_q22": (_q_tpch_q22, _SQL_TPCH_Q22),
     "tpch_q4": (_q_tpch_q4, _SQL_TPCH_Q4),
     "tpch_q5": (_q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q10": (_q_tpch_q10, _SQL_TPCH_Q10),
@@ -3266,6 +3694,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "quantile_sketch_values": (_q_quantile_sketch_values, None),
     "zorder_pruned_scan": (_q_zorder_pruned_scan, _SQL_ZORDER_PRUNED),
     "merge_upsert_tier": (_q_merge_upsert, _SQL_MERGE_UPSERT),
+    "delete_users_tier": (_q_delete_users_tier, _SQL_DELETE_USERS),
+    "time_travel_tier": (_q_time_travel_tier, _SQL_TIME_TRAVEL),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),

@@ -224,6 +224,66 @@ def test_tpch_q4_semi_join_pushdown(spark):
     assert "partial_count" in p or "partial count" in p.lower()
 
 
+def test_tpch_q14_broadcast_part_pushed_dates(spark):
+    """Q14's part join must broadcast (never shuffle the fact on
+    partkey) with the one-month shipdate window pushed to the
+    lineitem scan; both CASE sums ride ONE aggregate (no union of two
+    scans)."""
+    from __spark_entry__ import _q_tpch_q14
+
+    p = plan(_q_tpch_q14(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "Union" not in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("l_shipdate" in s for s in pushed)
+
+
+def test_tpch_q17_no_fact_fact_shuffle(spark):
+    """Q17's correlated per-part threshold must resolve as two
+    BROADCAST joins (brand-filtered part, part-sized avg frame) — a
+    shuffle join on partkey would move the fact table twice — with
+    the brand filter pushed to the part scan and the avg partially
+    aggregated map-side."""
+    from __spark_entry__ import _q_tpch_q17
+
+    p = plan(_q_tpch_q17(spark, SF))
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("p_brand" in s for s in pushed)
+    assert "partial_avg" in p or "partial avg" in p.lower()
+
+
+def test_tpch_q19_derived_envelopes_push_to_both_scans(spark):
+    """Q19's cross-side OR cannot push as-is; the explicitly derived
+    single-side envelopes must reach BOTH scans (brand/size on part,
+    quantity on lineitem) so neither side is read unpruned."""
+    from __spark_entry__ import _q_tpch_q19
+
+    p = plan(_q_tpch_q19(spark, SF))
+    assert "BroadcastHashJoin" in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any("p_brand" in s for s in pushed)
+    assert any("l_quantity" in s for s in pushed)
+
+
+def test_tpch_q22_anti_join_scalar_broadcast(spark):
+    """Q22's NOT EXISTS must compile to a LEFT ANTI join and the
+    global-avg gate to a single-row broadcast (the only
+    BroadcastNestedLoopJoin permitted in the contract: a 1-row build
+    side), never a driver-side collect of the scalar."""
+    import re
+
+    from __spark_entry__ import _q_tpch_q22
+
+    p = plan(_q_tpch_q22(spark, SF))
+    assert "LeftAnti" in p
+    # formatted output prints each operator twice (tree + detail
+    # header); count detail headers so "exactly one BNLJ" is exact
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) == 1
+    assert "CartesianProduct" not in p
+
+
 def test_m4_single_exchange_pruned_no_python(spark, events):
     """M4 must stay entirely JVM-side: one shuffle on (key, bucket)
     with map-side partial struct min/max, the wide columns pruned from
