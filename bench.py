@@ -576,6 +576,108 @@ def _incremental(spark, workdir: str) -> dict:
     }
 
 
+def _maintenance(spark, workdir: str) -> dict:
+    """Table-mutation cost evidence on the stress corpus (18.5M turns,
+    64 range-partitioned files): a right-to-be-forgotten DELETE of a
+    contiguous ~1% conv_id slice must rewrite only the files whose
+    manifest bounds contain the slice (COW ∝ touched files), not the
+    table — measured against the naive full filtered rewrite, plus the
+    expire step that physically purges the pre-delete files."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    tr = spark.read.parquet(f"{workdir}/transcripts.parquet")
+    lo, hi = "conv05000", "conv05999"
+    wh = tempfile.mkdtemp(prefix="pxs_maint_")
+    try:
+        t = WarehouseTable(wh, "transcripts")
+        t0 = time.perf_counter()
+        t.append(tr.repartitionByRange(64, "conv_id"), job_id="ingest")
+        ingest_sec = time.perf_counter() - t0
+        snap0 = t.snapshot(t.current_version())
+        rows_total = sum(f["rows"] for f in snap0.files)
+
+        doomed = (
+            tr.select("conv_id").filter(F.col("conv_id").between(lo, hi))
+            .distinct()
+        )
+        n_doomed = doomed.count()
+        t0 = time.perf_counter()
+        snap = delete_rows(t, spark, doomed, ["conv_id"])
+        delete_sec = time.perf_counter() - t0
+
+        # the naive alternative: rewrite the WHOLE filtered table
+        naive = WarehouseTable(wh, "naive")
+        t0 = time.perf_counter()
+        naive.append(
+            tr.filter(~F.col("conv_id").between(lo, hi))
+            .repartitionByRange(64, "conv_id"),
+            job_id="naive_rewrite",
+        )
+        naive_sec = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        exp = t.expire_snapshots(keep_last=1)
+        expire_sec = time.perf_counter() - t0
+
+        rows_after = sum(
+            f["rows"] for f in t.snapshot(t.current_version()).files
+        )
+        return {
+            "rows_total": rows_total,
+            "files_total": len(snap0.files),
+            "convs_deleted": n_doomed,
+            "rows_deleted": rows_total - rows_after,
+            "ingest_sec": round(ingest_sec, 2),
+            "delete_sec": round(delete_sec, 2),
+            "files_rewritten": snap.metrics["rewritten_files"],
+            "files_carried": snap.metrics["carried_files"],
+            "rows_rewritten_scope": snap.metrics["delete_rows_before_rewrite"],
+            "naive_full_rewrite_sec": round(naive_sec, 2),
+            "delete_vs_naive_speedup": round(naive_sec / delete_sec, 2)
+            if delete_sec else None,
+            "expire_sec": round(expire_sec, 2),
+            "expired_snapshots": exp["expired_snapshots"],
+            "files_physically_deleted": exp["deleted_files"],
+        }
+    finally:
+        shutil.rmtree(wh, ignore_errors=True)
+
+
+def _maintenance_md(r: dict) -> str:
+    return f"""# BENCH — table mutation (DELETE as file-level COW)
+
+The 100 TB cost model for the right-to-be-forgotten path: purging a
+key slice must cost ~|files whose manifest bounds contain it|, never
+~|table|.  Stress corpus ({r['rows_total']:,} turns) committed as
+{r['files_total']} range-partitioned files; a contiguous ~1% conv_id
+slice ({r['convs_deleted']} conversations, {r['rows_deleted']:,} rows)
+is deleted by key set, then history is expired so the pre-delete
+files leave the DISK, not just the manifest.  local[32], cold.
+
+| step | wall (s) | scope |
+|---|---|---|
+| ingest (64-file range layout) | {r['ingest_sec']} | {r['rows_total']:,} rows |
+| DELETE (bounds-pruned COW) | {r['delete_sec']} | {r['files_rewritten']} files rewritten, {r['files_carried']} carried ({r['rows_rewritten_scope']:,} rows in scope) |
+| naive full filtered rewrite | {r['naive_full_rewrite_sec']} | all {r['rows_total']:,} rows |
+| expire_snapshots(keep_last=1) | {r['expire_sec']} | {r['expired_snapshots']} snapshots, {r['files_physically_deleted']} files off disk |
+
+DELETE vs naive rewrite: **{r['delete_vs_naive_speedup']}x** — and the
+gap widens linearly with table size (the COW side is O(slice), the
+naive side O(table)), so at 1000x the table the same purge is ~1000x
+cheaper than a rewrite, which is the difference between a compliance
+job that runs in minutes and one that monopolizes the cluster.
+
+Reproduce: `python bench.py --maintenance` (stress input cached under
+SPARK_GRAFT_STRESS_DIR, default /tmp/pxs_stress).
+"""
+
+
 def _incremental_md(r: dict) -> str:
     return f"""# BENCH — incremental LSH index refresh
 
@@ -1154,6 +1256,17 @@ def main() -> None:
         os.makedirs("BENCH", exist_ok=True)
         with open("BENCH/STRESS.md", "w") as f:
             f.write(_stress_md(report))
+        print(json.dumps(report))
+        return
+
+    if "--maintenance" in sys.argv:
+        workdir = os.environ.get("SPARK_GRAFT_STRESS_DIR", "/tmp/pxs_stress")
+        _gen_stress_input(workdir)
+        spark = build_session(cpus)
+        report = _maintenance(spark, workdir)
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/MAINTENANCE.md", "w") as f:
+            f.write(_maintenance_md(report))
         print(json.dumps(report))
         return
 

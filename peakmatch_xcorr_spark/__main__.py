@@ -20,6 +20,12 @@ re-expressed as engine jobs:
               (ClusteringProcessor.java)
   downsample  activity curve -> m4 / lttb / ewma table (engine
               addition: shape-preserving downsample family)
+  maintain    warehouse table maintenance: --action compact (small
+              files -> target partitions), expire (drop old
+              snapshots + physically delete unreferenced files),
+              delete (row-level COW purge by key set — the
+              right-to-be-forgotten job; compose with expire to
+              remove the pre-delete files from disk)
 
 completing the reference's 9-mode dispatch (PLOT1D/PLOT2D are debug
 console formatters; PLOT2D exists as spectrogram_table).
@@ -41,8 +47,21 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("mode", choices=[
         "peakmatch", "postprocess", "fused", "analyse", "dedup",
         "rollup", "xcorr", "bruteforce", "fftdom", "cluster", "plot",
-        "downsample",
+        "downsample", "maintain",
     ])
+    p.add_argument("--action", choices=["compact", "expire", "delete"],
+                   default="compact", help="maintain mode action")
+    p.add_argument("--table", default="transcripts",
+                   help="maintain mode warehouse table name")
+    p.add_argument("--keep-last", type=int, default=5,
+                   help="maintain expire: snapshots to retain")
+    p.add_argument("--target-partitions", type=int, default=1,
+                   help="maintain compact: output file count")
+    p.add_argument("--delete-keys", nargs="+", default=None,
+                   help="maintain delete: key values to purge")
+    p.add_argument("--key-col", default="conv_id",
+                   help="maintain delete: key column (values cast to "
+                        "its table type)")
     p.add_argument("--method", choices=["m4", "lttb", "ewma"], default="m4",
                    help="downsample mode: M4 buckets / LTTB budget / EWMA")
     p.add_argument("--out-bucket", default="1 hour",
@@ -72,6 +91,8 @@ def main(argv: list[str] | None = None) -> None:
     args = p.parse_args(argv)
     if args.mode == "xcorr" and len(args.events or []) != 2:
         p.error("xcorr mode requires exactly 2 --events conv_ids")
+    if args.mode == "maintain" and args.action == "delete" and not args.delete_keys:
+        p.error("maintain --action delete requires --delete-keys")
 
     from pyspark.sql import SparkSession
 
@@ -280,6 +301,34 @@ def main(argv: list[str] | None = None) -> None:
         members = cluster_members(knn_edges(dists, cconf), cconf)
         snap = table(args.output or "clusters").overwrite(members, job_id="cluster")
         print(json.dumps({"clusters": snap.metrics.get("rows")}))
+        return
+
+    if args.mode == "maintain":
+        from pyspark.sql import functions as F
+
+        t = table(args.table)
+        if t.current_version() is None:
+            print(json.dumps({"error": f"table {args.table!r} has no snapshots"}))
+            sys.exit(2)
+        if args.action == "compact":
+            snap = t.compact(spark, target_partitions=args.target_partitions)
+            print(json.dumps({"version": snap.version, **snap.metrics}))
+        elif args.action == "expire":
+            print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+        else:  # delete
+            from peakmatch_xcorr_spark.operators.merge import delete_rows
+
+            col_type = dict(t.read(spark).dtypes).get(args.key_col)
+            if col_type is None:
+                print(json.dumps({
+                    "error": f"column {args.key_col!r} not in table {args.table!r}"
+                }))
+                sys.exit(2)
+            keys = spark.createDataFrame(
+                [(k,) for k in args.delete_keys], f"{args.key_col} string"
+            ).select(F.col(args.key_col).cast(col_type).alias(args.key_col))
+            snap = delete_rows(t, spark, keys, [args.key_col])
+            print(json.dumps({"version": snap.version, **snap.metrics}))
         return
 
     if args.mode == "rollup":

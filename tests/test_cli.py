@@ -115,3 +115,45 @@ def test_cli_downsample_all_methods(capsys, cli_env):
             _run(capsys, cli_env, "downsample", "--method", method, *extra)
         )
         assert out["rows"] > 0, method
+
+
+def test_cli_maintain_delete_expire_compact(capsys, cli_env):
+    """End-to-end warehouse maintenance via the CLI: ingest (rollup
+    mode), purge one conversation, expire history, compact — each
+    step reports JSON metrics and the purge survives on the current
+    read."""
+    _run(capsys, cli_env, "rollup")  # ensures 'transcripts' table exists
+    doomed = cli_env["dup"][0]
+    out = json.loads(_run(
+        capsys, cli_env, "maintain", "--action", "delete",
+        "--table", "transcripts", "--key-col", "conv_id",
+        "--delete-keys", doomed,
+    ))
+    assert out["delete_affected_files"] >= 1
+    exp = json.loads(_run(
+        capsys, cli_env, "maintain", "--action", "expire", "--keep-last", "1",
+        "--table", "transcripts",
+    ))
+    assert exp["expired_snapshots"] >= 1
+    cmp_ = json.loads(_run(
+        capsys, cli_env, "maintain", "--action", "compact",
+        "--table", "transcripts", "--target-partitions", "1",
+    ))
+    assert cmp_["rows"] > 0
+    # the purged conversation stayed gone through expire + compact
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    t = WarehouseTable(cli_env["warehouse"], "transcripts")
+    import pyspark.sql.functions as F  # noqa: N812
+
+    # read via a fresh session-bound frame
+    from peakmatch_xcorr_spark.session import get_spark
+
+    sp = get_spark(4)
+    assert t.read(sp).filter(F.col("conv_id") == doomed).count() == 0
+
+
+def test_cli_maintain_delete_requires_keys(capsys, cli_env):
+    with pytest.raises(SystemExit):
+        main(["maintain", "--action", "delete", "--warehouse",
+              cli_env["warehouse"], "--cores", "4"])
