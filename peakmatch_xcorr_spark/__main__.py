@@ -57,6 +57,9 @@ def main(argv: list[str] | None = None) -> None:
                    help="maintain expire: snapshots to retain")
     p.add_argument("--target-partitions", type=int, default=1,
                    help="maintain compact: output file count")
+    p.add_argument("--zorder-keys", nargs=2, default=None, metavar=("A", "B"),
+                   help="maintain compact: re-cluster along the (A, B) "
+                        "Z-curve while rewriting")
     p.add_argument("--delete-keys", nargs="+", default=None,
                    help="maintain delete: key values to purge")
     p.add_argument("--key-col", default="conv_id",
@@ -311,7 +314,11 @@ def main(argv: list[str] | None = None) -> None:
             print(json.dumps({"error": f"table {args.table!r} has no snapshots"}))
             sys.exit(2)
         if args.action == "compact":
-            snap = t.compact(spark, target_partitions=args.target_partitions)
+            snap = t.compact(
+                spark,
+                target_partitions=args.target_partitions,
+                zorder_keys=tuple(args.zorder_keys) if args.zorder_keys else None,
+            )
             print(json.dumps({"version": snap.version, **snap.metrics}))
         elif args.action == "expire":
             print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))

@@ -276,6 +276,48 @@ class WarehouseTable:
                 os.remove(os.path.join(self.data_dir, p))
         return files
 
+    def count_rows(self, version: int | None = None) -> int:
+        """COUNT(*) from the manifest alone — zero Spark jobs, zero
+        file opens.  Sound because every commit records exact per-file
+        row counts from the parquet footers at write time; at 100 TB
+        this is the difference between a metadata lookup and a
+        10^6-file scan for the most common query there is."""
+        v = version if version is not None else self.current_version()
+        if v is None:
+            raise FileNotFoundError(f"table {self.dir} has no snapshots")
+        return sum(f["rows"] for f in self.snapshot(v).files)
+
+    def rollback(self, to_version: int, job_id: str | None = None) -> Snapshot:
+        """Undo commits by re-committing an older snapshot's exact
+        file list (and schema) as a NEW version — history is never
+        rewritten, so the bad commits stay auditable and a concurrent
+        reader pinned to them is unaffected.  Rolling back past an
+        `expire_snapshots` horizon fails loudly: expiry may have
+        physically deleted files only the expired snapshots
+        referenced, and a rollback that resurrects a manifest whose
+        data is gone would turn a recoverable mistake into a corrupt
+        table."""
+        old = self.snapshot(to_version)  # raises if expired/unknown
+        missing = [
+            f["path"] for f in old.files
+            if not os.path.exists(os.path.join(self.data_dir, f["path"]))
+        ]
+        if missing:
+            raise FileNotFoundError(
+                f"cannot roll back to v{to_version}: {len(missing)} data "
+                f"file(s) no longer exist (e.g. {missing[0]!r}) — expired "
+                "past the rollback horizon"
+            )
+        m = {
+            "rolled_back_to": to_version,
+            "rows": sum(f["rows"] for f in old.files),
+            "committed_at": time.time(),
+        }
+        return self._commit(
+            "rollback", old.files, job_id, m,
+            keep_parent_files=False, schema=old.schema,
+        )
+
     def manifest_column_max(self, col: str, version: int | None = None):
         """Max value of ``col`` across the snapshot's files, from the
         manifest bounds alone (no Spark job).  Returns None when any
@@ -401,16 +443,36 @@ class WarehouseTable:
         return {"expired_snapshots": len(expired), "deleted_files": deleted}
 
     def compact(self, spark: SparkSession, target_partitions: int = 1,
-                job_id: str | None = None) -> Snapshot:
+                job_id: str | None = None,
+                zorder_keys: tuple[str, str] | None = None) -> Snapshot:
         """Rewrite the current snapshot's (possibly many small) files
         into ``target_partitions`` files — the small-file compaction an
         append-heavy ingest needs.  Commits as a new snapshot (an
         overwrite with identical rows), so resume/diff semantics are
-        preserved going forward."""
-        df = self.read(spark).coalesce(target_partitions)
+        preserved going forward.
+
+        ``zorder_keys=(a, b)``: compaction is the natural moment to
+        (re)cluster — appends arrive in arrival order and erode any
+        earlier layout, so the rewrite the table is paying for anyway
+        also lays the rows along the (a, b) Z-curve, making every
+        output file's manifest bounds tight in BOTH keys for
+        ``pruned_read``."""
+        if zorder_keys is not None:
+            from peakmatch_xcorr_spark.operators.layout import zorder_layout
+
+            df = zorder_layout(
+                self.read(spark), *zorder_keys, target_files=target_partitions
+            )
+        else:
+            df = self.read(spark).coalesce(target_partitions)
         before = len(self.snapshot(self.current_version()).files)
-        snap = self.overwrite(df, job_id=job_id or "compact",
-                              metrics={"compacted_from_files": before})
+        snap = self.overwrite(
+            df, job_id=job_id or "compact",
+            metrics={
+                "compacted_from_files": before,
+                **({"zorder_keys": list(zorder_keys)} if zorder_keys else {}),
+            },
+        )
         return snap
 
     def incremental_ok(self, from_version: int | None, to_version: int) -> bool:

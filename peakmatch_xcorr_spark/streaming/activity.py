@@ -114,6 +114,25 @@ def stream_to_warehouse(stream: DataFrame, table, checkpoint_dir: str):
     return q
 
 
+def streaming_dedup_turns(
+    stream: DataFrame,
+    watermark: str = "10 minutes",
+    keys: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """Exactly-once turn stream from at-least-once delivery:
+    ``dropDuplicatesWithinWatermark`` on the turn key — a replayed or
+    double-delivered turn arriving within the watermark is dropped,
+    and the dedup state for a key expires once the watermark passes
+    it, so state size is bounded by the watermark window's key
+    cardinality, never the stream's history (the property that makes
+    this runnable forever at 10^12 turns; a plain dropDuplicates
+    would grow state without bound).  First occurrence is emitted
+    immediately — downstream rollups see no added latency."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def stateful_conv_totals(stream: DataFrame) -> DataFrame:
     """Custom stateful operator: running per-conversation turn totals
     + last-seen timestamp via applyInPandasWithState (the engine's

@@ -136,3 +136,35 @@ def test_missing_bounds_and_nulls_are_conservative(spark, tmp_path):
     # all-null layout key: zorder_layout degrades to a no-op, not a crash
     all_null = spark.createDataFrame([(None, 1.0)], "user_id int, value double")
     assert zorder_layout(all_null, "user_id", "value").count() == 1
+
+
+def test_compact_with_zorder_restores_pruning(spark, frame, tmp_path):
+    """Appends arrive in arrival order and erode layout; compaction
+    with zorder_keys must restore 2-D pruning while preserving rows
+    exactly."""
+    t = WarehouseTable(str(tmp_path), "eroded")
+    # arrival-ordered ingest: no layout at all (each file spans both
+    # key ranges almost fully)
+    t.append(frame.repartition(64))
+    ts_lo, ts_hi = BASE + dt.timedelta(days=5), BASE + dt.timedelta(days=10)
+    q = {"user_id": (100, 110), "ts": (ts_lo, ts_hi)}
+    row_filter = (
+        F.col("user_id").between(100, 110) & F.col("ts").between(ts_lo, ts_hi)
+    )
+    paths_before, total = prune_files(t, q)
+    n_before, s_before = _checksum(t.read(spark))
+    snap = t.compact(spark, target_partitions=64,
+                     zorder_keys=("user_id", "ts"))
+    assert snap.metrics["zorder_keys"] == ["user_id", "ts"]
+    paths_after, total_after = prune_files(t, q)
+    # rows identical, pruning dramatically better than arrival order
+    n_after, s_after = _checksum(t.read(spark))
+    assert (n_before, round(s_before, 6)) == (n_after, round(s_after, 6))
+    assert len(paths_before) > total * 0.9  # arrival order: ~no pruning
+    assert len(paths_after) < total_after * 0.5
+    # and the pruned scan is still lossless for the query
+    df, stats = pruned_read(t, spark, q)
+    assert stats["files_read"] == len(paths_after)
+    assert _checksum(df.filter(row_filter)) == _checksum(
+        frame.filter(row_filter)
+    )

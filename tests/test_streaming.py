@@ -151,3 +151,37 @@ def test_stateful_ewma_matches_batch_recursion(spark, stream_dir):
             np.array(exp), rtol=1e-12,
             err_msg=f"conv {cid} diverged across batch boundaries",
         )
+
+
+def test_streaming_dedup_turns_drops_replays(spark, tmp_path):
+    """At-least-once delivery: rows replayed into later micro-batches
+    (within the watermark) must be emitted exactly once, and the
+    output must equal the batch distinct of the turn key."""
+    from peakmatch_xcorr_spark.streaming.activity import streaming_dedup_turns
+
+    res = generate_transcripts(SynthConf(n_convs=6, n_dup_pairs=0, giant_conv=False))
+    pdf = res.transcripts.sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    d = tmp_path / "replayed"
+    d.mkdir()
+    thirds = [pdf.iloc[i * n // 3 : (i + 1) * n // 3] for i in range(3)]
+    thirds[0].to_parquet(d / "part0.parquet", index=False)
+    # batch 1 replays the tail of batch 0; batch 2 replays a slice of 1
+    pd.concat([thirds[0].tail(50), thirds[1]]).to_parquet(
+        d / "part1.parquet", index=False
+    )
+    pd.concat([thirds[1].head(30), thirds[2]]).to_parquet(
+        d / "part2.parquet", index=False
+    )
+    stream = read_transcript_stream(spark, str(d))
+    deduped = streaming_dedup_turns(stream, watermark="1 hour")
+    run_stream_to_memory(deduped, "s_dedup", mode="append")
+    got = spark.sql("SELECT conv_id, turn_idx FROM s_dedup").toPandas()
+    assert len(got) == len(got.drop_duplicates(["conv_id", "turn_idx"]))
+    exp = pdf[["conv_id", "turn_idx"]].drop_duplicates()
+    assert len(got) == len(exp)
+    pd.testing.assert_frame_equal(
+        got.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
+        check_dtype=False,
+    )

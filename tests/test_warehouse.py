@@ -968,3 +968,40 @@ def test_delete_then_expire_physically_purges(spark, wh):
     assert t.read(spark).count() == 980
     with pytest.raises(FileNotFoundError):
         t.snapshot(1)  # pre-delete snapshot is gone, not just dangling
+
+
+def test_count_rows_metadata_only_and_versions(spark, wh):
+    t = WarehouseTable(wh, "counts")
+    d1, d2, full = _split_df(spark, 1500)
+    t.append(d1)
+    t.append(d2)
+    assert t.count_rows(version=1) == d1.count()
+    assert t.count_rows() == full.count()
+
+
+def test_rollback_restores_old_view_as_new_version(spark, wh):
+    from pyspark.sql import functions as F
+
+    t = WarehouseTable(wh, "rb")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string"))
+    t.overwrite(spark.createDataFrame([(9, "oops")], "k long, s string"))
+    snap = t.rollback(1)
+    assert snap.operation == "rollback" and snap.version == 3
+    got = {r["k"] for r in t.read(spark).collect()}
+    assert got == {1, 2}
+    # history preserved: the bad commit is still readable
+    assert t.read(spark, version=2).first()["s"] == "oops"
+    # rollback restores the old SCHEMA too
+    t.append(spark.createDataFrame([(3, "c", 1.5)], "k long, s string, x double"))
+    t.rollback(3)
+    assert [f.name for f in t.read(spark).schema] == ["k", "s"]
+
+
+def test_rollback_past_expiry_fails_loudly(spark, wh):
+    t = WarehouseTable(wh, "rbx")
+    t.overwrite(spark.createDataFrame([(1,)], "k long"))
+    t.overwrite(spark.createDataFrame([(2,)], "k long"))
+    t.overwrite(spark.createDataFrame([(3,)], "k long"))
+    t.expire_snapshots(keep_last=1)
+    with pytest.raises(FileNotFoundError):
+        t.rollback(1)
