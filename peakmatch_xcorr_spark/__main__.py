@@ -47,10 +47,17 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("mode", choices=[
         "peakmatch", "postprocess", "fused", "analyse", "dedup",
         "rollup", "xcorr", "bruteforce", "fftdom", "cluster", "plot",
-        "downsample", "maintain",
+        "downsample", "maintain", "fromconf",
     ])
-    p.add_argument("--action", choices=["compact", "expire", "delete"],
+    p.add_argument("--conf", default=None,
+                   help="reference xcorr.conf file: its knobs seed the "
+                        "engine conf; with mode 'fromconf' its mode= "
+                        "line also picks the job to run")
+    p.add_argument("--action",
+                   choices=["compact", "expire", "delete", "orphans"],
                    default="compact", help="maintain mode action")
+    p.add_argument("--older-than-hours", type=float, default=1.0,
+                   help="maintain orphans: minimum file age to sweep")
     p.add_argument("--table", default="transcripts",
                    help="maintain mode warehouse table name")
     p.add_argument("--keep-last", type=int, default=5,
@@ -92,6 +99,31 @@ def main(argv: list[str] | None = None) -> None:
                         "xcorr.conf:58); default = the reference defaults")
     p.add_argument("--cores", default=None, help="local[N] when set; else use spark-submit master")
     args = p.parse_args(argv)
+    ref_conf = None
+    if args.conf:
+        from peakmatch_xcorr_spark.config import (
+            REFERENCE_MODES,
+            load_reference_conf,
+        )
+
+        try:
+            token, ref_conf, ref_extras = load_reference_conf(args.conf)
+        except (OSError, ValueError) as e:
+            p.error(str(e))
+        if args.mode == "fromconf":
+            cli_mode, implied = REFERENCE_MODES[token]
+            args.mode = cli_mode
+            for k, v in implied.items():
+                setattr(args, k, v)
+            # reference plot sub-knobs ride along (xcorr.conf:66-72)
+            if token == "PLOT1D" and ref_extras.get("plot.1d.tiny") == "true":
+                args.style = "tiny"
+            if token == "PLOT2D" and "plot.2d.bucket-duration-sec" in ref_extras:
+                args.plot_bucket_sec = float(
+                    ref_extras["plot.2d.bucket-duration-sec"]
+                )
+    elif args.mode == "fromconf":
+        p.error("fromconf mode requires --conf")
     if args.mode == "xcorr" and len(args.events or []) != 2:
         p.error("xcorr mode requires exactly 2 --events conv_ids")
     if args.mode == "maintain" and args.action == "delete" and not args.delete_keys:
@@ -109,10 +141,28 @@ def main(argv: list[str] | None = None) -> None:
         spark = SparkSession.builder.appName(f"pxs-{args.mode}").getOrCreate()
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
-    conf = EngineConf(
-        peakmatch=PeakmatchConf(expected_len=args.curve_len),
-        rollup=RollupConf(activity_curve_len=args.curve_len),
-    )
+    if ref_conf is not None:
+        import dataclasses
+
+        from peakmatch_xcorr_spark.config import ClusterConf, SpectralConf
+
+        # the conf file's knobs win (thresholds, stride, crop,
+        # normalise, expected-file-line-count for raw event ingest);
+        # the transcript activity-curve length stays a CLI concern
+        conf = dataclasses.replace(
+            ref_conf, rollup=RollupConf(activity_curve_len=args.curve_len)
+        )
+        base_spectral = conf.spectral
+        base_cluster = conf.cluster
+    else:
+        from peakmatch_xcorr_spark.config import ClusterConf, SpectralConf
+
+        conf = EngineConf(
+            peakmatch=PeakmatchConf(expected_len=args.curve_len),
+            rollup=RollupConf(activity_curve_len=args.curve_len),
+        )
+        base_spectral = SpectralConf(sample_rate=args.sample_rate)
+        base_cluster = ClusterConf()
 
     from peakmatch_xcorr_spark.operators.features import (
         conversation_features,
@@ -211,7 +261,7 @@ def main(argv: list[str] | None = None) -> None:
         )
         if args.events:
             feats = feats.filter(feats.conv_id.isin(list(args.events)))
-        spectral = SpectralConf(sample_rate=args.sample_rate)
+        spectral = base_spectral
         for r in feats.select("conv_id", "series").toLocalIterator():
             s = np.asarray(r["series"])
             if args.style == "2d":
@@ -250,24 +300,18 @@ def main(argv: list[str] | None = None) -> None:
             load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
         )
         if args.bands is None:
-            spectral = SpectralConf(sample_rate=args.sample_rate)
+            spectral = base_spectral
         else:
-            # reference band-spec syntax "[1-5] [5-8.5]"
-            # (DominantFreqProcessor.java:114-140)
+            import dataclasses
+
+            from peakmatch_xcorr_spark.config import parse_band_spec
+
             try:
-                bands = tuple(
-                    (float(lo), float(hi))
-                    for lo, hi in (
-                        b.strip("[]").split("-", 1) for b in args.bands
-                    )
-                )
-            except ValueError:
-                p.error(
-                    f"invalid --bands {args.bands!r} - expecting hz ranges "
-                    "eg [1.5-5] [5-7.8]"
-                )
-            spectral = SpectralConf(
-                sample_rate=args.sample_rate, mean_amplitude_bands=bands
+                bands = parse_band_spec(args.bands)
+            except ValueError as e:
+                p.error(str(e))
+            spectral = dataclasses.replace(
+                base_spectral, mean_amplitude_bands=bands
             )
         if args.events:
             feats = feats.filter(feats.conv_id.isin(list(args.events)))
@@ -287,7 +331,6 @@ def main(argv: list[str] | None = None) -> None:
         # CLUSTER mode (ClusteringProcessor.java): band-feature vectors
         # -> blocked all-pairs distances -> KNN-under-eta edges ->
         # connected components with a deterministic size cap
-        from peakmatch_xcorr_spark.config import ClusterConf, SpectralConf
         from peakmatch_xcorr_spark.operators.clustering import (
             band_features,
             cluster_members,
@@ -298,8 +341,8 @@ def main(argv: list[str] | None = None) -> None:
         feats = conversation_features(
             load_transcripts(), conf.peakmatch, args.bucket, args.curve_len
         )
-        bf = band_features(feats, SpectralConf(sample_rate=args.sample_rate))
-        cconf = ClusterConf()
+        bf = band_features(feats, base_spectral)
+        cconf = base_cluster
         dists = pair_distances(bf, n_blocks=max(2, min(args.blocks, 16)))
         members = cluster_members(knn_edges(dists, cconf), cconf)
         snap = table(args.output or "clusters").overwrite(members, job_id="cluster")
@@ -322,6 +365,10 @@ def main(argv: list[str] | None = None) -> None:
             print(json.dumps({"version": snap.version, **snap.metrics}))
         elif args.action == "expire":
             print(json.dumps(t.expire_snapshots(keep_last=args.keep_last)))
+        elif args.action == "orphans":
+            print(json.dumps(
+                t.remove_orphans(older_than_s=args.older_than_hours * 3600)
+            ))
         else:  # delete
             from peakmatch_xcorr_spark.operators.merge import delete_rows
 

@@ -442,6 +442,57 @@ class WarehouseTable:
                 os.rmdir(full)
         return {"expired_snapshots": len(expired), "deleted_files": deleted}
 
+    def remove_orphans(self, older_than_s: float = 3600.0) -> dict:
+        """Delete data files no snapshot manifest references — the
+        debris of writers that died between ``_write_data`` and commit
+        or lost a ``ConcurrentCommitError`` race.  Iceberg's
+        remove_orphan_files counterpart; without it a crashy ingest
+        leaks storage forever, silently.
+
+        The age gate is the correctness condition: a LIVE writer that
+        has finished its parquet write but not yet committed owns
+        files younger than ``older_than_s``, so only files older than
+        the gate are touched — run it with a gate comfortably above
+        the longest plausible write-to-commit window (default 1h).
+        Marker files (_SUCCESS etc.) are swept only when their dir no
+        longer holds any data file."""
+        referenced = {
+            f["path"] for v in self.versions() for f in self.snapshot(v).files
+        }
+        referenced_dirs = {p.split(os.sep)[0] for p in referenced}
+        now = time.time()
+        deleted = 0
+        for d in sorted(os.listdir(self.data_dir)):
+            sub = os.path.join(self.data_dir, d)
+            if not os.path.isdir(sub):
+                continue
+            for fn in sorted(os.listdir(sub)):
+                if not fn.endswith(".parquet"):
+                    continue
+                rel = os.path.join(d, fn)
+                full = os.path.join(sub, fn)
+                if rel in referenced:
+                    continue
+                if now - os.path.getmtime(full) < older_than_s:
+                    continue
+                os.remove(full)
+                deleted += 1
+            leftover = os.listdir(sub)
+            if (
+                d not in referenced_dirs
+                and not any(fn.endswith(".parquet") for fn in leftover)
+                and all(
+                    now - os.path.getmtime(os.path.join(sub, fn)) >= older_than_s
+                    for fn in leftover
+                )
+            ):
+                # fully orphaned write dir: sweep markers (_SUCCESS,
+                # .crc) and drop the dir itself
+                for fn in leftover:
+                    os.remove(os.path.join(sub, fn))
+                os.rmdir(sub)
+        return {"orphans_deleted": deleted}
+
     def compact(self, spark: SparkSession, target_partitions: int = 1,
                 job_id: str | None = None,
                 zorder_keys: tuple[str, str] | None = None) -> Snapshot:

@@ -157,3 +157,42 @@ def test_cli_maintain_delete_requires_keys(capsys, cli_env):
     with pytest.raises(SystemExit):
         main(["maintain", "--action", "delete", "--warehouse",
               cli_env["warehouse"], "--cores", "4"])
+
+
+def test_cli_fromconf_runs_reference_conf_verbatim(capsys, cli_env, tmp_path):
+    """A reference user's xcorr.conf drives the engine without
+    translation: mode comes from the file's mode= line, knobs from
+    its keys.  PEAKMATCH via a conf file must produce the same
+    candidate count as the explicit CLI invocation."""
+    conf_path = tmp_path / "xcorr.conf"
+    conf_path.write_text(
+        "# comment line\n"
+        "mode\t= PEAKMATCH\n"
+        "expected-file-line-count = 4000\n"
+        "top-k-peaks = 2\n"
+        "sampling-stride = 5\n"
+        "top-amplitude-threshold = 0.3\n"
+        "candidate-threshold = 0.55\n"
+        "final-threshold = 0.7\n"
+        "normalise-events = true\n"
+        "dominantfreq.sample-rate = 100\n"
+        "dominantfreq.mean-frequency-amplitude-bands = [1-5] [5-8.5]\n"
+    )
+    out = json.loads(_run(
+        capsys, cli_env, "fromconf", "--conf", str(conf_path),
+        "--output", "cands_fromconf",
+    ))
+    base = json.loads(_run(
+        capsys, cli_env, "peakmatch", "--output", "cands_explicit",
+    ))
+    assert out["candidates"] == base["candidates"]
+
+
+def test_cli_fromconf_requires_conf_and_rejects_typos(capsys, cli_env, tmp_path):
+    with pytest.raises(SystemExit):
+        main(["fromconf", "--input", cli_env["input"], "--cores", "4"])
+    bad = tmp_path / "bad.conf"
+    bad.write_text("mode = PEAKMATCH\ncandidat-threshold = 0.5\n")
+    with pytest.raises(SystemExit):
+        main(["fromconf", "--conf", str(bad), "--input", cli_env["input"],
+              "--warehouse", cli_env["warehouse"], "--cores", "4"])

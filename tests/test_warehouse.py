@@ -1005,3 +1005,56 @@ def test_rollback_past_expiry_fails_loudly(spark, wh):
     t.expire_snapshots(keep_last=1)
     with pytest.raises(FileNotFoundError):
         t.rollback(1)
+
+
+def test_remove_orphans_sweeps_uncommitted_writes_only(spark, wh):
+    import time as _time
+
+    t = WarehouseTable(wh, "orphaned")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    committed = {f["path"] for f in t.snapshot(t.current_version()).files}
+    # simulate a writer that died between write and commit
+    orphan_files = t._write_data(
+        spark.createDataFrame([(9, 9.0)], "k long, v double")
+    )
+    assert orphan_files
+    # fresh orphan is protected by the age gate
+    assert t.remove_orphans(older_than_s=3600)["orphans_deleted"] == 0
+    # age the orphan dir's files past the gate
+    old = _time.time() - 7200
+    for f in orphan_files:
+        full = os.path.join(t.data_dir, f["path"])
+        os.utime(full, (old, old))
+        d = os.path.dirname(full)
+        for fn in os.listdir(d):
+            os.utime(os.path.join(d, fn), (old, old))
+    res = t.remove_orphans(older_than_s=3600)
+    assert res["orphans_deleted"] == len(orphan_files)
+    for f in orphan_files:
+        assert not os.path.exists(os.path.join(t.data_dir, f["path"]))
+    # committed data untouched and readable
+    for p in committed:
+        assert os.path.exists(os.path.join(t.data_dir, p))
+    assert t.read(spark).count() == 2
+    # idempotent
+    assert t.remove_orphans(older_than_s=3600)["orphans_deleted"] == 0
+
+
+def test_load_reference_conf_parses_real_reference_file():
+    """The loader must swallow the reference repo's own xcorr.conf
+    byte-for-byte (every key either mapped or a declared extra)."""
+    from peakmatch_xcorr_spark.config import load_reference_conf
+
+    mode, conf, extras = load_reference_conf("/root/reference/xcorr.conf")
+    assert mode == "PLOT1D"
+    assert conf.peakmatch.expected_len == 4000
+    assert conf.peakmatch.candidate_threshold == 0.55
+    assert conf.peakmatch.crop is False
+    assert conf.peakmatch.crop_min_peak_range == 250
+    assert conf.spectral.sample_rate == 50
+    assert conf.spectral.band_width == 0.25
+    assert conf.spectral.mean_amplitude_bands == (
+        (1.0, 5.0), (5.0, 8.5), (8.5, 10.0),
+    )
+    assert conf.cluster.k == 10 and conf.cluster.eta == 0.15
+    assert extras["threads"] == "2"
