@@ -25,7 +25,9 @@ re-expressed as engine jobs:
               snapshots + physically delete unreferenced files),
               delete (row-level COW purge by key set — the
               right-to-be-forgotten job; compose with expire to
-              remove the pre-delete files from disk)
+              remove the pre-delete files from disk), bloom
+              (metadata-only commit attaching per-file Bloom
+              filters for --key-col point-lookup file skipping)
 
 completing the reference's 9-mode dispatch (PLOT1D/PLOT2D are debug
 console formatters; PLOT2D exists as spectrogram_table).
@@ -54,7 +56,8 @@ def main(argv: list[str] | None = None) -> None:
                         "engine conf; with mode 'fromconf' its mode= "
                         "line also picks the job to run")
     p.add_argument("--action",
-                   choices=["compact", "expire", "delete", "orphans"],
+                   choices=["compact", "expire", "delete", "orphans",
+                            "bloom"],
                    default="compact", help="maintain mode action")
     p.add_argument("--older-than-hours", type=float, default=1.0,
                    help="maintain orphans: minimum file age to sweep")
@@ -70,8 +73,8 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--delete-keys", nargs="+", default=None,
                    help="maintain delete: key values to purge")
     p.add_argument("--key-col", default="conv_id",
-                   help="maintain delete: key column (values cast to "
-                        "its table type)")
+                   help="maintain delete/bloom: key column (delete "
+                        "values cast to its table type)")
     p.add_argument("--method", choices=["m4", "lttb", "ewma"], default="m4",
                    help="downsample mode: M4 buckets / LTTB budget / EWMA")
     p.add_argument("--out-bucket", default="1 hour",
@@ -369,6 +372,13 @@ def main(argv: list[str] | None = None) -> None:
             print(json.dumps(
                 t.remove_orphans(older_than_s=args.older_than_hours * 3600)
             ))
+        elif args.action == "bloom":
+            from peakmatch_xcorr_spark.operators.bloomindex import (
+                build_bloom_index,
+            )
+
+            snap = build_bloom_index(t, spark, args.key_col)
+            print(json.dumps({"version": snap.version, **snap.metrics}))
         else:  # delete
             from peakmatch_xcorr_spark.operators.merge import delete_rows
 
