@@ -2450,6 +2450,598 @@ GROUP BY cntrycode
 """
 
 
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecasting revenue change): the pure-scan
+    query — every predicate single-table, no join at all.  Its entire
+    value as a plan gate is WHERE the predicates run: all three must
+    reach the parquet scan (PushedFilters), the projection must prune
+    to the four referenced columns, and the aggregate must partial
+    map-side — one exchange of one row per task.
+
+    Boundary safety: l_discount carries exact 2dp generator values and
+    both engines parse the same literals, so the open interval
+    (0.025, 0.075) cannot straddle a stored value."""
+    _utc(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") > 0.025)
+            & (F.col("l_discount") < 0.075)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")) + 1e-9, 2
+            ).alias("revenue")
+        )
+    )
+
+
+_SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount) + 1e-9, 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount > 0.025 AND l_discount < 0.075
+  AND l_quantity < 24
+"""
+
+
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the two-role dimension join —
+    nation joins the fact TWICE under different roles (supplier's
+    nation, customer's nation) with a symmetric cross-role OR
+    predicate, grouped by both role names and ship year.
+
+    Scale shape: both nation joins broadcast (the OR pair-filter is
+    applied post-broadcast, never a shuffle key); supplier and
+    customer broadcast; the only shuffle is lineitem x orders on
+    orderkey plus the final 3-key partial agg."""
+    _utc(spark)
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _t(spark, sf_dir, "nation")
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).filter(F.col("supp_nation").isin(n1, n2))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("cn_key"),
+                                  F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cn_key"),
+    ).filter(F.col("cust_nation").isin(n1, n2))
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9,
+            2,
+        ).alias("revenue")
+    )
+
+
+_SQL_TPCH_Q7 = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): a conditional-fraction
+    aggregate — sum(CASE WHEN supplier-nation THEN volume END) /
+    sum(volume) per order year — over the widest join in the suite
+    (7 tables; the testdata has no partsupp, so part joins the fact
+    directly).  Customer side restricts the market (region ASIA),
+    supplier side only labels the numerator — the asymmetry is the
+    point of the shape.
+
+    Share rounded to 6dp: numerator/denominator are sums of ~1e4
+    doubles, so cross-engine accumulation jitter is ~1e-12 relative —
+    three orders below the rounding grain."""
+    _utc(spark)
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation")
+    cust_n = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(cust_n), F.col("c_nationkey") == F.col("cn_key")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("sn_key"),
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                        0.0
+                    )
+                )
+                / F.sum(vol)
+                + 1e-9,
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_SQL_TPCH_Q8 = """
+SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+       round(sum(CASE WHEN n2.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)) + 1e-9, 6
+       ) AS mkt_share
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region    ON n1.n_regionkey = r_regionkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): LIKE-pattern part slice
+    fanned out to (nation, year) profit.  The testdata has no
+    partsupp, so profit is l_extendedprice * (1 - l_discount) without
+    the ps_supplycost * l_quantity subtrahend — the join topology and
+    the substring-pattern scan predicate are the shape under test,
+    not the arithmetic.
+
+    Scale shape: the '%bolt%' LIKE cannot push to parquet as a stats
+    filter but DOES prune via the broadcast join (part is
+    dimension-sized); fact-side shuffle is lineitem x orders only."""
+    _utc(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            _t(spark, sf_dir, "nation").select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    j = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return j.groupBy(
+        "nation", F.year("o_orderdate").cast("int").alias("o_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) + 1e-9,
+            2,
+        ).alias("sum_profit")
+    )
+
+
+_SQL_TPCH_Q9 = """
+SELECT n_name AS nation,
+       CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)) + 1e-9, 2) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%bolt%'
+GROUP BY 1, 2
+"""
+
+
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): a correlated-min
+    subquery — keep only the (part, supplier) offers achieving the
+    per-part MINIMUM price among a region's suppliers — re-expressed
+    as aggregate-then-rejoin.  The testdata has no partsupp, so the
+    offer relation is lineitem itself (each shipment is an offer at
+    l_extendedprice) and the part slice is p_type plus a size band.
+
+    DISTINCT collapses repeat shipments at the same winning price.
+    The min-equality selection is float-safe: both engines take min
+    over the identical stored doubles and compare by equality — no
+    arithmetic happens on either side.
+
+    Scale shape: the per-part min is a map-side-combinable agg over
+    the already-dimension-pruned fact, broadcast back — the classic
+    argmin-per-group without a window over the whole fact."""
+    _utc(spark)
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15)
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    offers = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey", "p_type", "s_name", "s_acctbal", "n_name",
+            "l_extendedprice",
+        )
+    )
+    mins = offers.groupBy(F.col("p_partkey").alias("m_partkey")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    return (
+        offers.join(
+            F.broadcast(mins),
+            (F.col("p_partkey") == F.col("m_partkey"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_type",
+            F.round(F.col("min_price") + 1e-9, 2).alias("min_price"),
+        )
+        .distinct()
+    )
+
+
+_SQL_TPCH_Q2 = """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_type,
+       round(l_extendedprice + 1e-9, 2) AS min_price
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_type = 'ECONOMY' AND p_size <= 15 AND r_name = 'EUROPE'
+  AND l_extendedprice = (
+    SELECT min(l2.l_extendedprice)
+    FROM lineitem l2
+    JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+"""
+
+
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): group-by-HAVING against a
+    GLOBAL scalar — per-part value within one nation's suppliers,
+    kept only if it exceeds a fixed fraction of that slice's total.
+    The testdata has no partsupp, so value is sum(l_extendedprice)
+    over the nation's shipments per part.
+
+    Both sides of the HAVING comparison are rounded to 2dp first:
+    the threshold is 0.002 x a ~1e7 sum, so cross-engine
+    accumulation jitter (~1e-9 absolute) could otherwise flip a part
+    sitting exactly on the boundary.
+
+    Scale shape: one partial-agg shuffle builds the per-part values;
+    the total is a second aggregate OVER THE AGGREGATE's output (part
+    cardinality, not fact cardinality) broadcast back as a 1-row
+    frame — never a driver collect, never a second fact scan."""
+    _utc(spark)
+    nation = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("l_extendedprice").alias("raw_value"))
+    )
+    total = per_part.agg(
+        (F.sum("raw_value") * 0.002).alias("threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(
+            F.round(F.col("raw_value") + 1e-9, 2)
+            > F.round(F.col("threshold") + 1e-9, 2)
+        )
+        .select(
+            "l_partkey",
+            F.round(F.col("raw_value") + 1e-9, 2).alias("value"),
+        )
+    )
+
+
+_SQL_TPCH_Q11 = """
+SELECT l_partkey, round(sum(l_extendedprice) + 1e-9, 2) AS value
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+GROUP BY l_partkey
+HAVING round(sum(l_extendedprice) + 1e-9, 2) > (
+  SELECT round(sum(l_extendedprice) * 0.002 + 1e-9, 2)
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)
+"""
+
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (supplier relationship): COUNT(DISTINCT) per
+    part attribute triple, with BOTH a negated dimension slice
+    (brand <>, type NOT LIKE, size IN-list) and a NOT IN subquery
+    knocking out a supplier set.  The testdata has no partsupp or
+    s_comment, so the offer relation is lineitem and the excluded
+    suppliers are those with negative account balance.
+
+    Scale shape: the NOT IN is a broadcast LEFT ANTI join (the
+    excluded-supplier list is dimension-sized and null-free by
+    construction); count(distinct) shuffles on the 3 group keys with
+    the distinct key folded in via partial aggregation."""
+    _utc(spark)
+    bad_supp = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0
+  )
+GROUP BY 1, 2, 3
+"""
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): the doubly-nested
+    semi-join — suppliers qualify through an inner relation that
+    itself carries a correlated 0.5x-of-total threshold.  Without
+    partsupp, the inner relation is (supplier, part) shipment groups
+    over a LIKE-sliced part set: a pair qualifies when its 1999
+    shipped quantity exceeds half its ALL-TIME shipped quantity, and
+    a region's suppliers with any qualifying pair are returned.
+
+    The 0.5x comparison is exact: quantities are integer-valued
+    doubles, so both the year-sum and half the all-time sum are
+    exactly representable — no epsilon needed.
+
+    Scale shape: both aggregates are partial-agg shuffles on
+    (suppkey, partkey) over the SAME dimension-pruned fact slice
+    (one scan, reused); the qualifying-supplier set is distinct-
+    projected to one column and broadcast as a LEFT SEMI build side."""
+    _utc(spark)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%bolt%"))
+    li = _t(spark, sf_dir, "lineitem")
+    bolt = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+    alltime = bolt.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    y1999 = (
+        bolt.filter(
+            (F.col("l_shipdate") >= "1999-01-01")
+            & (F.col("l_shipdate") < "2000-01-01")
+        )
+        .groupBy(
+            F.col("l_suppkey").alias("y_suppkey"),
+            F.col("l_partkey").alias("y_partkey"),
+        )
+        .agg(F.sum("l_quantity").alias("y_qty"))
+    )
+    qual = (
+        y1999.join(
+            alltime,
+            (F.col("y_suppkey") == F.col("l_suppkey"))
+            & (F.col("y_partkey") == F.col("l_partkey")),
+        )
+        .filter(F.col("y_qty") > 0.5 * F.col("total_qty"))
+        .select(F.col("y_suppkey").alias("q_suppkey"))
+        .distinct()
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    return (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(qual),
+            F.col("s_suppkey") == F.col("q_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "n_name")
+    )
+
+
+_SQL_TPCH_Q20 = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT l1.l_suppkey
+    FROM lineitem l1
+    JOIN part ON l1.l_partkey = p_partkey
+    WHERE p_name LIKE '%bolt%'
+      AND l1.l_shipdate >= TIMESTAMP '1999-01-01'
+      AND l1.l_shipdate <  TIMESTAMP '2000-01-01'
+    GROUP BY l1.l_suppkey, l1.l_partkey
+    HAVING sum(l1.l_quantity) > 0.5 * (
+      SELECT sum(l2.l_quantity) FROM lineitem l2
+      WHERE l2.l_partkey = l1.l_partkey AND l2.l_suppkey = l1.l_suppkey
+    )
+  )
+"""
+
+
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): the
+    EXISTS + NOT-EXISTS double correlation — count a supplier's late
+    lines in finalized multi-supplier orders where it was the ONLY
+    late supplier.  The testdata has no l_commitdate/l_receiptdate,
+    so "late" is l_shipdate more than 30 days after o_orderdate, and
+    the supplier slice is region ASIA.
+
+    Spark-first rewrite: instead of two correlated self-joins against
+    the fact (each a full lineitem shuffle, the naive translation),
+    ONE pass builds per-(order, supplier) late-line counts, a second
+    dimension-sized agg derives per-order supplier/late-supplier
+    counts, and the EXISTS / NOT-EXISTS pair becomes two integer
+    predicates (n_supp >= 2, n_late_supp == 1) on the broadcast-
+    rejoined result.  The DuckDB oracle runs the literal EXISTS form,
+    proving the rewrite equivalent."""
+    _utc(spark)
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 30 DAYS"
+    )
+    per_os = lines.groupBy("o_orderkey", "l_suppkey").agg(
+        F.sum(F.when(late, 1).otherwise(0)).alias("late_lines")
+    )
+    per_o = per_os.groupBy(F.col("o_orderkey").alias("agg_orderkey")).agg(
+        F.count("*").alias("n_supp"),
+        F.sum((F.col("late_lines") > 0).cast("int")).alias("n_late_supp"),
+    )
+    waiting = (
+        per_os.filter(F.col("late_lines") > 0)
+        .join(
+            per_o,
+            (F.col("o_orderkey") == F.col("agg_orderkey"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1),
+        )
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    return (
+        waiting.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.sum("late_lines").cast("bigint").alias("numwait"))
+    )
+
+
+_SQL_TPCH_Q21 = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders      ON o_orderkey = l1.l_orderkey
+JOIN nation      ON s_nationkey = n_nationkey
+JOIN region      ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 30 DAY
+  )
+GROUP BY s_name
+"""
+
+
 def _q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct users per event type (rsd=0.02) — the
     100 TB path for distinct counts: one mergeable-sketch pass,
@@ -2630,6 +3222,53 @@ SELECT user_id, ts, round(value + 1e-9, 6) AS value
 FROM events, b
 WHERE user_id BETWEEN 10 AND 40
   AND ts >= b.lo AND ts <= b.lo + INTERVAL 10 DAY
+"""
+
+
+def _q_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file Bloom-index point lookup (operators/bloomindex.py),
+    value-checked: events land in a throwaway warehouse laid out by ts
+    (so min/max bounds on user_id span the whole domain and prove
+    nothing), a metadata-only index commit attaches per-file blooms
+    for user_id, and the bloom+bounds-pruned equality scan must equal
+    DuckDB's plain filter — proving the index skips files, never rows.
+    The companion pytest (tests/test_bloomindex.py) proves the
+    skipping side: absent keys read 0 files, clustered present keys
+    read ~1 of 32."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.bloomindex import (
+        build_bloom_index,
+        point_lookup,
+    )
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    root = tempfile.mkdtemp(prefix="pxs_bloom_q_")
+    try:
+        t = WarehouseTable(root, "events_b")
+        t.append(ev.repartitionByRange(16, "ts"))
+        build_bloom_index(t, spark, "user_id", fpp=0.01)
+        df, stats = point_lookup(t, spark, "user_id", 42)
+        if df is None or stats["files_read"] == 0:
+            # raise, not assert: user 42 exists at every sf of the
+            # generated events table; zero surviving files means the
+            # index produced a false negative
+            raise RuntimeError(f"bloom lookup pruned away real rows: {stats}")
+        out = df.select(
+            "user_id", "ts", F.round(F.col("value") + 1e-9, 6).alias("value")
+        )
+        # materialize before the temp warehouse disappears
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_BLOOM_POINT = """
+SELECT user_id, ts, round(value + 1e-9, 6) AS value
+FROM events WHERE user_id = 42
 """
 
 
@@ -3665,6 +4304,15 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tpch_q4": (_q_tpch_q4, _SQL_TPCH_Q4),
     "tpch_q5": (_q_tpch_q5, _SQL_TPCH_Q5),
     "tpch_q10": (_q_tpch_q10, _SQL_TPCH_Q10),
+    "tpch_q2": (_q_tpch_q2, _SQL_TPCH_Q2),
+    "tpch_q6": (_q_tpch_q6, _SQL_TPCH_Q6),
+    "tpch_q7": (_q_tpch_q7, _SQL_TPCH_Q7),
+    "tpch_q8": (_q_tpch_q8, _SQL_TPCH_Q8),
+    "tpch_q9": (_q_tpch_q9, _SQL_TPCH_Q9),
+    "tpch_q11": (_q_tpch_q11, _SQL_TPCH_Q11),
+    "tpch_q16": (_q_tpch_q16, _SQL_TPCH_Q16),
+    "tpch_q20": (_q_tpch_q20, _SQL_TPCH_Q20),
+    "tpch_q21": (_q_tpch_q21, _SQL_TPCH_Q21),
     "ivf_topk_exhaustive": (_q_ivf_topk_exhaustive, _SQL_IVF_TOPK_EXHAUSTIVE),
     "topk_per_group": (_q_topk_per_group, _SQL_TOPK),
     "sessionize": (_q_sessionize, _SQL_SESSIONIZE),
@@ -3693,6 +4341,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "frequent_tokens": (_q_frequent_tokens, None),
     "quantile_sketch_values": (_q_quantile_sketch_values, None),
     "zorder_pruned_scan": (_q_zorder_pruned_scan, _SQL_ZORDER_PRUNED),
+    "bloom_point_lookup": (_q_bloom_point_lookup, _SQL_BLOOM_POINT),
     "merge_upsert_tier": (_q_merge_upsert, _SQL_MERGE_UPSERT),
     "delete_users_tier": (_q_delete_users_tier, _SQL_DELETE_USERS),
     "time_travel_tier": (_q_time_travel_tier, _SQL_TIME_TRAVEL),
