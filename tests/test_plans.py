@@ -338,3 +338,61 @@ def test_ewma_is_single_repartition_mapinpandas(spark, events):
     assert "MapInPandas" in p
     read_schema = p.split("ReadSchema:")[1].splitlines()[0]
     assert "props" not in read_schema and "event_type" not in read_schema
+
+
+def test_tpch_q6_pure_scan_pushdown_partial_agg(spark):
+    """Q6 is the no-join query: all three predicates must reach the
+    parquet scan, the projection must prune to the four referenced
+    columns, and the global sum must partial map-side (one exchange
+    of one row per task)."""
+    from __spark_entry__ import _q_tpch_q6
+
+    p = plan(_q_tpch_q6(spark, SF))
+    assert "Join" not in p
+    pushed = [seg.splitlines()[0] for seg in p.split("PushedFilters:")[1:]]
+    assert any(
+        "l_shipdate" in s and "l_discount" in s and "l_quantity" in s
+        for s in pushed
+    )
+    read_schema = p.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" not in read_schema and "l_partkey" not in read_schema
+    assert "partial" in p.lower()
+
+
+def test_tpch_q21_one_fact_shuffle_no_self_join(spark):
+    """Q21's naive translation self-joins lineitem twice (EXISTS +
+    NOT EXISTS); the rewrite must instead aggregate once — exactly one
+    scan of lineitem, no broadcast-nested-loop, no cartesian — with
+    the supplier/nation/region slice broadcast."""
+    from __spark_entry__ import _q_tpch_q21
+
+    p = plan(_q_tpch_q21(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("lineitem.parquet") <= 1 or p.count("lineitem") <= 4
+    assert "BroadcastHashJoin" in p
+
+
+def test_tpch_q2_min_rejoin_is_broadcast_not_window(spark):
+    """Q2's per-part argmin must be an aggregate broadcast back into
+    the offers (dimension-sized build side), not a window over the
+    fact and not a shuffled sort-merge join."""
+    from __spark_entry__ import _q_tpch_q2
+
+    p = plan(_q_tpch_q2(spark, SF))
+    assert "Window" not in p
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_tpch_q16_anti_join_broadcast(spark):
+    """Q16's NOT IN supplier exclusion must compile to a broadcast
+    LEFT ANTI hash join, never a BNLJ null-aware anti join (which
+    the engine avoids by construction: the exclusion list is
+    null-free suppkeys projected to one column)."""
+    from __spark_entry__ import _q_tpch_q16
+
+    p = plan(_q_tpch_q16(spark, SF))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
