@@ -3439,6 +3439,63 @@ GROUP BY 1, 2
 """
 
 
+def _q_wap_publish_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish contract (sources/warehouse.py
+    create_branch/publish_branch): the even-user 1h tier is committed
+    to main, the odd-user rollup lands on an audit branch — invisible
+    to main readers — and a metadata-only fast-forward publish makes
+    main equal DuckDB's FULL rollup.  Both isolation sides are
+    asserted as preconditions, so a green hash here proves unaudited
+    rows never leaked AND the publish lost no rows.  Mirrors the
+    reference's commit-then-read phase contract (xcorr.candidates →
+    xcorr.postprocess, XCorrProcessor.java:36-40) with Iceberg-ref
+    semantics."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    rolled = tumbling_rollup(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour"
+    ).select("user_id", "bucket_start", "turns", "vavg")
+    root = tempfile.mkdtemp(prefix="pxs_wap_q_")
+    try:
+        t = WarehouseTable(root, "tier_1h")
+        t.append(rolled.filter(F.col("user_id") % 2 == 0))
+        main_before = t.count_rows()
+        br = t.create_branch("audit")
+        br.append(rolled.filter(F.col("user_id") % 2 == 1))
+        # isolation precondition: the branch append must not have
+        # moved main (ValueError, not assert: must survive -O)
+        if t.count_rows() != main_before:
+            raise ValueError(
+                "branch append changed main row count "
+                f"({main_before} -> {t.count_rows()}): WAP isolation broken"
+            )
+        snap = t.publish_branch("audit", job_id="wap_contract")
+        if snap.operation != "publish":
+            raise ValueError(f"expected publish snapshot, got {snap.operation}")
+        out = t.read(spark).select(
+            "user_id",
+            "bucket_start",
+            "turns",
+            F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_WAP_PUBLISH = """
+SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+       count(*) AS turns, round(avg(value) + 1e-9, 6) AS vavg
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch-style relative-error quantiles of events.value
     (operators/sketches.py quantile_sketch): map-side log-bucket
@@ -4345,6 +4402,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "merge_upsert_tier": (_q_merge_upsert, _SQL_MERGE_UPSERT),
     "delete_users_tier": (_q_delete_users_tier, _SQL_DELETE_USERS),
     "time_travel_tier": (_q_time_travel_tier, _SQL_TIME_TRAVEL),
+    "wap_publish_tier": (_q_wap_publish_tier, _SQL_WAP_PUBLISH),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),

@@ -417,13 +417,20 @@ class WarehouseTable:
         the horizon become unavailable (standard Iceberg semantics);
         current reads are untouched."""
         vs = self.versions()
-        expired = vs[:-keep_last] if len(vs) > keep_last else []
+        tagged = set(self.tags().values())
+        expired = [
+            v for v in (vs[:-keep_last] if len(vs) > keep_last else [])
+            if v not in tagged  # tagged snapshots are pinned until drop_tag
+        ]
         if not expired:
             return {"expired_snapshots": 0, "deleted_files": 0}
         keep = set(vs) - set(expired)
         referenced = {
             f["path"] for v in keep for f in self.snapshot(v).files
         }
+        # in-flight audits pin their files too: expiring main history
+        # must never delete parquet a live branch still reads
+        referenced |= self._branch_referenced_files()
         deleted = 0
         for v in expired:
             for f in self.snapshot(v).files:
@@ -459,6 +466,8 @@ class WarehouseTable:
         referenced = {
             f["path"] for v in self.versions() for f in self.snapshot(v).files
         }
+        # a live branch's un-published appends are NOT orphans
+        referenced |= self._branch_referenced_files()
         referenced_dirs = {p.split(os.sep)[0] for p in referenced}
         now = time.time()
         deleted = 0
@@ -598,6 +607,198 @@ class WarehouseTable:
         return self.read_paths(
             spark, self.diff_files(from_version, to_version),
             version=to_version,
+        )
+
+    # ---- refs: tags + branches (write-audit-publish) ----
+    # Iceberg keeps named refs in table metadata; here each ref is one
+    # JSON file so creation inherits the same loser-must-fail commit
+    # contract as snapshot manifests (_exclusive_write_json).
+
+    @property
+    def _refs_dir(self) -> str:
+        d = os.path.join(self.dir, "refs")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (release audits,
+        reproducible training runs).  Tagged snapshots — manifest AND
+        data files — survive ``expire_snapshots`` until the tag is
+        dropped; re-pointing requires drop + create, never overwrite."""
+        v = version if version is not None else self.current_version()
+        if v is None or not os.path.exists(
+            os.path.join(self.snap_dir, f"v{v:05d}.json")
+        ):
+            raise FileNotFoundError(f"cannot tag: snapshot v{v} does not exist")
+        try:
+            _exclusive_write_json(
+                os.path.join(self._refs_dir, f"{name}.json"),
+                {"name": name, "type": "tag", "snapshot_version": v,
+                 "created_at": time.time()},
+            )
+        except ConcurrentCommitError:
+            raise ValueError(
+                f"tag {name!r} already exists; tags are immutable — "
+                "drop_tag first to re-point"
+            ) from None
+        return v
+
+    def tags(self) -> dict[str, int]:
+        if not os.path.isdir(os.path.join(self.dir, "refs")):
+            return {}
+        out = {}
+        for fn in sorted(os.listdir(self._refs_dir)):
+            if not fn.endswith(".json"):
+                continue
+            with open(os.path.join(self._refs_dir, fn)) as f:
+                j = json.load(f)
+            out[j["name"]] = j["snapshot_version"]
+        return out
+
+    def read_tag(self, spark: SparkSession, name: str) -> DataFrame:
+        tags = self.tags()
+        if name not in tags:
+            raise FileNotFoundError(f"no tag {name!r} on table {self.dir}")
+        return self.read(spark, version=tags[name])
+
+    def drop_tag(self, name: str) -> None:
+        os.remove(os.path.join(self._refs_dir, f"{name}.json"))
+
+    @property
+    def _branches_dir(self) -> str:
+        return os.path.join(self.dir, "branches")
+
+    def create_branch(self, name: str) -> "WarehouseBranch":
+        """Start a write-audit-publish branch at the current head.
+        Branch commits share the main table's data directory (publish
+        is metadata-only, like an Iceberg fast-forward) but chain
+        snapshots in their own directory, so main readers never see
+        unaudited rows."""
+        br = WarehouseBranch(self, name)
+        if br.versions():
+            raise ValueError(f"branch {name!r} already exists")
+        cur = self.current_version()
+        head = self.snapshot(cur) if cur is not None else None
+        base = Snapshot(
+            version=1, parent=None, operation="branch",
+            files=list(head.files) if head else [],
+            job_id=None,
+            metrics={"base_version": cur, "created_at": time.time()},
+            schema=head.schema if head else None,
+        )
+        _exclusive_write_json(
+            os.path.join(br.snap_dir, "v00001.json"), base.to_json()
+        )
+        return br
+
+    def branch(self, name: str) -> "WarehouseBranch":
+        br = WarehouseBranch(self, name)
+        if not br.versions():
+            raise FileNotFoundError(f"no branch {name!r} on table {self.dir}")
+        return br
+
+    def list_branches(self) -> list[str]:
+        if not os.path.isdir(self._branches_dir):
+            return []
+        return sorted(
+            d for d in os.listdir(self._branches_dir)
+            if os.path.isdir(os.path.join(self._branches_dir, d, "snapshots"))
+        )
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a branch (audit failed).  Metadata-only: data files
+        the branch wrote become unreferenced and are collected by the
+        normal ``remove_orphans`` sweep — never deleted inline, because
+        a concurrent publish racing the drop must lose at the manifest,
+        not read half-deleted parquet."""
+        import shutil
+
+        br = self.branch(name)  # raises if absent
+        shutil.rmtree(br.dir)
+
+    def publish_branch(self, name: str, job_id: str | None = None) -> Snapshot:
+        """Fast-forward the audited branch into the main chain as ONE
+        atomic commit (squash publish).  The published manifest is
+        pinned at ``base_version + 1``: if ANY writer committed to main
+        since the branch was cut, the exclusive manifest write loses
+        and the publisher must re-branch and re-audit — the same
+        no-silent-clobber contract as every other commit here.  Data
+        files are shared with main's data dir, so publish moves zero
+        bytes."""
+        br = self.branch(name)
+        bhead = br.current_version()
+        if bhead is None or bhead == 1:
+            raise ValueError(f"branch {name!r} has no commits to publish")
+        base = br.base_version
+        expected = (base or 0) + 1
+        cur = self.current_version()
+        if cur != base:
+            raise ConcurrentCommitError(
+                f"cannot fast-forward branch {name!r}: main advanced to "
+                f"v{cur} past the branch base v{base} — re-branch from "
+                "the new head and re-run the audit"
+            )
+        head = br.snapshot(bhead)
+        snap = Snapshot(
+            version=expected, parent=base, operation="publish",
+            files=head.files, job_id=job_id,
+            metrics={
+                "branch": name,
+                "branch_commits": bhead - 1,
+                "rows": sum(f["rows"] for f in head.files),
+                "committed_at": time.time(),
+            },
+            schema=head.schema,
+        )
+        _exclusive_write_json(
+            os.path.join(self.snap_dir, f"v{expected:05d}.json"),
+            snap.to_json(),
+        )
+        return snap
+
+    def _branch_referenced_files(self) -> set[str]:
+        """Data files any live branch snapshot references — maintenance
+        on main must treat these as reachable or a GC sweep would pull
+        parquet out from under an in-flight audit."""
+        out: set[str] = set()
+        for name in self.list_branches():
+            br = WarehouseBranch(self, name)
+            for v in br.versions():
+                out.update(f["path"] for f in br.snapshot(v).files)
+        return out
+
+
+class WarehouseBranch(WarehouseTable):
+    """A branch is a WarehouseTable with its own snapshot chain under
+    ``<table>/branches/<name>/snapshots`` sharing the parent's data
+    directory — every write/read/diff/delete operator works on it
+    unchanged, and publish is a metadata-only fast-forward."""
+
+    def __init__(self, parent: WarehouseTable, name: str):
+        if os.sep in name or not name:
+            raise ValueError(f"invalid branch name {name!r}")
+        self.parent_table = parent
+        self.name = name
+        self.dir = os.path.join(parent.dir, "branches", name)
+        self.data_dir = parent.data_dir  # shared: publish moves no bytes
+        self.snap_dir = os.path.join(self.dir, "snapshots")
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    @property
+    def base_version(self) -> int | None:
+        return self.snapshot(1).metrics.get("base_version")
+
+    # storage maintenance reasons over the UNION of main + branch
+    # references; a branch-scoped sweep would see main-only files as
+    # orphans and delete live data — refuse loudly instead.
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        raise RuntimeError(
+            "run expire_snapshots on the main table, not a branch"
+        )
+
+    def remove_orphans(self, older_than_s: float = 3600.0) -> dict:
+        raise RuntimeError(
+            "run remove_orphans on the main table, not a branch"
         )
 
 
