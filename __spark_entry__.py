@@ -1775,6 +1775,49 @@ FROM clicks c ASOF LEFT JOIN hourly h
 """
 
 
+def _q_interval_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed event-time interval join (operators/asof.py
+    interval_join): purchases within 1 hour after each click, per
+    user — funnel attribution.  The plan is a plain equi-join on
+    (user_id, time-bucket) with each click exploding to exactly two
+    adjacent buckets; the oracle is the literal theta join.  Lag is
+    emitted in integer microseconds so both engines hash identical
+    values."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.asof import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = interval_join(
+        clicks, purchases, ["user_id"], 0.0, 3600.0,
+        right_cols=["purchase_id"],
+    )
+    return out.select(
+        "user_id", "click_id",
+        F.col("right_purchase_id").alias("purchase_id"),
+        (
+            F.unix_micros(F.col("right_ts"))
+            - F.unix_micros(F.col("ts").cast("timestamp"))
+        ).alias("lag_us"),
+    )
+
+
+_SQL_INTERVAL_JOIN = """
+SELECT a.user_id, a.event_id AS click_id, b.event_id AS purchase_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_us(b.ts) >= epoch_us(a.ts)
+ AND epoch_us(b.ts) <  epoch_us(a.ts) + 3600000000
+WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+"""
+
+
 def _q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     _utc(spark)
     from peakmatch_xcorr_spark.operators.asof import time_weighted_avg
@@ -4417,6 +4460,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "band_range_join": (_q_band_range_join, _SQL_BAND_JOIN),
     "distinct_counts": (_q_distinct_counts, _SQL_DISTINCT),
     "asof_join_clicks": (_q_asof_join, _SQL_ASOF),
+    "interval_join_funnel": (_q_interval_join_funnel, _SQL_INTERVAL_JOIN),
     "time_weighted_avg_1h": (_q_time_weighted_avg, _SQL_TWA),
     "percentiles_by_type": (_q_percentiles, _SQL_PERCENTILES),
     "dedup_components_planted": (

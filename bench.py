@@ -137,6 +137,7 @@ def headline_queries(spark, sf_dir: str):
         "quantile_sketch_values",  # one-pass DDSketch over events.value
         "m4_downsample_1h",        # struct-min/max pixel downsample (pure JVM)
         "ewma_smooth",             # O(1)-state mapInPandas recursion
+        "interval_join_funnel",    # bucketed event-time range join
     ):
         fn = registry[name]
         extra[name] = (lambda f=fn: f(spark, sf_dir).count())

@@ -221,6 +221,61 @@ def stateful_ewma(
     )
 
 
+def streaming_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    lo_s: float,
+    hi_s: float,
+    watermark: str = "1 hour",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    prefix: str = "right_",
+) -> DataFrame:
+    """Stream-stream inner join with the batch ``interval_join``
+    semantics: right rows with ``right_ts`` in
+    ``[left_ts + lo_s, left_ts + hi_s)`` per key, half-open.
+
+    Here the range condition is passed straight to Spark's
+    stream-stream join: with watermarks on BOTH sides plus an
+    event-time constraint, the state store evicts a buffered left row
+    once the right watermark passes ``left_ts + hi_s`` (and vice
+    versa), so state is bounded by watermark × arrival rate — the
+    property that makes this runnable forever.  No bucketing rewrite
+    is needed: streaming state IS the hash index, keyed and pruned by
+    the time constraint, where the batch path (operators/asof.py)
+    must build that index per job via bucket keys."""
+    if hi_s <= lo_s:
+        raise ValueError(f"empty interval: [{lo_s}, {hi_s})")
+    right_cols = right_cols or [
+        c for c in right.columns if c not in (*keys, right_ts)
+    ]
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = (
+        right.select(
+            *keys,
+            F.col(right_ts).alias(f"{prefix}{right_ts}"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        )
+        .withWatermark(f"{prefix}{right_ts}", watermark)
+        .alias("r")
+    )
+    rts = F.col(f"r.{prefix}{right_ts}")
+    lts = F.col(f"l.{left_ts}").cast("timestamp")
+    cond = (
+        (rts >= lts + F.expr(f"INTERVAL {int(lo_s * 1e6)} MICROSECOND"))
+        & (rts < lts + F.expr(f"INTERVAL {int(hi_s * 1e6)} MICROSECOND"))
+    )
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    return l.join(r, cond, "inner").select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        f"{prefix}{right_ts}",
+        *[f"{prefix}{c}" for c in right_cols],
+    )
+
+
 def streaming_sessionize(
     stream: DataFrame,
     gap: str = "30 minutes",

@@ -203,3 +203,127 @@ def test_asof_join_row_level_semantics_with_nulls(spark):
     # left 00:01:50 matches right 00:01:40: x must be null (NOT the
     # older row's 5.0), y = 7.0; tolerance vs 00:01:40 passes
     assert pd.isna(out.right_x.iloc[1]) and out.right_y.iloc[1] == 7.0
+
+
+# ---- interval_join (bucketed event-time range join) ----
+
+
+def _theta_oracle(spark, left_pd, right_pd, keys, lo_s, hi_s):
+    """Literal theta-join oracle: cross + exact range filter."""
+    import itertools
+
+    rows = []
+    for _, a in left_pd.iterrows():
+        for _, b in right_pd.iterrows():
+            if any(a[k] != b[k] for k in keys):
+                continue
+            d = (b.ts - a.ts).total_seconds()
+            if lo_s <= d < hi_s:
+                rows.append((a.id, b.id))
+    return sorted(rows)
+
+
+@pytest.fixture()
+def interval_frames(spark):
+    rng = np.random.default_rng(42)
+    n_l, n_r = 120, 150
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n_l),
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 3600_000_000, n_l), unit="us"),
+            "id": np.arange(n_l),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 3, n_r),
+            "ts": base
+            + pd.to_timedelta(rng.integers(0, 3600_000_000, n_r), unit="us"),
+            "id": np.arange(n_r) + 1000,
+            "v": rng.normal(size=n_r),
+        }
+    )
+    left["ts"] = left.ts.astype("datetime64[us]")
+    right["ts"] = right.ts.astype("datetime64[us]")
+    return left, right
+
+
+@pytest.mark.parametrize("lo_s,hi_s", [(0.0, 60.0), (-30.0, 30.0), (-90.0, -30.0)])
+def test_interval_join_matches_theta_oracle(spark, interval_frames, lo_s, hi_s):
+    from peakmatch_xcorr_spark.operators.asof import interval_join
+
+    left_pd, right_pd = interval_frames
+    out = interval_join(
+        spark.createDataFrame(left_pd),
+        spark.createDataFrame(right_pd),
+        ["k"],
+        lo_s,
+        hi_s,
+    )
+    got = sorted(
+        (r["id"], r["right_id"]) for r in out.select("id", "right_id").collect()
+    )
+    assert got == _theta_oracle(spark, left_pd, right_pd, ["k"], lo_s, hi_s)
+    assert len(got) > 0  # non-vacuous at this density
+
+
+def test_interval_join_no_key_pure_time(spark, interval_frames):
+    from peakmatch_xcorr_spark.operators.asof import interval_join
+
+    left_pd, right_pd = interval_frames
+    out = interval_join(
+        spark.createDataFrame(left_pd.head(40)),
+        spark.createDataFrame(right_pd.head(40)),
+        [],
+        0.0,
+        120.0,
+    )
+    got = sorted(
+        (r["id"], r["right_id"]) for r in out.select("id", "right_id").collect()
+    )
+    assert got == _theta_oracle(
+        spark, left_pd.head(40), right_pd.head(40), [], 0.0, 120.0
+    )
+
+
+def test_interval_join_boundaries_half_open(spark):
+    """rt == lt+lo is IN; rt == lt+hi is OUT (half-open window)."""
+    from peakmatch_xcorr_spark.operators.asof import interval_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": [1], "ts": [base], "id": [0]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": [1, 1, 1],
+                "ts": pd.Series(
+                    [base + pd.Timedelta(seconds=s) for s in (10, 30, 70)]
+                ).astype("datetime64[us]"),
+                "id": [1, 2, 3],
+            }
+        )
+    )
+    out = interval_join(left, right, ["k"], 10.0, 70.0)
+    assert sorted(r["right_id"] for r in out.collect()) == [1, 2]
+
+
+def test_interval_join_plan_is_bucketed_equi_join(spark, interval_frames):
+    """The scale contract: a hash/sort-merge equi-join on the bucket
+    key — never BNLJ or cartesian, even with NO join key — and the
+    left-side explode produces exactly 2 bucket rows per input row."""
+    from peakmatch_xcorr_spark.operators.asof import interval_join
+
+    left_pd, right_pd = interval_frames
+    l, r = spark.createDataFrame(left_pd), spark.createDataFrame(right_pd)
+    for keys in (["k"], []):
+        out = interval_join(l, r, keys, -30.0, 30.0)
+        p = out._sc._jvm.PythonSQLUtils.explainString(
+            out._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        assert ("SortMergeJoin" in p) or ("HashJoin" in p)

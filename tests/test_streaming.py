@@ -185,3 +185,45 @@ def test_streaming_dedup_turns_drops_replays(spark, tmp_path):
         exp.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_streaming_interval_join_matches_batch(spark, stream_dir):
+    """Stream-stream interval join (user turn -> assistant turns within
+    the next 60s, per conversation) emits exactly the batch
+    interval_join's row set."""
+    from peakmatch_xcorr_spark.operators.asof import interval_join
+    from peakmatch_xcorr_spark.streaming.activity import (
+        streaming_interval_join,
+    )
+
+    path, pdf = stream_dir
+    users = read_transcript_stream(spark, path).filter("role = 'user'")
+    asst = read_transcript_stream(spark, path).filter("role = 'assistant'")
+    joined = streaming_interval_join(
+        users.select("conv_id", "turn_idx", "ts"),
+        asst.select("conv_id", "turn_idx", "ts"),
+        ["conv_id"],
+        0.0,
+        60.0,
+        watermark="10 minutes",
+    )
+    run_stream_to_memory(joined, "s_ijoin", mode="append")
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.right_turn_idx)
+        for r in spark.sql("SELECT * FROM s_ijoin").collect()
+    )
+    full = spark.createDataFrame(pdf)
+    want = sorted(
+        (r.conv_id, r.turn_idx, r.right_turn_idx)
+        for r in interval_join(
+            full.filter("role = 'user'").select("conv_id", "turn_idx", "ts"),
+            full.filter("role = 'assistant'").select(
+                "conv_id", "turn_idx", "ts"
+            ),
+            ["conv_id"],
+            0.0,
+            60.0,
+        ).collect()
+    )
+    assert len(want) > 0
+    assert got == want
