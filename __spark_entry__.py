@@ -3539,6 +3539,63 @@ GROUP BY 1, 2
 """
 
 
+def _q_changelog_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC between snapshots (sources/warehouse.py
+    changelog): v1 = even-user hourly rollup, v2 = odd-user append,
+    v3 = COW delete of users divisible by 10.  changelog(v1, v3) must
+    net out the COW rewrite's carried rows and report exactly the
+    appended odd rows as inserts and the deleted multiples of 10 as
+    deletes — which DuckDB derives directly from the events table.
+    This is the consumption side of the reference's file-per-phase
+    IR (XCorrProcessor.java:36-40): downstream jobs tail changes
+    instead of re-reading the table."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    rolled = tumbling_rollup(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "value", "1 hour"
+    ).select("user_id", "bucket_start", "turns", "vavg")
+    root = tempfile.mkdtemp(prefix="pxs_cdc_q_")
+    try:
+        t = WarehouseTable(root, "tier_1h")
+        t.append(rolled.filter(F.col("user_id") % 2 == 0))
+        v1 = t.current_version()
+        t.append(rolled.filter(F.col("user_id") % 2 == 1))
+        delete_rows(
+            t, spark,
+            rolled.filter(F.col("user_id") % 10 == 0)
+            .select("user_id").distinct(),
+            ["user_id"],
+        )
+        out = t.changelog(spark, v1, t.current_version()).select(
+            "user_id", "bucket_start", "turns",
+            F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+            "_change_type",
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_CHANGELOG = """
+WITH rolled AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+         count(*) AS turns, round(avg(value) + 1e-9, 6) AS vavg
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, bucket_start, turns, vavg, 'insert' AS _change_type
+FROM rolled WHERE user_id % 2 = 1
+UNION ALL
+SELECT user_id, bucket_start, turns, vavg, 'delete' AS _change_type
+FROM rolled WHERE user_id % 2 = 0 AND user_id % 10 = 0
+"""
+
+
 def _q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch-style relative-error quantiles of events.value
     (operators/sketches.py quantile_sketch): map-side log-bucket
@@ -4446,6 +4503,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "delete_users_tier": (_q_delete_users_tier, _SQL_DELETE_USERS),
     "time_travel_tier": (_q_time_travel_tier, _SQL_TIME_TRAVEL),
     "wap_publish_tier": (_q_wap_publish_tier, _SQL_WAP_PUBLISH),
+    "changelog_tier": (_q_changelog_tier, _SQL_CHANGELOG),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),

@@ -609,6 +609,53 @@ class WarehouseTable:
             version=to_version,
         )
 
+    def changelog(
+        self, spark: SparkSession, from_version: int | None, to_version: int
+    ) -> DataFrame:
+        """Net row-level changes between two snapshots as a DataFrame
+        with a ``_change_type`` column ('insert' | 'delete') — Iceberg
+        ``create_changelog_view`` net-change semantics, the CDC feed a
+        downstream consumer tails instead of re-reading the table.
+
+        Cost is bounded by CHURN, not table size: only files present
+        in exactly one of the two manifests are read (a COW rewrite
+        that deleted 10 rows from one file reads that file pair, not
+        the table), then one ``exceptAll`` each way nets out the rows
+        the rewrite merely carried.  Multiset semantics: k extra
+        copies of a duplicate row appear as k inserts.  Both sides are
+        read under ``to_version``'s manifest schema so files written
+        before a schema evolution align (missing columns as null).
+
+        ``from_version=None`` reports the whole of ``to_version`` as
+        inserts.  Works across any operation chain — append, delete,
+        merge, publish — because it reasons over manifests, unlike
+        ``read_diff``, which is the fast path for append-only chains
+        (``incremental_ok``)."""
+        new = {f["path"] for f in self.snapshot(to_version).files}
+        old: set[str] = set()
+        if from_version is not None:
+            old = {f["path"] for f in self.snapshot(from_version).files}
+        added_df = self.read_paths(spark, sorted(new - old), version=to_version)
+        removed_df = self.read_paths(
+            spark, sorted(old - new), version=to_version
+        )
+        from pyspark.sql import functions as F
+
+        def tag(df: DataFrame, kind: str) -> DataFrame:
+            return df.withColumn("_change_type", F.lit(kind))
+
+        if added_df is None and removed_df is None:
+            # no file churn: empty changelog under the table schema
+            base = self.read(spark, version=to_version).limit(0)
+            return tag(base, "insert").limit(0)
+        if removed_df is None:
+            return tag(added_df, "insert")
+        if added_df is None:
+            return tag(removed_df, "delete")
+        return tag(added_df.exceptAll(removed_df), "insert").unionByName(
+            tag(removed_df.exceptAll(added_df), "delete")
+        )
+
     # ---- refs: tags + branches (write-audit-publish) ----
     # Iceberg keeps named refs in table metadata; here each ref is one
     # JSON file so creation inherits the same loser-must-fail commit

@@ -1058,3 +1058,69 @@ def test_load_reference_conf_parses_real_reference_file():
     )
     assert conf.cluster.k == 10 and conf.cluster.eta == 0.15
     assert extras["threads"] == "2"
+
+
+def test_changelog_nets_rows_across_append_delete_merge(spark, wh):
+    """changelog(v_from, v_to) must equal the brute-force net diff of
+    the two full table reads (exceptAll both ways) across every
+    operation type — and read only churned files, never carried ones."""
+    from peakmatch_xcorr_spark.operators.merge import delete_rows, merge_upsert
+
+    t = WarehouseTable(wh, "cdc")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0), (2, 2.0)], "k long, v double"))
+    v1 = t.current_version()
+    t.append(spark.createDataFrame([(3, 3.0)], "k long, v double"))
+    v2 = t.current_version()
+    delete_rows(t, spark, spark.createDataFrame([(2,)], "k long"), ["k"])
+    v3 = t.current_version()
+    merge_upsert(
+        t, spark, spark.createDataFrame([(1, 10.0), (4, 4.0)], "k long, v double"), ["k"]
+    )
+    v4 = t.current_version()
+
+    def brute(a, b):
+        fa, fb = t.read(spark, version=a), t.read(spark, version=b)
+        ins = {(r.k, r.v) for r in fb.exceptAll(fa).collect()}
+        del_ = {(r.k, r.v) for r in fa.exceptAll(fb).collect()}
+        return ins, del_
+
+    for a, b in [(v1, v2), (v2, v3), (v3, v4), (v1, v4)]:
+        got = t.changelog(spark, a, b).collect()
+        ins = {(r.k, r.v) for r in got if r._change_type == "insert"}
+        del_ = {(r.k, r.v) for r in got if r._change_type == "delete"}
+        assert (ins, del_) == brute(a, b), (a, b)
+
+    # append-only hop: delete side must be empty and inserts exact
+    cl = t.changelog(spark, v1, v2).collect()
+    assert {r._change_type for r in cl} == {"insert"}
+    assert {(r.k, r.v) for r in cl} == {(3, 3.0)}
+
+    # whole-history: from_version=None reports v as all inserts
+    all_ins = t.changelog(spark, None, v1).collect()
+    assert all(r._change_type == "insert" for r in all_ins)
+    assert len(all_ins) == 3  # duplicate row appears twice (multiset)
+
+
+def test_changelog_no_churn_is_empty(spark, wh):
+    t = WarehouseTable(wh, "cdcflat")
+    t.append(spark.createDataFrame([(1, 1.0)], "k long, v double"))
+    v1 = t.current_version()
+    assert t.changelog(spark, v1, v1).count() == 0
+
+
+def test_changelog_across_schema_evolution(spark, wh):
+    """Rows from pre-evolution files must align (null-filled) under
+    the to-version schema instead of failing the exceptAll."""
+    from peakmatch_xcorr_spark.operators.merge import delete_rows
+
+    t = WarehouseTable(wh, "cdcevo")
+    t.append(spark.createDataFrame([(1, 1.0), (2, 2.0)], "k long, v double"))
+    v1 = t.current_version()
+    t.append(spark.createDataFrame([(3, 3.0, "x")], "k long, v double, tag string"))
+    delete_rows(t, spark, spark.createDataFrame([(2,)], "k long"), ["k"])
+    v3 = t.current_version()
+    got = t.changelog(spark, v1, v3).collect()
+    ins = {(r.k, r.tag) for r in got if r._change_type == "insert"}
+    del_ = {(r.k, r.tag) for r in got if r._change_type == "delete"}
+    assert ins == {(3, "x")}
+    assert del_ == {(2, None)}
