@@ -3596,6 +3596,59 @@ FROM rolled WHERE user_id % 2 = 0 AND user_id % 10 = 0
 """
 
 
+def _q_realtime_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-time continuous aggregate (operators/refresh.py
+    ContinuousAggregate.real_time): the 1h tier is materialized over
+    two thirds of events, the last third is appended WITHOUT a
+    refresh, and the view — materialized tier merged with an
+    on-the-fly rollup of only the unabsorbed snapshot diff — must
+    equal DuckDB's rollup over ALL events.  TimescaleDB's
+    materialized_only=false semantics on the warehouse's snapshot
+    chain; the lag precondition is asserted so a green hash proves
+    the merge path ran, not a lucky full refresh."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.refresh import ContinuousAggregate
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    root = tempfile.mkdtemp(prefix="pxs_rt_q_")
+    try:
+        src = WarehouseTable(root, "events_src")
+        src.append(ev.filter(F.col("user_id") % 3 != 0))
+        ca = ContinuousAggregate(
+            root, src, keys=["user_id"], ts_col="ts", value_col="value",
+            name="rt",
+        )
+        ca.refresh(spark)
+        src.append(ev.filter(F.col("user_id") % 3 == 0))
+        # non-vacuous: the tier must actually lag the source here
+        if ca.last_processed_version() == src.current_version():
+            raise ValueError(
+                "realtime_rollup_1h precondition broken: tier is already "
+                "up to date, the view would not exercise the merge path"
+            )
+        out = ca.real_time(spark, "1h").select(
+            "user_id",
+            "bucket_start",
+            "turns",
+            F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_REALTIME_ROLLUP = """
+SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+       count(*) AS turns, round(avg(value) + 1e-9, 6) AS vavg
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def _q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch-style relative-error quantiles of events.value
     (operators/sketches.py quantile_sketch): map-side log-bucket
@@ -4504,6 +4557,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "time_travel_tier": (_q_time_travel_tier, _SQL_TIME_TRAVEL),
     "wap_publish_tier": (_q_wap_publish_tier, _SQL_WAP_PUBLISH),
     "changelog_tier": (_q_changelog_tier, _SQL_CHANGELOG),
+    "realtime_rollup_1h": (_q_realtime_rollup_1h, _SQL_REALTIME_ROLLUP),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),

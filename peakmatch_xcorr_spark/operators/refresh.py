@@ -707,6 +707,80 @@ class ContinuousAggregate:
             metrics["full_rebuild"] = True
         return metrics
 
+    def real_time(self, spark: SparkSession, tier_name: str) -> DataFrame:
+        """Real-time continuous aggregate: the materialized tier UNION
+        an on-the-fly rollup of source rows the tier has not absorbed
+        yet (the snapshot diff ``(last_processed, current]``), merged
+        with the same decomposable re-aggregation ``refresh`` uses.
+
+        Purely lazy — no tier commit, no checkpoint writes — so a
+        dashboard reading this view always sees current data at the
+        cost of rolling up only the unabsorbed tail (TimescaleDB's
+        ``materialized_only = false`` semantics).  At 100 TB the tail
+        is one refresh interval of raw data, so the view's marginal
+        cost is the finest tier's incremental rollup, not a raw rescan:
+        the file-level snapshot diff reads only manifests added after
+        the tier's recorded ``source_version``.
+
+        Correctness contract: equals ``tumbling_rollup`` recomputed
+        from the full raw table (the DuckDB-oracle-checked
+        ``realtime_rollup_1h`` query and tests/test_warehouse.py), with
+        two documented edges: (a) after a non-incremental source
+        rewrite (compaction/overwrite) the view falls back to a full
+        on-the-fly rollup — correct, just not cheap until the next
+        refresh; (b) a tier with event-time retention reflects the cut
+        only on the materialized part, so fresh rows may transiently
+        resurrect buckets behind the horizon until the next refresh
+        re-trims them.
+        """
+        idx = self.tier_names.index(tier_name)
+        bucket = self.tiers[idx]
+        tier = self.tier_tables[tier_name]
+        has_values = self.value_col is not None
+        cols = [*self.keys, "bucket_start", "turns"] + (
+            ["vcount", "vsum", "vmin", "vmax", "vavg"] if has_values else []
+        )
+        src_v = self.source.current_version()
+        if src_v is None:
+            if tier.current_version() is None:
+                raise ValueError(
+                    f"real_time({tier_name!r}): empty source and no tier"
+                )
+            return ensure_vcount(tier.read(spark)).select(*cols) if has_values \
+                else tier.read(spark).select(*cols)
+        # THIS tier's own recorded source version, not the finest
+        # tier's: a crash mid-cascade leaves coarse tiers behind, and
+        # the view must roll up everything the queried tier missed.
+        tier_v = tier.current_version()
+        prev_v = (
+            tier.snapshot(tier_v).metrics.get("source_version")
+            if tier_v is not None else None
+        )
+        materialized = tier.read(spark) if tier_v is not None else None
+        if materialized is not None and has_values:
+            materialized = ensure_vcount(materialized)
+        if prev_v == src_v and materialized is not None:
+            return materialized.select(*cols)
+        # Tail rollup happens at THIS tier's own bucket width directly
+        # from raw — tumbling windows nest exactly (epoch-modulo math),
+        # so count-of-counts through the cascade and a direct coarse
+        # count agree; tests/test_rollup.py proves the nesting.
+        if prev_v is None or not self.source.incremental_ok(prev_v, src_v):
+            fresh_raw = self.source.read(spark)
+            materialized = None  # full recompute; never double-count
+        else:
+            fresh_raw = self.source.read_diff(spark, prev_v, src_v)
+        if fresh_raw is None:
+            if materialized is None:
+                raise ValueError(
+                    f"real_time({tier_name!r}): no tier and empty source diff"
+                )
+            return materialized.select(*cols)
+        fresh = tumbling_rollup(
+            fresh_raw, self.keys, self.ts_col, self.value_col, bucket
+        )
+        return merge_rollups(materialized, fresh, self.keys, has_values)
+
 
 def archive_expired(
     spark: SparkSession,

@@ -1124,3 +1124,75 @@ def test_changelog_across_schema_evolution(spark, wh):
     del_ = {(r.k, r.tag) for r in got if r._change_type == "delete"}
     assert ins == {(3, "x")}
     assert del_ == {(2, None)}
+
+
+# ------------------------------------------------- real-time aggregate view
+
+
+def _rt_pandas(df):
+    return (
+        df.select("conv_id", "bucket_start", "turns")
+        .toPandas()
+        .sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+
+
+def test_real_time_view_sees_unrefreshed_tail(spark, wh):
+    """Materialize tiers on a prefix, append more raw WITHOUT
+    refreshing: real_time must equal recompute-from-all-raw at every
+    tier width, while the committed tier itself still lags."""
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    src.append(d1)
+    assert agg.refresh(spark)["status"] == "refreshed"
+    src.append(d2)  # tail the tier has not absorbed
+
+    for tn, bucket in zip(("1m", "1h", "1d"), ("1 minute", "1 hour", "1 day")):
+        exp = _rt_pandas(tumbling_rollup(full, ["conv_id"], "ts", None, bucket))
+        got = _rt_pandas(agg.real_time(spark, tn))
+        assert got.equals(exp), tn
+    # the committed tier still reflects only the prefix
+    lag = _rt_pandas(agg.tier_tables["1h"].read(spark))
+    exp_prefix = _rt_pandas(tumbling_rollup(d1, ["conv_id"], "ts", None, "1 hour"))
+    assert lag.equals(exp_prefix)
+
+
+def test_real_time_view_up_to_date_is_tier_exactly(spark, wh):
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    src.append(d1)
+    src.append(d2)
+    assert agg.refresh(spark)["status"] == "refreshed"
+    got = _rt_pandas(agg.real_time(spark, "1h"))
+    exp = _rt_pandas(tumbling_rollup(full, ["conv_id"], "ts", None, "1 hour"))
+    assert got.equals(exp)
+
+
+def test_real_time_view_never_refreshed_full_rollup(spark, wh):
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    src.append(d1)
+    src.append(d2)
+    got = _rt_pandas(agg.real_time(spark, "1m"))
+    exp = _rt_pandas(tumbling_rollup(full, ["conv_id"], "ts", None, "1 minute"))
+    assert got.equals(exp)
+
+
+def test_real_time_view_falls_back_after_compaction(spark, wh):
+    """A source overwrite breaks the append-only diff chain: the view
+    must demote to a full on-the-fly rollup, never double-count."""
+    d1, d2, full = _split_df(spark, 1200)
+    src = WarehouseTable(wh, "transcripts")
+    agg = ContinuousAggregate(wh, src, keys=["conv_id"], ts_col="ts", value_col=None)
+    src.append(d1)
+    assert agg.refresh(spark)["status"] == "refreshed"
+    # rewrite the WHOLE source (compaction shape: same rows + tail)
+    src.overwrite(full)
+    assert not src.incremental_ok(1, src.current_version())
+    got = _rt_pandas(agg.real_time(spark, "1h"))
+    exp = _rt_pandas(tumbling_rollup(full, ["conv_id"], "ts", None, "1 hour"))
+    assert got.equals(exp)
