@@ -3649,6 +3649,41 @@ GROUP BY 1, 2
 """
 
 
+def _q_occupancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-active-users curve via the sweep-line operator
+    (operators/occupancy.py): each user's [first event, last event]
+    span contributes TWO boundary rows regardless of how many hourly
+    buckets it covers, and the global running count goes through the
+    two-phase distributed prefix scan (deterministic pid slices +
+    P-row offset broadcast) — never a single-task global window.  The
+    DuckDB oracle is the exploded generate_series counting the same
+    inclusive-endpoint semantics."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.occupancy import occupancy_curve
+
+    spans = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+    return occupancy_curve(
+        spans, "start_ts", "end_ts", bucket="1 hour", scan_partitions=8
+    )
+
+
+_SQL_OCCUPANCY = """
+WITH spans AS (
+  SELECT user_id, min(ts) AS s, max(ts) AS e FROM events GROUP BY 1
+)
+SELECT bucket_start, count(*) AS active FROM (
+  SELECT unnest(generate_series(date_trunc('hour', s),
+                                date_trunc('hour', e),
+                                INTERVAL 1 HOUR)) AS bucket_start
+  FROM spans
+) GROUP BY 1
+"""
+
+
 def _q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch-style relative-error quantiles of events.value
     (operators/sketches.py quantile_sketch): map-side log-bucket
@@ -4558,6 +4593,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "wap_publish_tier": (_q_wap_publish_tier, _SQL_WAP_PUBLISH),
     "changelog_tier": (_q_changelog_tier, _SQL_CHANGELOG),
     "realtime_rollup_1h": (_q_realtime_rollup_1h, _SQL_REALTIME_ROLLUP),
+    "occupancy_curve": (_q_occupancy_curve, _SQL_OCCUPANCY),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),

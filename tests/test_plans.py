@@ -396,3 +396,18 @@ def test_tpch_q16_anti_join_broadcast(spark):
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_occupancy_global_scan_never_single_partition(spark, events):
+    """The global occupancy curve's prefix scan must stay distributed:
+    a plain Window.orderBy would plan Exchange SinglePartition and
+    serialize the whole curve through one task."""
+    from peakmatch_xcorr_spark.operators.occupancy import occupancy_curve
+
+    spans = events.groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    p = plan(occupancy_curve(spans, bucket="1 hour", scan_partitions=8))
+    assert "SinglePartition" not in p
+    # the P-row offset table joins back as a broadcast, not a shuffle
+    assert "BroadcastHashJoin" in p
