@@ -3195,20 +3195,54 @@ def _q_frequent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens via per-partition count-min sketches + space-saving
     candidates, merged driver-side (bounded: a few KB per partition,
     independent of data size — the 100 TB alternative to an exact
-    token groupBy).  Rows-only: the CMS estimate is
-    algorithm-specific; the companion pytest proves estimate >= exact
-    and estimate - exact <= e/width * N against the oracle-checked
-    exact `vocab_counts`."""
+    token groupBy).  Hash-checked against the EXACT top-20: in the
+    small-vocabulary regime (distinct tokens << CMS width, guarded
+    below) the deterministic md5 hash family yields no all-rows
+    collisions, so every estimate equals the true count and the
+    sketch's (-count, value) order equals SQL's — the estimate-side
+    guarantee (est >= exact, est - exact <= e/width * N) is proven
+    separately for adversarial vocabularies by the companion pytest
+    in tests/test_sketches.py."""
     _utc(spark)
     from peakmatch_xcorr_spark.operators.sketches import frequent_items_sketch
     from peakmatch_xcorr_spark.operators.textstats import _tokens
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(_tokens("text")).alias("tok"))
+    # Exactness-regime guard (ValueError, not assert: must survive -O).
+    # 512 distinct values in a 2048-wide, depth-4 CMS make an
+    # inflated candidate astronomically unlikely AND deterministic
+    # (fixed hash family) — at a scale factor where the vocabulary
+    # outgrows this, fail loudly instead of hash-mismatching.
+    n_distinct = toks.distinct().count()
+    if n_distinct > 512:
+        raise ValueError(
+            f"frequent_tokens exactness precondition broken: {n_distinct} "
+            "distinct tokens > 512; the CMS top-k is no longer provably "
+            "exact at this scale — compare against the rank-error bound "
+            "instead of the exact oracle"
+        )
     top = frequent_items_sketch(toks, "tok", k=20)
     return spark.createDataFrame(
         [(v, int(c)) for v, c in top], "tok string, est_count long"
     )
+
+
+_SQL_FREQUENT_TOKENS = """
+WITH toks AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(
+      lower(regexp_replace(text, '[^\\p{L}\\p{N}_\\s'']', ' ', 'g')),
+      '\\s+'),
+    x -> length(x) > 0)) AS tok
+  FROM documents
+)
+SELECT tok, count(*) AS est_count
+FROM toks
+GROUP BY tok
+ORDER BY est_count DESC, tok
+LIMIT 20
+"""
 
 
 def _q_zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3688,9 +3722,12 @@ def _q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch-style relative-error quantiles of events.value
     (operators/sketches.py quantile_sketch): map-side log-bucket
     histograms merged by groupBy-sum; only the O(log(max/min)/alpha)
-    bucket histogram is ever collected.  Rows-only: the bucket-midpoint
-    estimate is algorithm-specific; the companion pytest proves
-    |est - exact| / |exact| <= alpha against numpy on the same data."""
+    bucket histogram is ever collected.  Hash-checked: the oracle
+    replays the EXACT sketch algorithm in SQL (ceil(ln|v|/ln gamma)
+    bucketing, three stores, rank walk, gamma-midpoint decode), so the
+    estimates must match to the last rounded digit; the companion
+    pytest additionally proves |est - exact| / |exact| <= alpha
+    against numpy on the same data."""
     _utc(spark)
     from peakmatch_xcorr_spark.operators.sketches import quantile_sketch
 
@@ -3700,6 +3737,37 @@ def _q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(q, round(sk.quantile(q) + 1e-9, 6)) for q in qs], "q double, est double"
     )
+
+
+_SQL_QUANTILE_SKETCH = """
+WITH qs(q) AS (VALUES (0.01),(0.1),(0.25),(0.5),(0.75),(0.9),(0.99),(0.999)),
+gamma AS (SELECT (1.0+0.01)/(1.0-0.01) AS g),
+buckets AS (
+  SELECT CASE WHEN value > 0 THEN 1 WHEN value < 0 THEN -1 ELSE 0 END AS store,
+         CASE WHEN value = 0 THEN 0
+              ELSE CAST(ceil(ln(abs(value))/ln(g)) AS BIGINT) END AS bucket,
+         count(*) AS cnt
+  FROM events, gamma
+  WHERE value IS NOT NULL
+  GROUP BY 1, 2
+),
+ordered AS (
+  SELECT store, bucket, cnt,
+         sum(cnt) OVER (ORDER BY store, store*bucket) AS cum,
+         sum(cnt) OVER () AS n
+  FROM buckets
+)
+SELECT CAST(q AS DOUBLE) AS q, CAST(round(est + 1e-9, 6) AS DOUBLE) AS est
+FROM (
+  SELECT q,
+         (SELECT CASE o.store WHEN 0 THEN 0.0
+                 ELSE o.store * power(g, o.bucket - 1) * 2.0 * g / (g + 1.0)
+                 END
+          FROM ordered o, gamma
+          WHERE o.cum > q * (o.n - 1)
+          ORDER BY o.store, o.store*o.bucket LIMIT 1) AS est
+  FROM qs)
+"""
 
 
 def _q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4583,8 +4651,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "vocab_counts": (_q_vocab_counts, _SQL_VOCAB_COUNTS),
     "corpus_prep_full": (_q_corpus_prep_full, _SQL_CORPUS_PREP_FULL),
     "deterministic_sample": (_q_deterministic_sample, _SQL_DETERMINISTIC_SAMPLE),
-    "frequent_tokens": (_q_frequent_tokens, None),
-    "quantile_sketch_values": (_q_quantile_sketch_values, None),
+    "frequent_tokens": (_q_frequent_tokens, _SQL_FREQUENT_TOKENS),
+    "quantile_sketch_values": (_q_quantile_sketch_values, _SQL_QUANTILE_SKETCH),
     "zorder_pruned_scan": (_q_zorder_pruned_scan, _SQL_ZORDER_PRUNED),
     "bloom_point_lookup": (_q_bloom_point_lookup, _SQL_BLOOM_POINT),
     "merge_upsert_tier": (_q_merge_upsert, _SQL_MERGE_UPSERT),
