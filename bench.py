@@ -138,6 +138,8 @@ def headline_queries(spark, sf_dir: str):
         "m4_downsample_1h",        # struct-min/max pixel downsample (pure JVM)
         "ewma_smooth",             # O(1)-state mapInPandas recursion
         "interval_join_funnel",    # bucketed event-time range join
+        "occupancy_curve",         # sweep-line + distributed prefix scan
+        "realtime_rollup_1h",      # materialized tier + unabsorbed-diff merge
     ):
         fn = registry[name]
         extra[name] = (lambda f=fn: f(spark, sf_dir).count())
