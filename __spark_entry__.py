@@ -3705,6 +3705,54 @@ def _q_occupancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel view→click→purchase within 24h of the
+    first view (operators/funnel.py): each step's qualifying time is
+    a conditional window-min chained off the previous step's, so the
+    whole sequence costs ONE exchange (plan-gated in
+    tests/test_funnel.py) — never a self-join per step.  The DuckDB
+    oracle computes the same chain as correlated step CTEs."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.funnel import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(
+        ev,
+        [F.col("event_type") == s for s in ("view", "click", "purchase")],
+        horizon_s=86400,
+    )
+
+
+_SQL_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS ts2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1
+    AND floor(epoch(e.ts)) <= floor(epoch(t1.ts1)) + 86400
+  GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS ts3
+  FROM events e JOIN t2 USING (user_id) JOIN t1 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+    AND floor(epoch(e.ts)) <= floor(epoch(t1.ts1)) + 86400
+  GROUP BY 1
+),
+base AS (SELECT count(*) AS n FROM t1)
+SELECT CAST(s.step AS INT) AS step, s.users,
+       CAST(round(s.users / base.n + 1e-9, 3) AS DOUBLE) AS conversion
+FROM (
+  SELECT 1 AS step, count(*) AS users FROM t1
+  UNION ALL SELECT 2, count(*) FROM t2
+  UNION ALL SELECT 3, count(*) FROM t3
+) s, base
+"""
+
+
 _SQL_OCCUPANCY = """
 WITH spans AS (
   SELECT user_id, min(ts) AS s, max(ts) AS e FROM events GROUP BY 1
@@ -4662,6 +4710,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "changelog_tier": (_q_changelog_tier, _SQL_CHANGELOG),
     "realtime_rollup_1h": (_q_realtime_rollup_1h, _SQL_REALTIME_ROLLUP),
     "occupancy_curve": (_q_occupancy_curve, _SQL_OCCUPANCY),
+    "funnel_steps": (_q_funnel_steps, _SQL_FUNNEL),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
