@@ -3654,7 +3654,7 @@ def _q_realtime_rollup_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         src.append(ev.filter(F.col("user_id") % 3 != 0))
         ca = ContinuousAggregate(
             root, src, keys=["user_id"], ts_col="ts", value_col="value",
-            name="rt",
+            tiers=("1 hour",), tier_names=("1h",), name="rt",
         )
         ca.refresh(spark)
         src.append(ev.filter(F.col("user_id") % 3 == 0))
