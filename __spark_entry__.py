@@ -3705,6 +3705,63 @@ def _q_occupancy_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity day,
+    distinct-active counted at each day age, with the fraction of the
+    cohort still active.  Two shuffles total (distinct user-days and
+    the user-keyed cohort join reuse one partitioning; the cohort
+    rollup is the second) and the age-0 base rejoins as a window max
+    over the cohort partition — no self-join.  Plain ANSI SQL for the
+    oracle."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    first = ev.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    active = ev.select("user_id", day.alias("day")).distinct()
+    per_age = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("age"),
+        )
+        .agg(F.count_distinct("user_id").alias("users"))
+    )
+    base = F.max(F.when(F.col("age") == 0, F.col("users"))).over(
+        Window.partitionBy("cohort_day")
+    )
+    return per_age.select(
+        "cohort_day",
+        "age",
+        "users",
+        F.round(F.col("users") / base + 1e-9, 3).alias("retention"),
+    )
+
+
+_SQL_COHORT_RETENTION = """
+WITH first AS (
+  SELECT user_id, min(date_trunc('day', ts)) AS cohort_day
+  FROM events GROUP BY 1
+),
+active AS (
+  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+),
+per_age AS (
+  SELECT f.cohort_day,
+         date_diff('day', f.cohort_day, a.day) AS age,
+         count(DISTINCT a.user_id) AS users
+  FROM active a JOIN first f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_day, CAST(age AS INT) AS age, users,
+       CAST(round(users / (max(CASE WHEN age = 0 THEN users END)
+                           OVER (PARTITION BY cohort_day)) + 1e-9, 3)
+            AS DOUBLE) AS retention
+FROM per_age
+"""
+
+
 def _q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered 3-step funnel view→click→purchase within 24h of the
     first view (operators/funnel.py): each step's qualifying time is
@@ -4711,6 +4768,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "realtime_rollup_1h": (_q_realtime_rollup_1h, _SQL_REALTIME_ROLLUP),
     "occupancy_curve": (_q_occupancy_curve, _SQL_OCCUPANCY),
     "funnel_steps": (_q_funnel_steps, _SQL_FUNNEL),
+    "cohort_retention": (_q_cohort_retention, _SQL_COHORT_RETENTION),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),
     "lang_id": (_q_lang_id, _SQL_LANG_ID),
