@@ -3823,6 +3823,102 @@ SELECT bucket_start, count(*) AS active FROM (
 """
 
 
+def _q_state_durations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB state_agg analogue (operators/stateagg.py): per
+    event_type, the total seconds users dwell in that state (a state
+    holds until the user's next event), run entries, visits, and mean
+    dwell.  ONE window exchange (lead+lag share the user partition)
+    plus one agg shuffle — plan-gated in tests/test_stateagg.py."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.stateagg import state_durations
+
+    ev = _t(spark, sf_dir, "events")
+    return state_durations(
+        ev, "user_id", "event_type", "ts", tiebreak_cols=("event_id",)
+    )
+
+
+_SQL_STATE_DURATIONS = """
+WITH o AS (
+  SELECT event_type,
+         epoch(ts) AS tsec,
+         lead(epoch(ts)) OVER w - epoch(ts) AS dwell,
+         lag(event_type) OVER w AS prev_state
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_type AS state,
+       round(sum(dwell) + 1e-9, 2) AS total_sec,
+       CAST(sum(CASE WHEN prev_state IS NULL OR prev_state <> event_type
+                     THEN 1 ELSE 0 END) AS BIGINT) AS entries,
+       count(*) AS visits,
+       round(avg(dwell) + 1e-9, 6) AS mean_dwell
+FROM o GROUP BY 1
+"""
+
+
+def _q_heartbeat_uptime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB heartbeat_agg analogue (operators/stateagg.py):
+    each event asserts its user live for 1800 s; overlapping
+    assertions merge (telescoped to least(gap, L) per beat — no
+    interval-merge pass).  Per user: merged uptime, dead time between
+    beats, gap count, beat count."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.stateagg import heartbeat_uptime
+
+    ev = _t(spark, sf_dir, "events")
+    return heartbeat_uptime(
+        ev, "user_id", "ts", liveness_s=1800.0, tiebreak_cols=("event_id",)
+    )
+
+
+_SQL_HEARTBEAT_UPTIME = """
+WITH o AS (
+  SELECT user_id,
+         lead(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch(ts) AS gap
+  FROM events
+)
+SELECT user_id,
+       round(sum(CASE WHEN gap IS NULL THEN 1800.0
+                      ELSE least(gap, 1800.0) END) + 1e-9, 2) AS uptime_sec,
+       round(sum(CASE WHEN gap > 1800.0 THEN gap - 1800.0
+                      ELSE 0.0 END) + 1e-9, 2) AS dead_sec,
+       CAST(sum(CASE WHEN gap > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       count(*) AS beats
+FROM o GROUP BY 1
+"""
+
+
+def _q_ohlc_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candlestick_agg analogue (operators/stateagg.py): per
+    (event_type, 1h bucket) the open/high/low/close of value.  NO
+    window functions — open/close are min_by/max_by over a
+    (ts, event_id) struct, decomposable aggregates, so the whole OHLC
+    is one shuffle with map-side combine.  The deterministic event_id
+    tiebreak makes ties recomputation-stable (and oracle-matchable:
+    DuckDB uses first/last with the same ORDER BY)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.stateagg import candlestick
+
+    ev = _t(spark, sf_dir, "events")
+    return candlestick(
+        ev, ["event_type"], "ts", "value", "1 hour",
+        tiebreak_cols=("event_id",),
+    )
+
+
+_SQL_OHLC_1H = """
+SELECT event_type, date_trunc('hour', ts) AS bucket_start,
+       first(value ORDER BY ts, event_id) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       last(value ORDER BY ts, event_id) AS close,
+       count(*) AS turns
+FROM events GROUP BY 1, 2
+"""
+
+
 def _q_quantile_sketch_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDSketch-style relative-error quantiles of events.value
     (operators/sketches.py quantile_sketch): map-side log-bucket
@@ -4768,6 +4864,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "realtime_rollup_1h": (_q_realtime_rollup_1h, _SQL_REALTIME_ROLLUP),
     "occupancy_curve": (_q_occupancy_curve, _SQL_OCCUPANCY),
     "funnel_steps": (_q_funnel_steps, _SQL_FUNNEL),
+    "state_durations": (_q_state_durations, _SQL_STATE_DURATIONS),
+    "heartbeat_uptime": (_q_heartbeat_uptime, _SQL_HEARTBEAT_UPTIME),
+    "ohlc_1h": (_q_ohlc_1h, _SQL_OHLC_1H),
     "cohort_retention": (_q_cohort_retention, _SQL_COHORT_RETENTION),
     "tpch_q13": (_q_tpch_q13, _SQL_TPCH_Q13),
     "fingerprint_groups": (_q_fingerprint, _SQL_FINGERPRINT),

@@ -26,7 +26,12 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         )
         assert "SortMergeJoin" in plan
         # co-located buckets: no shuffle on either side of the join
-        assert "Exchange hashpartitioning" not in plan
+        # (count formatted-mode "(N) Exchange" detail headers — the
+        # "Exchange hashpartitioning" substring only exists in simple
+        # mode, so the old assertion was vacuous)
+        import re
+
+        assert not re.findall(r"\(\d+\) Exchange", plan), plan
         assert j.count() == orders.count()
     finally:
         spark.conf.set(

@@ -76,6 +76,10 @@ def test_funnel_single_exchange_plan(spark, events):
     p = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    # one exchange for the user window + one for distinct
-    assert p.count("Exchange hashpartitioning") <= 2
+    # one exchange for the user window + one for distinct (formatted
+    # mode prints one "(N) Exchange" detail header per exchange; the
+    # old "Exchange hashpartitioning" substring never occurs there)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) <= 2, p
     assert "Join" not in p
