@@ -4790,6 +4790,105 @@ FROM w WHERE n >= 12 AND sd > 1e-12
 """
 
 
+def _q_metric_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_agg 2-D analogue (operators/stats.py pair_metric_corr):
+    per day, the Pearson correlation between hourly click and view
+    counts.  Computed from explicit integer power sums (n, Σx, Σy,
+    Σx², Σy², Σxy) so the value is bit-reproducible across engines —
+    the only float op is the final closed-form division; native
+    corr() would compare two different streaming co-moment merge
+    orders.  Two hash aggregates: the first reduces events→hours (the
+    only exchange that sees data volume, map-side partials), the
+    second sees 24 rows/day."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.stats import pair_metric_corr
+
+    ev = _t(spark, sf_dir, "events")
+    return pair_metric_corr(ev, "ts", "event_type", "click", "view")
+
+
+_SQL_METRIC_CORR = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_start,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY 1
+)
+SELECT date_trunc('day', bucket_start) AS day,
+       count(*) AS n_buckets,
+       round(
+         (count(*) * sum(x*y) - sum(x) * sum(y))
+         / nullif(sqrt(CAST((count(*) * sum(x*x) - sum(x)*sum(x))
+                          * (count(*) * sum(y*y) - sum(y)*sum(y))
+                       AS DOUBLE)), 0.0)
+         + 1e-9, 6) AS corr
+FROM hourly GROUP BY 1
+"""
+
+
+def _q_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats_agg slope analogue (operators/stats.py activity_trend):
+    per event_type, the OLS slope + intercept of hourly event counts
+    over the integer hour index — volume trend detection.  Exact
+    integer power sums (x = epoch_hours bigint, y = count), float
+    only at the final division; one data-volume exchange."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.stats import activity_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return activity_trend(ev, "ts", ["event_type"], bucket_s=3600)
+
+
+_SQL_TREND_SLOPE = """
+WITH hourly AS (
+  SELECT event_type,
+         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS xi,
+         count(*) AS y
+  FROM events GROUP BY 1, 2
+), sums AS (
+  SELECT event_type, count(*) AS n,
+         sum(xi) AS sx, sum(y) AS sy,
+         sum(xi*xi) AS sxx, sum(xi*y) AS sxy
+  FROM hourly GROUP BY 1
+)
+SELECT event_type, n AS n_buckets,
+       round(CAST(n * sxy - sx * sy AS DOUBLE)
+             / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0)
+             + 1e-9, 8) AS slope,
+       round((CAST(sy AS DOUBLE)
+              - (CAST(n * sxy - sx * sy AS DOUBLE)
+                 / nullif(CAST(n * sxx - sx * sx AS DOUBLE), 0.0))
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+             + 1e-9, 4) AS intercept
+FROM sums
+"""
+
+
+def _q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram() hyperfunction analogue (operators/stats.py
+    value_histogram): width_bucket fixed-width histogram of
+    events.value over [0, 500) in 25 bins with underflow/overflow
+    edge bins.  One hash-aggregate exchange with map-side combine;
+    the (v-lo)/width floor is the identical IEEE expression on both
+    engines so bin edges cannot diverge."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.stats import value_histogram
+
+    ev = _t(spark, sf_dir, "events")
+    return value_histogram(ev, "value", lo=0.0, hi=500.0, n_bins=25)
+
+
+_SQL_VALUE_HISTOGRAM = """
+SELECT CASE WHEN value < 0.0 THEN 0
+            WHEN value >= 500.0 THEN 26
+            ELSE CAST(floor((value - 0.0) / 20.0) AS INT) + 1 END AS bin,
+       count(*) AS n,
+       round(min(value) + 1e-9, 6) AS bin_min,
+       round(max(value) + 1e-9, 6) AS bin_max
+FROM events WHERE value IS NOT NULL GROUP BY 1
+"""
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -4902,6 +5001,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ewma_smooth": (_q_ewma_smooth, _SQL_EWMA),
     "counter_increase_1h": (_q_counter_increase, _SQL_COUNTER_INCREASE),
     "anomaly_zscore_1m": (_q_anomaly_zscore, _SQL_ANOMALY_ZSCORE),
+    "metric_corr_daily": (_q_metric_corr_daily, _SQL_METRIC_CORR),
+    "trend_slope": (_q_trend_slope, _SQL_TREND_SLOPE),
+    "value_histogram": (_q_value_histogram, _SQL_VALUE_HISTOGRAM),
     # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
     "minhash_candidates": (_q_minhash_candidates, None),

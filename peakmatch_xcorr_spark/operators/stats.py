@@ -1,0 +1,170 @@
+"""Two-variable statistical aggregates and fixed-width histograms.
+
+The TimescaleDB-Toolkit ``stats_agg`` two-dimensional family (Pearson
+correlation, OLS slope/intercept) and the ``histogram()`` hyperfunction
+re-expressed as decomposable Spark aggregates — the engine
+generalization of the reference's mean/stddev summaries
+(DominantFreqProcessor.java:90-96,150, SummaryStatistics) from
+one-variable moments to two-variable co-moments.
+
+Numeric determinism (the oracle-hash contract): every statistic here
+is computed from EXPLICIT power sums (n, Σx, Σy, Σx², Σy², Σxy) with
+INTEGER-valued inputs (bucket counts, hour indexes), so the sums are
+exact in int64/double regardless of accumulation order and the only
+float operation is the final closed-form division — the same literal
+formula the DuckDB oracle evaluates.  Relying on the engines' native
+``corr``/``regr_slope`` would instead compare two different streaming
+co-moment recurrences, whose low-order bits differ by merge order.
+
+Scale notes (100 TB / 10^12 turns):
+- every function is groupBy→sum only: one hash-aggregate exchange per
+  grouping level, map-side partial aggregation on all of them
+  (plan-gated in tests/test_stats.py).  No windows, no joins, no UDFs.
+- the second grouping level (day → corr, type → slope) aggregates the
+  ALREADY-reduced bucket counts — its input is |buckets| rows, not
+  |events| rows, so the second exchange is negligible at any scale.
+- power sums are the canonical mergeable sketch for moments: partial
+  (n, Σx, Σy, Σx², Σy², Σxy) tuples combine associatively, which is
+  exactly what Spark's partial_ hash aggregation exploits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bucket_counts(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    bucket: str,
+) -> DataFrame:
+    """Per (group, tumbling bucket) row counts — the shared first
+    reduction for both two-variable aggregates below."""
+    return (
+        df.withColumn("bucket_start", F.window(F.col(ts_col), bucket).start)
+        .groupBy(*group_cols, "bucket_start")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def pair_metric_corr(
+    df: DataFrame,
+    ts_col: str,
+    type_col: str,
+    type_a: str,
+    type_b: str,
+    bucket: str = "1 hour",
+    group_bucket: str = "1 day",
+) -> DataFrame:
+    """Pearson correlation between the per-``bucket`` activity of two
+    event types, computed per ``group_bucket``: "do clicks and views
+    move together hour-by-hour within each day?".
+
+    A bucket contributes one (x, y) point when ANY event landed in it
+    (conditional sums over the unfiltered stream), so both engines see
+    the identical point set.  corr = (nΣxy − ΣxΣy) /
+    sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)), null when either variance is
+    zero.  All sums are exact integers; see module docstring.
+    """
+    is_a = F.when(F.col(type_col) == type_a, 1).otherwise(0)
+    is_b = F.when(F.col(type_col) == type_b, 1).otherwise(0)
+    pts = (
+        df.withColumn("bucket_start", F.window(F.col(ts_col), bucket).start)
+        .groupBy("bucket_start")
+        .agg(F.sum(is_a).alias("x"), F.sum(is_b).alias("y"))
+        .withColumn(
+            "grp", F.window(F.col("bucket_start"), group_bucket).start
+        )
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("x"), F.sum("y")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    syy = F.sum(F.col("y") * F.col("y"))
+    sxy = F.sum(F.col("x") * F.col("y"))
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    denom = F.sqrt((var_x * var_y).cast("double"))
+    corr = (n * sxy - sx * sy).cast("double") / F.nullif(denom, F.lit(0.0))
+    return (
+        pts.groupBy("grp")
+        .agg(
+            n.alias("n_buckets"),
+            F.round(corr + 1e-9, 6).alias("corr"),
+        )
+        .withColumnRenamed("grp", "day")
+    )
+
+
+def activity_trend(
+    df: DataFrame,
+    ts_col: str,
+    group_cols: list[str],
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Per group: OLS slope + intercept of bucket row counts over the
+    integer bucket index — "is this event type's hourly volume rising
+    or falling, and how fast?" (TimescaleDB stats_agg slope).
+
+    x = epoch_seconds // bucket_s (exact int64), y = bucket count; a
+    bucket exists only where the group has rows (documented, mirrored
+    by the oracle).  slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²), intercept
+    = (Σy − slope·Σx)/n, both exact-integer sums until the final
+    division.  Slope unit: rows per bucket per bucket.
+    """
+    x = F.floor(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+        / F.lit(float(bucket_s) * 1e6)
+    ).cast("bigint")
+    pts = (
+        df.withColumn("xi", x)
+        .groupBy(*group_cols, "xi")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    n = F.count(F.lit(1))
+    sx, sy = F.sum("xi"), F.sum("y")
+    sxx = F.sum(F.col("xi") * F.col("xi"))
+    sxy = F.sum(F.col("xi") * F.col("y"))
+    denom = (n * sxx - sx * sx).cast("double")
+    slope = (n * sxy - sx * sy).cast("double") / F.nullif(denom, F.lit(0.0))
+    intercept = (sy.cast("double") - slope * sx.cast("double")) / n.cast(
+        "double"
+    )
+    return pts.groupBy(*group_cols).agg(
+        n.alias("n_buckets"),
+        F.round(slope + 1e-9, 8).alias("slope"),
+        F.round(intercept + 1e-9, 4).alias("intercept"),
+    )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """width_bucket-style fixed-width histogram: bin 0 is underflow
+    (v < lo), bins 1..n cover [lo, hi) uniformly, bin n+1 is overflow
+    (v >= hi); nulls are dropped.  One hash-aggregate exchange with
+    map-side combine; (v − lo)/width → floor is the identical IEEE
+    double expression on both engines, so bin edges cannot diverge."""
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    bin_ = (
+        F.when(v < F.lit(float(lo)), F.lit(0))
+        .when(v >= F.lit(float(hi)), F.lit(n_bins + 1))
+        .otherwise(
+            (F.floor((v - F.lit(float(lo))) / F.lit(width)) + 1).cast("int")
+        )
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(value_col) + 1e-9, 6).alias("bin_min"),
+            F.round(F.max(value_col) + 1e-9, 6).alias("bin_max"),
+        )
+    )
