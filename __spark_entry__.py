@@ -4889,6 +4889,165 @@ FROM events WHERE value IS NOT NULL GROUP BY 1
 """
 
 
+def _q_rollup_month_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-aligned month tier (operators/rollup.py calendar_tier):
+    cascaded raw → 1h → 1d → date_trunc('month') — TimescaleDB's
+    time_bucket('1 month').  Variable-width calendar buckets can't go
+    through F.window's epoch-modulo math, but day boundaries nest
+    exactly inside months under the pinned-UTC session, so the
+    date_trunc cascade FROM the daily tier is exact; the month
+    shuffle's input is the 1d tier (~1/1440 of raw)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import (
+        calendar_tier,
+        cascade_tier,
+        tumbling_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    t1h = tumbling_rollup(ev, ["user_id"], "ts", "value", "1 hour")
+    t1d = cascade_tier(t1h, ["user_id"], "1 day")
+    mon = calendar_tier(t1d, ["user_id"], "month")
+    return mon.select(
+        "user_id", "bucket_start", "turns", "vcount",
+        F.round(F.col("vsum") + 1e-9, 2).alias("vsum"),
+        F.round(F.col("vmin") + 1e-9, 2).alias("vmin"),
+        F.round(F.col("vmax") + 1e-9, 2).alias("vmax"),
+        F.round(F.col("vavg") + 1e-9, 6).alias("vavg"),
+    )
+
+
+_SQL_ROLLUP_MONTH = """
+SELECT user_id, date_trunc('month', ts) AS bucket_start,
+       count(*) AS turns, count(value) AS vcount,
+       round(sum(value) + 1e-9, 2) AS vsum,
+       round(min(value) + 1e-9, 2) AS vmin,
+       round(max(value) + 1e-9, 2) AS vmax,
+       round(sum(value) / count(value) + 1e-9, 6) AS vavg
+FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def _q_rollup_90s_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_bucket() with an origin offset (operators/rollup.py
+    tumbling_rollup(origin=...)): 90-second buckets anchored at
+    :00:30 instead of :00:00 — F.window's startTime keeps it one
+    epoch-modulo expression in the same single exchange."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = tumbling_rollup(
+        ev, ["user_id"], "ts", "value", "90 seconds", origin="30 seconds"
+    )
+    return out.select(
+        "user_id", "bucket_start", "turns",
+        F.round(F.col("vsum") + 1e-9, 2).alias("vsum"),
+        F.round(F.col("vmax") + 1e-9, 2).alias("vmax"),
+    )
+
+
+_SQL_ROLLUP_90S_OFFSET = """
+SELECT user_id,
+       make_timestamp((CAST(floor((epoch(ts) - 30) / 90) AS BIGINT) * 90 + 30)
+                      * 1000000) AS bucket_start,
+       count(*) AS turns,
+       round(sum(value) + 1e-9, 2) AS vsum,
+       round(max(value) + 1e-9, 2) AS vmax
+FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+"""
+
+
+def _q_irate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prometheus irate() analogue (operators/downsample.py irate):
+    per (user, hour), the instantaneous per-second rate from the last
+    two samples of the user's stream, counter-reset aware, with exact
+    int64-microsecond timestamp deltas.  Lag-window + one max_by hash
+    aggregate, whole-stage codegen end to end."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.downsample import irate
+
+    ev = _t(spark, sf_dir, "events")
+    out = irate(ev, ["user_id"], "ts", "value", "1 hour", "event_id")
+    return out.select(
+        "user_id", "bucket_start",
+        F.round(F.col("rate") + 1e-9, 6).alias("rate"),
+        "samples",
+    )
+
+
+_SQL_IRATE_1H = """
+WITH s AS (
+  SELECT user_id, ts, value, event_id,
+         date_trunc('hour', ts) AS bucket_start,
+         value - lag(value) OVER w AS dv,
+         epoch_us(ts) - epoch_us(lag(ts) OVER w) AS dt,
+         row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+           AS samples
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, bucket_start,
+       round(CASE WHEN dt > 0
+                  THEN (CASE WHEN dv < 0 THEN value ELSE dv END) * 1e6 / dt
+             END + 1e-9, 6) AS rate,
+       samples
+FROM s WHERE rn = 1
+"""
+
+
+def _q_acf_lag1_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each user's DENSE 1-minute activity
+    curve (operators/stats.py activity_acf), computed from the sparse
+    rolled tier: zeros contribute only to n, so conditional power
+    sums over the span's two lag windows plus a sparse self-join for
+    Σxy reconstruct the dense ACF exactly — no scaffold, no zero
+    rows.  Integer sums, one float division."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.operators.stats import activity_acf
+
+    ev = _t(spark, sf_dir, "events")
+    curve = tumbling_rollup(ev, ["user_id"], "ts", None, "1 minute")
+    return activity_acf(curve, ["user_id"], "1 minute", lag=1)
+
+
+_SQL_ACF_LAG1 = """
+WITH t AS (
+  SELECT user_id, CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS es,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events GROUP BY 1, 2
+), b AS (
+  SELECT *, min(es) OVER (PARTITION BY user_id) AS mn,
+         max(es) OVER (PARTITION BY user_id) AS mx
+  FROM t
+), s AS (
+  SELECT user_id,
+         CAST((max(mx) - min(mn)) / 60 AS BIGINT) AS n,
+         sum(CASE WHEN es <= mx - 60 THEN v ELSE 0 END) AS sx,
+         sum(CASE WHEN es <= mx - 60 THEN v*v ELSE 0 END) AS sxx,
+         sum(CASE WHEN es >= mn + 60 THEN v ELSE 0 END) AS sy,
+         sum(CASE WHEN es >= mn + 60 THEN v*v ELSE 0 END) AS syy
+  FROM b GROUP BY 1
+), p AS (
+  SELECT a.user_id, sum(a.v * c.v) AS sxy
+  FROM t a JOIN t c ON a.user_id = c.user_id AND a.es + 60 = c.es
+  GROUP BY 1
+)
+SELECT s.user_id, s.n AS n_pairs,
+       CASE WHEN s.n >= 2
+             AND (s.n*s.sxx - s.sx*s.sx) * (s.n*s.syy - s.sy*s.sy) > 0
+            THEN round((s.n*coalesce(p.sxy, 0) - s.sx*s.sy)
+                 / sqrt(CAST((s.n*s.sxx - s.sx*s.sx)
+                           * (s.n*s.syy - s.sy*s.sy) AS DOUBLE))
+                 + 1e-9, 6)
+       END AS acf
+FROM s LEFT JOIN p ON s.user_id = p.user_id
+"""
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -5004,6 +5163,10 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "metric_corr_daily": (_q_metric_corr_daily, _SQL_METRIC_CORR),
     "trend_slope": (_q_trend_slope, _SQL_TREND_SLOPE),
     "value_histogram": (_q_value_histogram, _SQL_VALUE_HISTOGRAM),
+    "rollup_month_calendar": (_q_rollup_month_calendar, _SQL_ROLLUP_MONTH),
+    "rollup_90s_offset": (_q_rollup_90s_offset, _SQL_ROLLUP_90S_OFFSET),
+    "irate_1h": (_q_irate_1h, _SQL_IRATE_1H),
+    "acf_lag1_activity": (_q_acf_lag1_activity, _SQL_ACF_LAG1),
     # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
     "minhash_candidates": (_q_minhash_candidates, None),

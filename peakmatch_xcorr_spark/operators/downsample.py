@@ -306,6 +306,57 @@ def counter_increase(
     )
 
 
+def irate(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    bucket: str = "1 hour",
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Prometheus-style irate() per (key, bucket): the instantaneous
+    per-second rate from the LAST TWO samples of the key's stream up
+    to the bucket's end — (v_n - v_{n-1}) / (t_n - t_{n-1}), with a
+    counter reset (negative delta) contributing v_n / dt.  Buckets
+    whose last sample is the key's first (no predecessor) or whose
+    adjacent samples share a timestamp emit a null rate.
+
+    The lag runs over the whole key stream (PromQL looks back across
+    bucket/scrape-gap boundaries), then ``max_by`` keeps the latest
+    sample per bucket — a lag-window plus one aggregate, all
+    whole-stage codegen.  ONE exchange end-to-end: the aggregate's
+    (keys, bucket) grouping is satisfied by the window's hash
+    distribution on keys, so Catalyst plans the final agg without a
+    second shuffle (plan-gated in tests/test_stats.py).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    v = F.col(value_col)
+    # exact int64 microseconds — a seconds cast would truncate
+    # sub-second gaps and silently inflate rates; the oracle contract
+    # is dv * 1e6 / dt_us with integer dt_us on both engines
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dv = v - F.lag(value_col).over(w)
+    dt_us = ts_us - F.lag(ts_us).over(w)
+    rate = F.when(
+        dt_us > 0,
+        F.when(dv < 0, v).otherwise(dv) * F.lit(1e6) / dt_us,
+    )
+    stepped = df.filter(v.isNotNull()).select(
+        *keys,
+        F.window(ts_col, bucket).start.alias("bucket_start"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            *([F.col(tiebreak).alias("tb")] if tiebreak else []),
+        ).alias("_ord"),
+        rate.alias("_rate"),
+    )
+    return stepped.groupBy(*keys, "bucket_start").agg(
+        F.max_by("_rate", "_ord").alias("rate"),
+        F.count(F.lit(1)).alias("samples"),
+    )
+
+
 # ------------------------------------------------------------ anomalies
 
 def rolling_zscore(

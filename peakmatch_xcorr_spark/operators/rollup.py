@@ -86,14 +86,30 @@ def tumbling_rollup(
     ts_col: str = "ts",
     value_col: str | None = "value",
     bucket: str = "1 minute",
+    origin: str | None = None,
 ) -> DataFrame:
     """groupBy(keys, window(ts, bucket)) -> count/sum/min/max/avg.
 
     One shuffle; Catalyst plans partial_count/partial_sum map-side.
     ``value_col=None`` rolls counts only (the transcript activity
     curve: turns per bucket).
+
+    ``origin`` is the time_bucket()-style bucket-boundary offset (the
+    TimescaleDB ``offset`` argument): buckets start at
+    ``k*width + origin`` instead of ``k*width``.  Passed straight
+    through as ``F.window``'s startTime, so it stays one epoch-modulo
+    expression inside the same single exchange — DST-proof because the
+    session TZ is pinned UTC.  Must be shorter than ``bucket``.
     """
-    win = F.window(ts_col, bucket)
+    if origin is not None:
+        off = bucket_seconds(origin)
+        if off >= bucket_seconds(bucket):
+            raise ValueError(
+                f"origin {origin!r} must be shorter than bucket {bucket!r}"
+            )
+        win = F.window(ts_col, bucket, bucket, origin)
+    else:
+        win = F.window(ts_col, bucket)
     aggs = [F.count(F.lit(1)).alias("turns")]
     if value_col is not None:
         # no F.avg: Spark's Average is internally sum+count, which
@@ -145,6 +161,53 @@ def cascade_tier(
         .agg(*aggs)
         .withColumn("bucket_start", F.col("w.start"))
         .drop("w")
+    )
+    if has_values:
+        out = _derive_vavg(out)
+    cols = [a for a in AGG_COLS if has_values or a == "turns"]
+    return out.select(*keys, "bucket_start", *cols)
+
+
+_CALENDAR_UNITS = ("week", "month", "quarter", "year")
+
+
+def calendar_tier(
+    finer: DataFrame, keys: list[str], unit: str, has_values: bool = True
+) -> DataFrame:
+    """Calendar-aligned continuous-aggregate step: a month / quarter /
+    year (or ISO-week) tier computed FROM a finer fixed-width tier via
+    ``date_trunc`` — TimescaleDB's ``time_bucket('1 month', ...)``.
+
+    Calendar units are variable-width, so ``F.window``'s epoch-modulo
+    tumbling math cannot express them (``bucket_seconds`` rejects them
+    by design).  But every day boundary nests exactly inside month /
+    quarter / year boundaries in the session's pinned-UTC calendar, so
+    a ``date_trunc`` cascade from the daily (or any day-aligned) tier
+    is EXACT — identical decomposable stats to ``cascade_tier``
+    (count-of-counts / sum-of-sums / min-of-mins), just a different
+    bucket key expression.  Same single hash-aggregate exchange with
+    map-side partials; its input is the already-rolled tier (~1/1440
+    of raw at 1d), so the calendar shuffle is negligible at any scale.
+    """
+    if unit not in _CALENDAR_UNITS:
+        raise ValueError(
+            f"calendar unit must be one of {_CALENDAR_UNITS}, got {unit!r}"
+        )
+    if has_values:
+        finer = ensure_vcount(finer)
+    aggs = [F.sum("turns").alias("turns")]
+    if has_values:
+        aggs += [
+            F.sum("vcount").alias("vcount"),
+            F.sum("vsum").alias("vsum"),
+            F.min("vmin").alias("vmin"),
+            F.max("vmax").alias("vmax"),
+        ]
+    out = (
+        finer.groupBy(
+            *keys, F.date_trunc(unit, "bucket_start").alias("bucket_start")
+        )
+        .agg(*aggs)
     )
     if has_values:
         out = _derive_vavg(out)

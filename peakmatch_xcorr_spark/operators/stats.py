@@ -138,6 +138,99 @@ def activity_trend(
     )
 
 
+def activity_acf(
+    tier: DataFrame,
+    keys: list[str],
+    bucket: str,
+    lag: int = 1,
+    ts_col: str = "bucket_start",
+    value_col: str = "turns",
+) -> DataFrame:
+    """Per-key lag-``lag`` autocorrelation of the DENSE activity curve
+    (bucket counts with absent buckets = 0), computed FROM the sparse
+    rolled tier without ever materializing the zeros — "is this
+    conversation's minute-by-minute turn volume self-similar one
+    minute later?".
+
+    The trick that keeps it sparse: zeros contribute nothing to Σx,
+    Σx², Σy, Σy², Σxy — only to n.  So over the key's dense span
+    [mn, mx] with N = (mx−mn)/step + 1 buckets and shift = lag·step:
+
+    - n     = N − lag                      (pure arithmetic on mn/mx)
+    - Σx,Σx² = sums over rows with es ≤ mx − shift   (x-side window)
+    - Σy,Σy² = sums over rows with es ≥ mn + shift   (y-side window)
+    - Σxy   = sparse self-join on (keys, es + shift = es) — only
+              bucket pairs where BOTH sides are non-zero survive,
+              which is exactly the set with a non-zero product.
+
+    r = (nΣxy − ΣxΣy)/sqrt((nΣx² − (Σx)²)(nΣy² − (Σy)²)); null when
+    n < 2 or either side has zero variance.  All sums are exact int64
+    (counts), the division is the only float op — see module
+    docstring for why that, not native corr(), is the oracle contract.
+
+    Shuffle shape: one window exchange on keys (mn/mx), a groupBy on
+    keys that reuses that partitioning, and a self-equi-join on
+    (keys, shifted-bucket) whose input is the rolled tier (~1/60 of
+    raw at 1m), never the raw stream.
+    """
+    from peakmatch_xcorr_spark.operators.rollup import (
+        bucket_seconds,
+        epoch_seconds,
+    )
+    from pyspark.sql import Window
+
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    step = bucket_seconds(bucket)
+    shift = lag * step
+    w = Window.partitionBy(*keys)
+    t = (
+        tier.select(
+            *keys,
+            epoch_seconds(ts_col).alias("es"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .withColumn("mn", F.min("es").over(w))
+        .withColumn("mx", F.max("es").over(w))
+    )
+    in_x = F.col("es") <= F.col("mx") - shift
+    in_y = F.col("es") >= F.col("mn") + shift
+    vv = F.col("v") * F.col("v")
+    sums = t.groupBy(*keys).agg(
+        ((F.first("mx") - F.first("mn")) / step + 1 - lag)
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(in_x, F.col("v")).otherwise(0)).alias("sx"),
+        F.sum(F.when(in_x, vv).otherwise(0)).alias("sxx"),
+        F.sum(F.when(in_y, F.col("v")).otherwise(0)).alias("sy"),
+        F.sum(F.when(in_y, vv).otherwise(0)).alias("syy"),
+    )
+    lhs = t.select(
+        *keys, (F.col("es") + shift).alias("es_j"), F.col("v").alias("vx")
+    )
+    rhs = t.select(*keys, F.col("es").alias("es_j"), F.col("v").alias("vy"))
+    sxy = (
+        lhs.join(rhs, [*keys, "es_j"])
+        .groupBy(*keys)
+        .agg(F.sum(F.col("vx") * F.col("vy")).alias("sxy"))
+    )
+    j = sums.join(sxy, list(keys), "left").withColumn(
+        "sxy", F.coalesce(F.col("sxy"), F.lit(0))
+    )
+    n = F.col("n")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    denom = F.sqrt((var_x * var_y).cast("double"))
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / F.nullif(denom, F.lit(0.0))
+    return j.select(
+        *keys,
+        n.alias("n_pairs"),
+        F.when(n >= 2, F.round(r + 1e-9, 6)).alias("acf"),
+    )
+
+
 def value_histogram(
     df: DataFrame,
     value_col: str,

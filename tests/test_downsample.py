@@ -275,3 +275,75 @@ def test_rolling_zscore_flags_planted_spike(spark, rng):
     # the spike inflates the NEXT buckets' baseline stddev instead of
     # its own (current bucket excluded from its own window)
     assert abs(got["z"].iloc[79]) < 5
+
+
+# --------------------------------------------------------------- irate
+
+def test_irate_hand_computed(spark):
+    from peakmatch_xcorr_spark.operators.downsample import irate
+
+    ts = [T0 + dt.timedelta(minutes=m) for m in (0, 10, 50, 70, 80)]
+    # hour 1 last two: 25 -> 40 over 40 min; hour 2: reset 40 -> 5
+    vals = [10.0, 25.0, 40.0, 5.0, 11.0]
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": "c", "ts": ts, "value": vals,
+                      "event_id": range(5)})
+    )
+    got = (
+        irate(df, ["conv_id"], "ts", "value", "1 hour", "event_id")
+        .toPandas().sort_values("bucket_start").reset_index(drop=True)
+    )
+    assert got.samples.tolist() == [3, 2]
+    assert got.rate[0] == pytest.approx(15.0 / 2400.0)
+    # hour 2 latest delta: 11 - 5 = +6 over 600s (the reset happened
+    # at the hour's FIRST sample, not its last pair)
+    assert got.rate[1] == pytest.approx(6.0 / 600.0)
+
+
+def test_irate_first_sample_and_reset_semantics(spark):
+    from peakmatch_xcorr_spark.operators.downsample import irate
+
+    ts = [T0, T0 + dt.timedelta(minutes=61)]
+    df = spark.createDataFrame(
+        pd.DataFrame({"conv_id": "c", "ts": ts, "value": [50.0, 20.0],
+                      "event_id": [0, 1]})
+    )
+    got = (
+        irate(df, ["conv_id"], "ts", "value", "1 hour", "event_id")
+        .toPandas().sort_values("bucket_start").reset_index(drop=True)
+    )
+    # bucket 1 holds only the key's first sample: no predecessor -> null
+    assert pd.isna(got.rate[0])
+    # bucket 2: negative delta = reset -> post-reset value / dt
+    assert got.rate[1] == pytest.approx(20.0 / 3660.0)
+
+
+def test_irate_matches_pandas_bruteforce(spark, rng):
+    from peakmatch_xcorr_spark.operators.downsample import irate
+
+    df, pdf = _series_frame(spark, rng)
+    got = (
+        irate(df, ["conv_id"], "ts", "value", "1 hour", "event_id")
+        .toPandas().sort_values(["conv_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    p = pdf.sort_values(["conv_id", "ts", "event_id"]).copy()
+    p["dv"] = p.groupby("conv_id").value.diff()
+    tus = p.ts.astype("datetime64[us]").astype("int64")
+    p["dt_us"] = p.assign(_t=tus).groupby("conv_id")._t.diff()
+    p["rate"] = np.where(
+        p.dt_us > 0,
+        np.where(p.dv < 0, p.value, p.dv) * 1e6 / p.dt_us,
+        np.nan,
+    )
+    p["bucket_start"] = p.ts.dt.floor("h")
+    exp = (
+        p.groupby(["conv_id", "bucket_start"])
+        .agg(rate=("rate", "last"), samples=("rate", "size"))
+        .reset_index()
+        .sort_values(["conv_id", "bucket_start"]).reset_index(drop=True)
+    )
+    assert got.samples.tolist() == exp.samples.tolist()
+    np.testing.assert_allclose(
+        got.rate.to_numpy(), exp.rate.to_numpy(), rtol=1e-12, equal_nan=True
+    )

@@ -377,3 +377,91 @@ def test_noncanonical_bucket_rollup_and_gapfill(spark, transcripts):
         secs = grp.bucket_start.sort_values().astype("int64") // 10**9
         assert (secs.diff().dropna() == 300).all()
         assert (secs % 300 == 0).all()
+
+
+def test_calendar_month_tier_equals_recompute_from_raw(spark, events):
+    """Calendar cascade parity: raw -> 1h -> 1d -> date_trunc(month)
+    must equal the month groupBy computed directly from raw — day
+    boundaries nest exactly inside months under UTC."""
+    from peakmatch_xcorr_spark.operators.rollup import calendar_tier
+
+    ev = events.filter(events.value.isNotNull())
+    t1d = cascade_tier(
+        tumbling_rollup(ev, ["user_id"], "ts", "value", "1 hour"),
+        ["user_id"], "1 day",
+    )
+    got = (
+        calendar_tier(t1d, ["user_id"], "month")
+        .toPandas().sort_values(["user_id", "bucket_start"])
+        .reset_index(drop=True)
+    )
+    pdf = ev.toPandas()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    exp = (
+        pdf.assign(bucket_start=pdf.ts.dt.to_period("M").dt.start_time)
+        .groupby(["user_id", "bucket_start"], as_index=False)
+        .agg(turns=("value", "size"), vcount=("value", "count"),
+             vsum=("value", "sum"), vmin=("value", "min"),
+             vmax=("value", "max"))
+        .sort_values(["user_id", "bucket_start"]).reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got.turns.to_numpy() == exp.turns.to_numpy()).all()
+    assert (
+        got.bucket_start.to_numpy().astype("datetime64[us]")
+        == exp.bucket_start.to_numpy().astype("datetime64[us]")
+    ).all()
+    np.testing.assert_allclose(got.vsum.to_numpy(), exp.vsum.to_numpy(),
+                               rtol=1e-12)
+    np.testing.assert_array_equal(got.vmin.to_numpy(), exp.vmin.to_numpy())
+    np.testing.assert_array_equal(got.vmax.to_numpy(), exp.vmax.to_numpy())
+    np.testing.assert_allclose(
+        got.vavg.to_numpy(),
+        (exp.vsum / exp.vcount).to_numpy(), rtol=1e-12,
+    )
+
+
+def test_calendar_tier_rejects_fixed_width_units(spark, events):
+    from peakmatch_xcorr_spark.operators.rollup import calendar_tier
+
+    with pytest.raises(ValueError, match="calendar unit"):
+        calendar_tier(events, ["user_id"], "hour")
+
+
+def test_origin_offset_rollup_shifts_boundaries(spark, transcripts):
+    """90s buckets anchored at +30s: every bucket start is ≡30 mod 90
+    in epoch seconds, totals are conserved, and the grid differs from
+    the unanchored one."""
+    got = tumbling_rollup(
+        transcripts, ["conv_id"], "ts", None, "90 seconds",
+        origin="30 seconds",
+    ).toPandas()
+    secs = got.bucket_start.astype("int64") // 10**9
+    assert (secs % 90 == 30).all()
+    plain = tumbling_rollup(
+        transcripts, ["conv_id"], "ts", None, "90 seconds"
+    ).toPandas()
+    assert (plain.bucket_start.astype("int64") // 10**9 % 90 == 0).all()
+    assert got.turns.sum() == plain.turns.sum() == transcripts.count()
+
+    pdf = transcripts.toPandas()
+    es = pdf.ts.astype("datetime64[us]").astype("int64") // 10**6
+    exp_starts = (es - 30) // 90 * 90 + 30
+    exp = (
+        pdf.assign(bs=exp_starts)
+        .groupby(["conv_id", "bs"]).size().rename("turns").reset_index()
+    )
+    g = got.assign(bs=secs)[["conv_id", "bs", "turns"]]
+    pd.testing.assert_frame_equal(
+        g.sort_values(["conv_id", "bs"]).reset_index(drop=True),
+        exp.sort_values(["conv_id", "bs"]).reset_index(drop=True),
+        check_dtype=False,
+    )
+
+
+def test_origin_must_be_shorter_than_bucket(spark, transcripts):
+    with pytest.raises(ValueError, match="origin"):
+        tumbling_rollup(
+            transcripts, ["conv_id"], "ts", None, "1 minute",
+            origin="2 minutes",
+        )

@@ -131,3 +131,122 @@ def test_corr_and_trend_plans_have_partials_and_no_python(spark, events):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert "Window" not in plan  # pure decomposable aggregates
+
+
+# ----------------------------------------------------------------- ACF
+
+def _dense_acf(series: np.ndarray, lag: int) -> float | None:
+    """Pearson r between x[:-lag] and x[lag:] of the DENSE series."""
+    if len(series) <= lag + 1:
+        return None
+    x = series[:-lag].astype("float64")
+    y = series[lag:].astype("float64")
+    if x.std() == 0 or y.std() == 0:
+        return None
+    return float(np.corrcoef(x, y)[0, 1])
+
+
+@pytest.mark.parametrize("lag", [1, 3])
+def test_activity_acf_matches_dense_numpy(spark, events, pdf, lag):
+    """The sparse-tier computation must equal the literal dense-series
+    corrcoef: materialize every user's zero-filled minute curve in
+    numpy and compare."""
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.operators.stats import activity_acf
+
+    curve = tumbling_rollup(events, ["user_id"], "ts", None, "1 minute")
+    got = {
+        r["user_id"]: r
+        for r in activity_acf(curve, ["user_id"], "1 minute", lag=lag)
+        .collect()
+    }
+    p = pdf.copy()
+    p["minute"] = p.ts.dt.floor("min")
+    for uid, grp in p.groupby("user_id"):
+        counts = grp.groupby("minute").size()
+        idx = pd.date_range(counts.index.min(), counts.index.max(),
+                            freq="min")
+        dense = counts.reindex(idx, fill_value=0).to_numpy()
+        exp = _dense_acf(dense, lag)
+        row = got[uid]
+        assert row["n_pairs"] == len(dense) - lag
+        if exp is None:
+            assert row["acf"] is None
+        else:
+            assert row["acf"] == pytest.approx(round(exp + 1e-9, 6),
+                                               abs=2e-6)
+
+
+def test_activity_acf_perfect_alternation(spark):
+    """A strictly alternating dense curve has lag-1 ACF −1 and lag-2
+    ACF +1 exactly."""
+    from peakmatch_xcorr_spark.operators.stats import activity_acf
+
+    t0 = pd.Timestamp("2024-01-01")
+    rows = pd.DataFrame({
+        "user_id": "u",
+        "bucket_start": [t0 + pd.Timedelta(minutes=m) for m in range(20)],
+        "turns": [5 if m % 2 == 0 else 1 for m in range(20)],
+    })
+    tier = spark.createDataFrame(rows)
+    out = {r["user_id"]: r for r in
+           activity_acf(tier, ["user_id"], "1 minute", lag=1).collect()}
+    assert out["u"]["acf"] == pytest.approx(-1.0, abs=1e-6)
+    out2 = {r["user_id"]: r for r in
+            activity_acf(tier, ["user_id"], "1 minute", lag=2).collect()}
+    assert out2["u"]["acf"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_activity_acf_sparse_gap_counts_as_zeros(spark):
+    """Buckets absent from the tier are ZEROS in the dense series, not
+    skipped: a two-point tier with a gap must match numpy on the
+    zero-filled curve."""
+    from peakmatch_xcorr_spark.operators.stats import activity_acf
+
+    t0 = pd.Timestamp("2024-01-01")
+    tier = spark.createDataFrame(pd.DataFrame({
+        "user_id": "u",
+        "bucket_start": [t0, t0 + pd.Timedelta(minutes=4)],
+        "turns": [3, 7],
+    }))
+    row = activity_acf(tier, ["user_id"], "1 minute", lag=1).collect()[0]
+    dense = np.array([3, 0, 0, 0, 7])
+    assert row["n_pairs"] == 4
+    exp = float(np.corrcoef(dense[:-1], dense[1:])[0, 1])
+    assert row["acf"] == pytest.approx(round(exp + 1e-9, 6), abs=2e-6)
+
+
+def test_activity_acf_rejects_nonpositive_lag(spark, events):
+    from peakmatch_xcorr_spark.operators.stats import activity_acf
+
+    with pytest.raises(ValueError, match="lag"):
+        activity_acf(events, ["user_id"], "1 minute", lag=0)
+
+
+def test_new_tier_ops_plans_stay_jvm_side(spark, events):
+    """Plan gates: calendar tier and irate are pure codegen (no
+    Python/Arrow eval), with map-side partial aggregation."""
+    from peakmatch_xcorr_spark.operators.downsample import irate
+    from peakmatch_xcorr_spark.operators.rollup import (
+        calendar_tier,
+        cascade_tier,
+        tumbling_rollup,
+    )
+
+    ev = events.filter(events.value.isNotNull())
+    t1d = cascade_tier(
+        tumbling_rollup(ev, ["user_id"], "ts", "value", "1 hour"),
+        ["user_id"], "1 day",
+    )
+    plan = _explain(calendar_tier(t1d, ["user_id"], "month"))
+    assert "partial" in plan.lower()
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+    plan = _explain(irate(events, ["user_id"], "ts", "value", "1 hour",
+                          "event_id"))
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # ONE exchange: the agg on (keys, bucket) reuses the lag window's
+    # hash distribution on keys (a superset-grouping distribution
+    # satisfies the subset requirement), so Catalyst plans the final
+    # aggregate without a second shuffle
+    assert _n_exchanges(plan) == 1
