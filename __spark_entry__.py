@@ -1775,6 +1775,98 @@ FROM clicks c ASOF LEFT JOIN hourly h
 """
 
 
+def _q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (operators/asof.py asof_join
+    direction='forward'): each click gets the EARLIEST hourly vavg
+    at-or-after it; DuckDB's ASOF JOIN with the inequality flipped is
+    the oracle.  Same one-exchange union+window plan as backward —
+    first(ignorenulls) over a leading frame."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.asof import asof_join
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    hourly = tumbling_rollup(
+        events, ["user_id"], "ts", "value", "1 hour"
+    ).select("user_id", F.col("bucket_start").alias("ts"), "vavg")
+    out = asof_join(
+        clicks, hourly, ["user_id"], value_cols=["vavg"],
+        direction="forward",
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round(F.col("right_vavg") + 1e-9, 6).alias("asof_vavg"),
+    )
+
+
+_SQL_ASOF_FORWARD = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS ts, avg(value) AS vavg
+  FROM events GROUP BY 1, 2
+), clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT c.user_id, c.event_id,
+       round(h.vavg + 1e-9, 6) AS asof_vavg
+FROM clicks c ASOF LEFT JOIN hourly h
+  ON c.user_id = h.user_id AND c.ts <= h.ts
+"""
+
+
+def _q_asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (direction='nearest'): each click gets the
+    hourly vavg whose bucket start is closest in absolute time, exact
+    tie preferring the backward match (pandas merge_asof convention).
+    Gap comparison is exact int64 microseconds on both engines."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.asof import asof_join
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    hourly = tumbling_rollup(
+        events, ["user_id"], "ts", "value", "1 hour"
+    ).select("user_id", F.col("bucket_start").alias("ts"), "vavg")
+    out = asof_join(
+        clicks, hourly, ["user_id"], value_cols=["vavg"],
+        direction="nearest",
+    )
+    return out.select(
+        "user_id", "event_id",
+        F.round(F.col("right_vavg") + 1e-9, 6).alias("asof_vavg"),
+    )
+
+
+_SQL_ASOF_NEAREST = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS ts, avg(value) AS vavg
+  FROM events GROUP BY 1, 2
+), clicks AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT c.user_id, c.event_id, c.ts, h.ts AS bts, h.vavg AS bv
+  FROM clicks c ASOF LEFT JOIN hourly h
+    ON c.user_id = h.user_id AND c.ts >= h.ts
+), f AS (
+  SELECT c.user_id, c.event_id, c.ts, h.ts AS fts, h.vavg AS fv
+  FROM clicks c ASOF LEFT JOIN hourly h
+    ON c.user_id = h.user_id AND c.ts <= h.ts
+)
+SELECT b.user_id, b.event_id,
+       round(CASE WHEN b.bts IS NULL THEN f.fv
+                  WHEN f.fts IS NULL THEN b.bv
+                  WHEN abs(epoch_us(f.ts) - epoch_us(f.fts))
+                       < abs(epoch_us(b.ts) - epoch_us(b.bts))
+                  THEN f.fv ELSE b.bv END + 1e-9, 6) AS asof_vavg
+FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
+"""
+
+
 def _q_interval_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed event-time interval join (operators/asof.py
     interval_join): purchases within 1 hour after each click, per
@@ -5140,6 +5232,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "band_range_join": (_q_band_range_join, _SQL_BAND_JOIN),
     "distinct_counts": (_q_distinct_counts, _SQL_DISTINCT),
     "asof_join_clicks": (_q_asof_join, _SQL_ASOF),
+    "asof_join_forward": (_q_asof_join_forward, _SQL_ASOF_FORWARD),
+    "asof_join_nearest": (_q_asof_join_nearest, _SQL_ASOF_NEAREST),
     "interval_join_funnel": (_q_interval_join_funnel, _SQL_INTERVAL_JOIN),
     "time_weighted_avg_1h": (_q_time_weighted_avg, _SQL_TWA),
     "percentiles_by_type": (_q_percentiles, _SQL_PERCENTILES),

@@ -1,11 +1,12 @@
 """Time-series joins Spark lacks natively: as-of join and
 time-weighted aggregation.
 
-``asof_join`` (backward): for each left row, the latest right row with
-rt <= lt per key — implemented JVM-side with the union+window trick
-(tag sides, union, per-key ts-ordered window, last(ignorenulls) of the
-right payload), not a per-group pandas merge_asof: one shuffle, no
-Python, and the window is the same partitioning later stages reuse.
+``asof_join`` (backward / forward / nearest): for each left row, the
+nearest right row per key in the requested direction — implemented
+JVM-side with the union+window trick (tag sides, union, per-key
+ts-ordered window, last/first(ignorenulls) of the right payload), not
+a per-group pandas merge_asof: one shuffle, no Python, and the window
+is the same partitioning later stages reuse.
 
 ``time_weighted_avg``: per (key, bucket) LOCF step-function integral —
 each observation covers [its ts, next obs ts), intersected with every
@@ -28,10 +29,33 @@ def asof_join(
     right_ts: str = "ts",
     value_cols: list[str] | None = None,
     tolerance_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: left rows get the most recent right values
-    at or before their timestamp (per key).  Optional tolerance drops
-    matches older than ``tolerance_s`` seconds."""
+    """As-of join: left rows get right values from the nearest right
+    row per key, where "nearest" is governed by ``direction``:
+
+    - ``backward`` (default): most recent right row at or before the
+      left timestamp — the kdb aj / DuckDB ASOF semantics.
+    - ``forward``: earliest right row at or after the left timestamp.
+    - ``nearest``: whichever of the two is closer in absolute time;
+      an exact tie prefers the backward match (deterministic, and the
+      convention pandas merge_asof(direction='nearest') follows).
+
+    Optional ``tolerance_s`` drops matches farther than that many
+    seconds on either side.
+
+    All three run in the same union+window plan with ONE exchange on
+    the keys: backward is a trailing last(ignorenulls), forward a
+    leading first(ignorenulls) (a second intra-partition sort, no new
+    shuffle — at equal timestamps right rows order before left rows
+    for backward and after them for forward, so same-instant
+    observations match in both directions), nearest evaluates both
+    fills and picks per row."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            "direction must be backward | forward | nearest, got "
+            f"{direction!r}"
+        )
     from pyspark.sql.types import StructField, StructType, TimestampType
 
     value_cols = value_cols or [
@@ -65,22 +89,51 @@ def asof_join(
             *[F.col(c) for c in value_cols],
         ).alias("_rrow"),
     )
+    u = lt.unionByName(rt)
+    lts = F.col("_ts").cast("timestamp")
     # right rows sort before left rows at equal ts so "at or before"
     # includes same-instant right observations
-    u = lt.unionByName(rt)
-    w = (
+    wb = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").cast("timestamp"), F.col("_is_left"))
+        .orderBy(lts, F.col("_is_left"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = u.select(
-        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_f")
-    ).filter(F.col("_is_left") == 1)
+    # ...and AFTER them for "at or after" (forward frame starts at the
+    # current row, so a same-ts right row must order behind the left)
+    wf = (
+        Window.partitionBy(*keys)
+        .orderBy(lts, F.col("_is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    fills = []
+    if direction in ("backward", "nearest"):
+        fills.append(F.last("_rrow", ignorenulls=True).over(wb).alias("_fb"))
+    if direction in ("forward", "nearest"):
+        fills.append(F.first("_rrow", ignorenulls=True).over(wf).alias("_ff"))
+    filled = u.select("*", *fills).filter(F.col("_is_left") == 1)
+
+    def _gap(f):
+        # exact int64 MICROSECONDS from the left row to fill f's right
+        # row — a seconds cast truncates, which flips nearest-side
+        # decisions (and tolerance edges) on sub-second data
+        return F.abs(
+            F.unix_micros(lts) - F.unix_micros(F.col(f)["__asof_rts"])
+        )
+
+    if direction == "nearest":
+        # tie (equal gap) prefers backward: strict < for forward wins
+        fwd_wins = F.col("_fb").isNull() | (
+            F.col("_ff").isNotNull() & (_gap("_ff") < _gap("_fb"))
+        )
+        filled = filled.withColumn(
+            "_f", F.when(fwd_wins, F.col("_ff")).otherwise(F.col("_fb"))
+        )
+    else:
+        filled = filled.withColumn(
+            "_f", F.col("_fb" if direction == "backward" else "_ff")
+        )
     if tolerance_s is not None:
-        in_tol = (
-            epoch_seconds(F.col("_ts").cast("timestamp"))
-            - epoch_seconds(F.col("_f")["__asof_rts"])
-        ) <= tolerance_s
+        in_tol = _gap("_f") <= int(tolerance_s) * 1_000_000
         picked = [
             F.when(in_tol, F.col("_f")[c]).alias(f"right_{c}")
             for c in value_cols

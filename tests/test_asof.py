@@ -327,3 +327,114 @@ def test_interval_join_plan_is_bucketed_equi_join(spark, interval_frames):
         assert "BroadcastNestedLoopJoin" not in p
         assert "CartesianProduct" not in p
         assert ("SortMergeJoin" in p) or ("HashJoin" in p)
+
+
+def test_asof_join_forward(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = (
+        asof_join(trades, quotes, ["sym"], value_cols=["px"],
+                  direction="forward")
+        .toPandas().sort_values(["sym", "ts"]).reset_index(drop=True)
+    )
+    # a@00:00:30 -> 11 (00:01); a@00:05 -> 12 (same instant counts);
+    # a@00:20 -> no later quote (None)
+    a = out[out.sym == "a"]
+    assert list(a.right_px[:2]) == [11.0, 12.0]
+    assert np.isnan(a.right_px.iloc[2])
+    # b@00:01 -> 100 (00:02); b@00:09 -> none after
+    b = out[out.sym == "b"]
+    assert b.right_px.iloc[0] == 100.0
+    assert np.isnan(b.right_px.iloc[1])
+
+
+def test_asof_join_nearest(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    out = (
+        asof_join(trades, quotes, ["sym"], value_cols=["px"],
+                  direction="nearest")
+        .toPandas().sort_values(["sym", "ts"]).reset_index(drop=True)
+    )
+    # a@00:00:30 equidistant 00:00 / 00:01 -> tie prefers BACKWARD (10)
+    a = out[out.sym == "a"]
+    assert list(a.right_px) == [10.0, 12.0, 13.0]
+    # b@00:01 -> 00:02 is the nearest (forward wins over nothing)
+    b = out[out.sym == "b"]
+    assert b.right_px.iloc[0] == 100.0
+    assert b.right_px.iloc[1] == 101.0
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_join_directions_match_pandas_merge_asof(spark, rng, direction):
+    n_l, n_r = 300, 120
+    # distinct timestamps on both sides: pandas' nearest tie rule is
+    # checked by the dedicated fixture test, not left to chance here
+    lt = np.sort(rng.choice(10**12, n_l, replace=False))
+    rt = np.sort(rng.choice(10**12, n_r, replace=False))
+    left = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], n_l),
+        "ts": pd.to_datetime(1704067200_000_000_000 + lt)
+              .astype("datetime64[us]"),
+        "lv": rng.normal(size=n_l),
+    })
+    right = pd.DataFrame({
+        "k": rng.choice(["x", "y", "z"], n_r),
+        "ts": pd.to_datetime(1704067200_000_000_000 + rt)
+              .astype("datetime64[us]"),
+        "rv": rng.normal(size=n_r),
+    })
+    got = (
+        asof_join(spark.createDataFrame(left), spark.createDataFrame(right),
+                  ["k"], value_cols=["rv"], direction=direction)
+        .toPandas().sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        left.sort_values("ts"), right.sort_values("ts"),
+        on="ts", by="k", direction=direction,
+    ).sort_values(["k", "ts", "lv"]).reset_index(drop=True)
+    np.testing.assert_allclose(
+        got.right_rv.to_numpy(), exp.rv.to_numpy(), rtol=1e-12,
+        equal_nan=True,
+    )
+
+
+def test_asof_forward_and_nearest_tolerance(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    fwd = (
+        asof_join(trades, quotes, ["sym"], value_cols=["px"],
+                  direction="forward", tolerance_s=25)
+        .toPandas().sort_values(["sym", "ts"]).reset_index(drop=True)
+    )
+    # a@00:00:30: next quote 00:01 is 30 s away -> outside 25 s
+    assert np.isnan(fwd[fwd.sym == "a"].right_px.iloc[0])
+    near = (
+        asof_join(trades, quotes, ["sym"], value_cols=["px"],
+                  direction="nearest", tolerance_s=25)
+        .toPandas().sort_values(["sym", "ts"]).reset_index(drop=True)
+    )
+    # nearest picks 00:00 (30 s back) -> also outside; same-instant ok
+    a = near[near.sym == "a"]
+    assert np.isnan(a.right_px.iloc[0])
+    assert a.right_px.iloc[1] == 12.0
+
+
+def test_asof_join_rejects_unknown_direction(spark, quotes_trades):
+    trades, quotes = quotes_trades
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, ["sym"], direction="sideways")
+
+
+def test_asof_join_all_directions_one_exchange(spark, quotes_trades):
+    trades, quotes = quotes_trades
+
+    def _explain(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    for d in ("backward", "forward", "nearest"):
+        plan = _explain(
+            asof_join(trades, quotes, ["sym"], value_cols=["px"],
+                      direction=d)
+        )
+        assert plan.count(") Exchange") == 1, d
+        assert "Python" not in plan and "ArrowEval" not in plan, d
