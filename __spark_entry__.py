@@ -1952,6 +1952,63 @@ HAVING sum(wt) > 0
 """
 
 
+def _q_time_weighted_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear time-weighted average (operators/asof.py
+    time_weighted_avg(method='linear')): the signal interpolates
+    linearly between consecutive samples and each bucket averages the
+    exact trapezoid integral of its intersection with every segment —
+    TimescaleDB time_weight('Linear').  The last sample closes no
+    segment, so tail coverage stops at the data."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.asof import time_weighted_avg
+
+    events = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    out = time_weighted_avg(events, ["user_id"], "1 hour", method="linear")
+    return out.select(
+        "user_id", "bucket_start",
+        F.round(F.col("twa") + 1e-9, 6).alias("twa"),
+        F.round(F.col("covered_s") + 1e-9, 3).alias("covered_s"),
+    )
+
+
+_SQL_TWA_LINEAR = """
+WITH obs AS (
+  SELECT user_id, value AS v,
+         epoch(ts) AS s,
+         lead(epoch(ts)) OVER w AS e,
+         lead(value) OVER w AS nv
+  FROM events WHERE value IS NOT NULL
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts))
+), seg AS (
+  SELECT user_id, v, nv, s, e,
+         unnest(generate_series(
+           floor(s / 3600)::BIGINT,
+           greatest(floor((e - 1e-9) / 3600)::BIGINT,
+                    floor(s / 3600)::BIGINT)
+         )) AS bi
+  FROM obs WHERE e IS NOT NULL AND e > s
+), cut AS (
+  SELECT user_id, v, nv, s, e, bi,
+         greatest(s, bi * 3600.0) AS a,
+         least(e, (bi + 1) * 3600.0) AS b
+  FROM seg
+), weighted AS (
+  SELECT user_id,
+         make_timestamp((bi * 3600)::BIGINT * 1000000) AS bucket_start,
+         greatest(b - a, 0) AS wt,
+         greatest(b - a, 0)
+           * ((v + (nv - v) / (e - s) * (a - s))
+            + (v + (nv - v) / (e - s) * (b - s))) / 2 AS contrib
+  FROM cut
+)
+SELECT user_id, bucket_start,
+       round(sum(contrib) / sum(wt) + 1e-9, 6) AS twa,
+       round(sum(wt) + 1e-9, 3) AS covered_s
+FROM weighted GROUP BY 1, 2
+HAVING sum(wt) > 0
+"""
+
+
 def _q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per event type (A5-adjacent)."""
     _utc(spark)
@@ -5236,6 +5293,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "asof_join_nearest": (_q_asof_join_nearest, _SQL_ASOF_NEAREST),
     "interval_join_funnel": (_q_interval_join_funnel, _SQL_INTERVAL_JOIN),
     "time_weighted_avg_1h": (_q_time_weighted_avg, _SQL_TWA),
+    "time_weighted_linear_1h": (_q_time_weighted_linear, _SQL_TWA_LINEAR),
     "percentiles_by_type": (_q_percentiles, _SQL_PERCENTILES),
     "dedup_components_planted": (
         _q_dedup_components_planted, _SQL_DEDUP_COMPONENTS_PLANTED

@@ -230,21 +230,38 @@ def time_weighted_avg(
     bucket: str = "1 hour",
     ts_col: str = "ts",
     value_col: str = "value",
+    method: str = "locf",
 ) -> DataFrame:
-    """LOCF time-weighted average per (key, bucket): each observation
-    defines a step segment [its ts, next obs ts) over which its value
-    is current (the last observation's segment ends at the end of its
-    own bucket — no projection beyond the data).  Segments are
-    intersected with the tumbling buckets they span, so a value
-    carries INTO later buckets it remains current for, including
-    buckets with no samples of their own; buckets starting before the
-    key's first observation get no row (head coverage is unknown —
-    compose with gap_fill for a dense spine).  ``covered_s`` is the
-    per-bucket covered time.
+    """Time-weighted average per (key, bucket) — TimescaleDB
+    ``time_weight(method, ...)`` with both interpolation methods:
 
-    This is the step-function integral semantics (TimescaleDB
-    ``time_weight('LOCF', ...)``): values are never back-propagated
-    from the future into earlier parts of a bucket."""
+    - ``locf``: each observation defines a step segment [its ts, next
+      obs ts) over which its value is current (the last observation's
+      segment ends at the end of its own bucket — no projection
+      beyond the data).  Values are never back-propagated from the
+      future into earlier parts of a bucket.
+    - ``linear``: the signal is linear between consecutive
+      observations; each segment's integral over a bucket
+      intersection is the exact trapezoid (w · (v(a)+v(b))/2 with
+      v(t) interpolated at the intersection endpoints).  The last
+      observation closes no segment (a line needs two points), so a
+      key's final partial bucket is covered only up to its last
+      sample — same as TimescaleDB.
+
+    Segments are intersected with the tumbling buckets they span, so
+    a value carries INTO later buckets it remains current for,
+    including buckets with no samples of their own; buckets starting
+    before the key's first observation get no row (head coverage is
+    unknown — compose with gap_fill for a dense spine).  ``covered_s``
+    is the per-bucket covered time.
+
+    One window exchange on the keys; the explode fanout is bounded by
+    segment span / bucket width (temporal density, never row count),
+    and the final aggregate reuses the window's key distribution."""
+    if method not in ("locf", "linear"):
+        raise ValueError(
+            f"method must be locf | linear, got {method!r}"
+        )
     step = bucket_seconds(bucket)
     # microsecond-precision epochs: whole-second truncation would bias
     # the weights of sub-second samples
@@ -255,12 +272,21 @@ def time_weighted_avg(
     own_bucket_end = (F.floor(F.col("s") / step) + 1).cast("double") * step
     # window exprs can't live inside a generator: materialize segment
     # bounds first, then explode the bucket range they span
-    bounds = df.select(
-        *keys, F.col(value_col).alias("v"), tsec.alias("s")
-    ).select(
-        "*",
-        F.coalesce(F.lead("s").over(w), own_bucket_end).alias("e"),
-    )
+    base = df.select(*keys, F.col(value_col).alias("v"), tsec.alias("s"))
+    if method == "locf":
+        bounds = base.select(
+            "*",
+            F.coalesce(F.lead("s").over(w), own_bucket_end).alias("e"),
+            F.col("v").alias("nv"),
+        )
+    else:
+        # a zero-length segment (duplicate ts) has no defined slope —
+        # drop it; LOCF keeps them only to preserve its own bucket row
+        bounds = base.select(
+            "*",
+            F.lead("s").over(w).alias("e"),
+            F.lead("v").over(w).alias("nv"),
+        ).filter(F.col("e").isNotNull() & (F.col("e") > F.col("s")))
     first_b = F.floor(F.col("s") / step).cast("long")
     # end-exclusive: a segment ending exactly on a boundary does not
     # touch the next bucket; degenerate (zero-length) segments keep
@@ -269,23 +295,29 @@ def time_weighted_avg(
         F.floor((F.col("e") - F.lit(1e-9)) / step).cast("long"), first_b
     )
     seg = bounds.select(
-        *keys, "v", "s", "e",
+        *keys, "v", "nv", "s", "e",
         F.explode(F.sequence(first_b, last_b)).alias("bi"),
     )
     b_start = F.col("bi").cast("double") * step
-    overlap = F.greatest(
-        F.least(F.col("e"), b_start + step) - F.greatest(F.col("s"), b_start),
-        F.lit(0.0),
-    )
+    a = F.greatest(F.col("s"), b_start)
+    b = F.least(F.col("e"), b_start + step)
+    overlap = F.greatest(b - a, F.lit(0.0))
+    if method == "locf":
+        contrib = F.col("v") * overlap
+    else:
+        slope = (F.col("nv") - F.col("v")) / (F.col("e") - F.col("s"))
+        va = F.col("v") + slope * (a - F.col("s"))
+        vb = F.col("v") + slope * (b - F.col("s"))
+        contrib = overlap * (va + vb) / 2
     out = (
         seg.select(
             *keys,
             F.timestamp_seconds(F.col("bi") * step).alias("bucket_start"),
-            "v", overlap.alias("wt"),
+            contrib.alias("_c"), overlap.alias("wt"),
         )
         .groupBy(*keys, "bucket_start")
         .agg(
-            F.sum(F.col("v") * F.col("wt")).alias("_vw"),
+            F.sum("_c").alias("_vw"),
             F.sum("wt").alias("covered_s"),
         )
     )

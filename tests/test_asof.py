@@ -438,3 +438,120 @@ def test_asof_join_all_directions_one_exchange(spark, quotes_trades):
         )
         assert plan.count(") Exchange") == 1, d
         assert "Python" not in plan and "ArrowEval" not in plan, d
+
+
+# --------------------------------------------------- linear time weight
+
+def test_time_weighted_linear_single_bucket(spark):
+    """0→10 linearly over [00:00, 00:10): trapezoid mean is 5, covered
+    600 s (the last point closes no segment)."""
+    pdf = pd.DataFrame({
+        "k": ["a"] * 2,
+        "ts": pd.to_datetime(
+            ["2024-01-01 00:00:00", "2024-01-01 00:10:00"]
+        ).astype("datetime64[us]"),
+        "value": [0.0, 10.0],
+    })
+    out = time_weighted_avg(
+        spark.createDataFrame(pdf), ["k"], "1 hour", method="linear"
+    ).toPandas()
+    assert len(out) == 1
+    assert out.twa.iloc[0] == pytest.approx(5.0)
+    assert out.covered_s.iloc[0] == pytest.approx(600.0)
+
+
+def test_time_weighted_linear_splits_across_boundary(spark):
+    """A segment 0→40 over [23:30, 00:30) next day: first bucket sees
+    the 0→20 half (mean 10), second the 20→40 half (mean 30)."""
+    pdf = pd.DataFrame({
+        "k": ["a"] * 2,
+        "ts": pd.to_datetime(
+            ["2024-01-01 23:30:00", "2024-01-02 00:30:00"]
+        ).astype("datetime64[us]"),
+        "value": [0.0, 40.0],
+    })
+    out = (
+        time_weighted_avg(
+            spark.createDataFrame(pdf), ["k"], "1 hour", method="linear"
+        ).toPandas().sort_values("bucket_start").reset_index(drop=True)
+    )
+    assert len(out) == 2
+    assert out.twa.iloc[0] == pytest.approx(10.0)
+    assert out.twa.iloc[1] == pytest.approx(30.0)
+    assert list(out.covered_s) == [1800.0, 1800.0]
+
+
+def test_time_weighted_linear_constant_equals_locf(spark, rng):
+    """On a constant-valued series both methods are the plain mean of
+    the constant — identical rows except the last partial bucket's
+    coverage (locf extends to its own bucket end, linear stops at the
+    last sample)."""
+    n = 200
+    ts = pd.to_datetime(
+        1704067200_000_000_000
+        + np.sort(rng.choice(10**12, n, replace=False))
+    ).astype("datetime64[us]")
+    pdf = pd.DataFrame({"k": "a", "ts": ts, "value": 7.5})
+    sdf = spark.createDataFrame(pdf)
+    lin = time_weighted_avg(sdf, ["k"], "1 hour", method="linear").toPandas()
+    loc = time_weighted_avg(sdf, ["k"], "1 hour", method="locf").toPandas()
+    assert (lin.twa.to_numpy() == 7.5).all()
+    assert (loc.twa.to_numpy() == 7.5).all()
+    # linear covers exactly first→last; locf additionally rounds the
+    # tail up to the last sample's own bucket end
+    assert lin.covered_s.sum() == pytest.approx(
+        (ts[-1] - ts[0]).total_seconds(), abs=1e-6
+    )
+
+
+def test_time_weighted_linear_matches_numpy_trapezoid(spark, rng):
+    """Random irregular series vs numpy: per bucket, integrate the
+    piecewise-linear signal analytically with fine trapezoid splits at
+    every bucket boundary."""
+    n = 120
+    secs = np.sort(rng.choice(20_000, n, replace=False)).astype("float64")
+    vals = rng.normal(size=n) * 10
+    pdf = pd.DataFrame({
+        "k": "a",
+        "ts": pd.to_datetime((1704067200 + secs) * 1e9).astype(
+            "datetime64[us]"
+        ),
+        "value": vals,
+    })
+    out = (
+        time_weighted_avg(
+            spark.createDataFrame(pdf), ["k"], "1 hour", method="linear"
+        ).toPandas().sort_values("bucket_start").reset_index(drop=True)
+    )
+    base = 1704067200
+    acc: dict[int, list[float]] = {}
+    for i in range(n - 1):
+        s, e, v0, v1 = secs[i], secs[i + 1], vals[i], vals[i + 1]
+        cuts = [s] + [float(b) for b in
+                      range(int(s // 3600 + 1) * 3600, int(np.ceil(e)), 3600)
+                      if s < b < e] + [e]
+        for a, b in zip(cuts, cuts[1:]):
+            va = v0 + (v1 - v0) * (a - s) / (e - s)
+            vb = v0 + (v1 - v0) * (b - s) / (e - s)
+            bi = int(a // 3600)
+            acc.setdefault(bi, [0.0, 0.0])
+            acc[bi][0] += (b - a) * (va + vb) / 2
+            acc[bi][1] += b - a
+    exp = {
+        base + bi * 3600: c / w for bi, (c, w) in acc.items() if w > 0
+    }
+    got = dict(zip(
+        out.bucket_start.astype("int64") // 10**9, out.twa
+    ))
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], rel=1e-9), k
+
+
+def test_time_weighted_avg_rejects_unknown_method(spark):
+    pdf = pd.DataFrame({
+        "k": ["a"], "ts": pd.to_datetime(["2024-01-01"]), "value": [1.0]
+    })
+    with pytest.raises(ValueError, match="method"):
+        time_weighted_avg(spark.createDataFrame(pdf), ["k"],
+                          method="cubic")
