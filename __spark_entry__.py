@@ -1952,6 +1952,65 @@ HAVING sum(wt) > 0
 """
 
 
+def _q_overlap_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join (operators/asof.py overlap_join): per
+    user, daily click-activity spans [first click, last click + 1µs)
+    overlapping daily view-activity spans — "was the user clicking
+    and viewing at the same moments?".  The plan is a plain equi-join
+    on (user, time-bucket) with each span exploding to the buckets it
+    covers and exactly ONE bucket owning each pair (the bucket of the
+    later start — both sides cover it whenever they overlap), so no
+    distinct() pass; the oracle is the literal theta join."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.asof import overlap_join
+
+    ev = _t(spark, sf_dir, "events")
+
+    def spans(et: str, tag: str):
+        return (
+            ev.filter(F.col("event_type") == et)
+            .groupBy(
+                "user_id",
+                F.window("ts", "1 day").start.alias(f"{tag}_day"),
+            )
+            .agg(
+                F.min("ts").alias("start"),
+                # interval add keeps the NTZ type (unix_micros would
+                # demand a tz-aware cast round-trip)
+                (F.max("ts") + F.expr("INTERVAL 1 MICROSECOND")).alias(
+                    "end"
+                ),
+            )
+        )
+
+    out = overlap_join(
+        spans("click", "click"), spans("view", "view"), ["user_id"],
+        span_s=86400.0, right_cols=["view_day"],
+    )
+    return out.select(
+        "user_id", "click_day",
+        F.col("right_view_day").alias("view_day"), "overlap_us",
+    )
+
+
+_SQL_OVERLAP_ACTIVITY = """
+WITH c AS (
+  SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS click_day,
+         min(ts) AS s, max(ts) + INTERVAL 1 MICROSECOND AS e
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), v AS (
+  SELECT user_id, date_trunc('day', ts)::TIMESTAMP AS view_day,
+         min(ts) AS s, max(ts) + INTERVAL 1 MICROSECOND AS e
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT c.user_id, c.click_day, v.view_day,
+       epoch_us(least(c.e, v.e)) - epoch_us(greatest(c.s, v.s))
+         AS overlap_us
+FROM c JOIN v
+  ON c.user_id = v.user_id AND c.s < v.e AND v.s < c.e
+"""
+
+
 def _q_time_weighted_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear time-weighted average (operators/asof.py
     time_weighted_avg(method='linear')): the signal interpolates
@@ -5294,6 +5353,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "interval_join_funnel": (_q_interval_join_funnel, _SQL_INTERVAL_JOIN),
     "time_weighted_avg_1h": (_q_time_weighted_avg, _SQL_TWA),
     "time_weighted_linear_1h": (_q_time_weighted_linear, _SQL_TWA_LINEAR),
+    "overlap_activity": (_q_overlap_activity, _SQL_OVERLAP_ACTIVITY),
     "percentiles_by_type": (_q_percentiles, _SQL_PERCENTILES),
     "dedup_components_planted": (
         _q_dedup_components_planted, _SQL_DEDUP_COMPONENTS_PLANTED

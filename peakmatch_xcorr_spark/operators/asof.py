@@ -224,6 +224,101 @@ def interval_join(
     )
 
 
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    span_s: float,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "start",
+    right_end: str = "end",
+    right_cols: list[str] | None = None,
+    prefix: str = "right_",
+) -> DataFrame:
+    """Interval-OVERLAP join: every (left, right) pair sharing ``keys``
+    whose half-open time intervals [start, end) intersect — the join
+    shape behind concurrency analysis (which sessions ran at the same
+    time?), downtime attribution, and meeting-style conflicts.
+    Zero-length intervals are empty sets and never match.
+
+    Spark plans the raw ``ls < re AND rs < le`` predicate as a
+    sort-merge join with BOTH inequalities residual (or a BNLJ when
+    ``keys`` is empty) — every same-key pair materializes.  Here both
+    sides bucket their interval at ``span_s`` and explode to the
+    buckets they cover, so the join is a plain equi-join on
+    (keys…, bucket); the per-row fanout is interval length / span,
+    and the exact overlap predicate filters candidates.
+
+    A pair that overlaps shares every bucket in the intersection, so
+    naive explode+join would emit it once per shared bucket.  Instead
+    of a distinct() (a second shuffle over the match set), ownership
+    is decided IN the join condition: the pair matches only in the
+    bucket of max(l_start, r_start) — an overlap guarantees both
+    sides cover that bucket (max(ls, rs) < min(le, re) ≤ both ends),
+    so exactly one bucket key owns each pair and the join stays
+    single-pass.  All bucket math in exact integer microseconds.
+
+    ``overlap_us`` (exact int64) is emitted alongside the joined
+    columns."""
+    if span_s <= 0:
+        raise ValueError(f"span_s must be positive, got {span_s}")
+    w_us = int(round(span_s * 1e6))
+
+    def _fdiv(x, w: int):
+        return ((x - F.pmod(x, F.lit(w))) / F.lit(w)).cast("long")
+
+    right_cols = right_cols or [
+        c
+        for c in right.columns
+        if c not in (*keys, right_start, right_end)
+    ]
+    ls = F.unix_micros(F.col(left_start).cast("timestamp"))
+    le = F.unix_micros(F.col(left_end).cast("timestamp"))
+    rs = F.unix_micros(F.col(right_start).cast("timestamp"))
+    re = F.unix_micros(F.col(right_end).cast("timestamp"))
+    l = (
+        left.filter(le > ls)
+        .select(
+            F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+            *[F.col(k).alias(f"_k_{k}") for k in keys],
+            ls.alias("_ls"),
+            le.alias("_le"),
+            F.explode(
+                F.sequence(_fdiv(ls, w_us), _fdiv(le - 1, w_us))
+            ).alias("_b"),
+        )
+    )
+    r = (
+        right.filter(re > rs)
+        .select(
+            *[F.col(k).alias(f"_k_{k}") for k in keys],
+            rs.alias("_rs"),
+            re.alias("_re"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+            F.explode(
+                F.sequence(_fdiv(rs, w_us), _fdiv(re - 1, w_us))
+            ).alias("_b"),
+        )
+    )
+    joined = l.join(r, ["_b", *[f"_k_{k}" for k in keys]], "inner").filter(
+        (F.col("_ls") < F.col("_re"))
+        & (F.col("_rs") < F.col("_le"))
+        & (
+            F.col("_b")
+            == _fdiv(F.greatest(F.col("_ls"), F.col("_rs")), w_us)
+        )
+    )
+    return joined.select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        *[f"{prefix}{c}" for c in right_cols],
+        (
+            F.least(F.col("_le"), F.col("_re"))
+            - F.greatest(F.col("_ls"), F.col("_rs"))
+        ).alias("overlap_us"),
+    )
+
+
 def time_weighted_avg(
     df: DataFrame,
     keys: list[str],

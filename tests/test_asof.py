@@ -555,3 +555,112 @@ def test_time_weighted_avg_rejects_unknown_method(spark):
     with pytest.raises(ValueError, match="method"):
         time_weighted_avg(spark.createDataFrame(pdf), ["k"],
                           method="cubic")
+
+
+# -------------------------------------------------------- overlap join
+
+@pytest.fixture()
+def interval_pair_frames(spark, rng):
+    """Random per-key half-open intervals on both sides, lengths from
+    sub-bucket to several buckets so pairs share 0..k exploded
+    buckets."""
+    def mk(n, seed_off):
+        starts = rng.integers(0, 100_000, n) * 1_000_00  # 0.1s grain
+        lens = rng.integers(1, 9_000_000_0, n)  # up to ~2.5 h in 10µs
+        return pd.DataFrame({
+            "k": rng.choice(["x", "y"], n),
+            "iid": np.arange(n) + seed_off,
+            "start": pd.to_datetime((1704067200 * 10**6 + starts) * 1000)
+                     .astype("datetime64[us]"),
+            "end": pd.to_datetime(
+                (1704067200 * 10**6 + starts + lens) * 1000
+            ).astype("datetime64[us]"),
+        })
+    lp, rp = mk(150, 0), mk(120, 10_000)
+    return (spark.createDataFrame(lp), spark.createDataFrame(rp), lp, rp)
+
+
+def test_overlap_join_matches_theta_bruteforce(spark, interval_pair_frames):
+    from peakmatch_xcorr_spark.operators.asof import overlap_join
+
+    ldf, rdf, lp, rp = interval_pair_frames
+    got = overlap_join(
+        ldf, rdf, ["k"], span_s=3600.0, right_cols=["iid"]
+    ).toPandas()
+    m = lp.merge(rp, on="k", suffixes=("_l", "_r"))
+    m = m[(m.start_l < m.end_r) & (m.start_r < m.end_l)]
+    exp = set(zip(m.iid_l, m.iid_r))
+    got_pairs = list(zip(got.iid, got.right_iid))
+    assert len(got_pairs) == len(set(got_pairs)), "pair emitted twice"
+    assert set(got_pairs) == exp
+    # overlap durations exact
+    exp_ov = {
+        (a, b): (min(e1, e2) - max(s1, s2)) // pd.Timedelta(microseconds=1)
+        for a, b, s1, e1, s2, e2 in zip(
+            m.iid_l, m.iid_r, m.start_l, m.end_l, m.start_r, m.end_r
+        )
+    }
+    for _, row in got.iterrows():
+        assert row.overlap_us == exp_ov[(row.iid, row.right_iid)]
+
+
+def test_overlap_join_half_open_boundaries(spark):
+    from peakmatch_xcorr_spark.operators.asof import overlap_join
+
+    t = pd.Timestamp("2024-01-01")
+    mins = lambda m: t + pd.Timedelta(minutes=m)
+    ldf = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"], "iid": [1], "start": [mins(0)], "end": [mins(10)],
+    }))
+    rdf = spark.createDataFrame(pd.DataFrame({
+        "k": ["a"] * 3, "iid": [10, 11, 12],
+        # touching at the boundary (no overlap), 1µs overlap, empty
+        "start": [mins(10), mins(10) - pd.Timedelta(microseconds=1),
+                  mins(5)],
+        "end": [mins(20), mins(20), mins(5)],
+    }))
+    got = overlap_join(ldf, rdf, ["k"], span_s=60.0,
+                       right_cols=["iid"]).toPandas()
+    assert set(got.right_iid) == {11}
+    assert got.overlap_us.iloc[0] == 1
+
+
+def test_overlap_join_keyless_and_rejects_bad_span(spark):
+    from peakmatch_xcorr_spark.operators.asof import overlap_join
+
+    t = pd.Timestamp("2024-01-01")
+    ldf = spark.createDataFrame(pd.DataFrame({
+        "iid": [1, 2],
+        "start": [t, t + pd.Timedelta(hours=5)],
+        "end": [t + pd.Timedelta(hours=1), t + pd.Timedelta(hours=6)],
+    }))
+    rdf = spark.createDataFrame(pd.DataFrame({
+        "iid": [7],
+        "start": [t + pd.Timedelta(minutes=30)],
+        "end": [t + pd.Timedelta(hours=5, minutes=30)],
+    }))
+    got = overlap_join(ldf, rdf, [], span_s=3600.0,
+                       right_cols=["iid"]).toPandas()
+    # the long right interval overlaps BOTH left intervals, once each
+    assert sorted(zip(got.iid, got.right_iid)) == [(1, 7), (2, 7)]
+    with pytest.raises(ValueError, match="span_s"):
+        overlap_join(ldf, rdf, [], span_s=0)
+
+
+def test_overlap_join_plan_is_equi_join(spark, interval_pair_frames):
+    from peakmatch_xcorr_spark.operators.asof import overlap_join
+
+    ldf, rdf, _, _ = interval_pair_frames
+
+    def _explain(df) -> str:
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    for ks in (["k"], []):
+        plan = _explain(
+            overlap_join(ldf, rdf, ks, span_s=3600.0, right_cols=["iid"])
+        )
+        assert "BroadcastNestedLoop" not in plan, ks
+        assert "CartesianProduct" not in plan, ks
+        assert ("SortMergeJoin" in plan) or ("HashJoin" in plan), ks
