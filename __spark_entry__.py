@@ -1952,6 +1952,78 @@ HAVING sum(wt) > 0
 """
 
 
+def _q_duration_in_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed state occupancy (operators/stateagg.py
+    duration_in_buckets): per (user, day, event_type-as-state), LOCF
+    dwell seconds with segments split exactly at day boundaries —
+    TimescaleDB's interpolated duration_in rolled into buckets.  One
+    window exchange; the (key, bucket, state) aggregate reuses the
+    key distribution."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.stateagg import duration_in_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    return duration_in_buckets(
+        ev, "user_id", "event_type", "1 day", "ts",
+        tiebreak_cols=("event_id",),
+    )
+
+
+_SQL_DURATION_IN_1D = """
+WITH obs AS (
+  SELECT user_id, event_type AS state,
+         epoch(ts) AS s,
+         coalesce(lead(epoch(ts)) OVER w,
+                  (floor(epoch(ts) / 86400) + 1) * 86400) AS e
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id)
+), seg AS (
+  SELECT user_id, state, s, e,
+         unnest(generate_series(
+           floor(s / 86400)::BIGINT,
+           greatest(floor((e - 1e-9) / 86400)::BIGINT,
+                    floor(s / 86400)::BIGINT)
+         )) AS bi
+  FROM obs
+), weighted AS (
+  SELECT user_id, state,
+         make_timestamp((bi * 86400)::BIGINT * 1000000) AS bucket_start,
+         greatest(least(e, (bi + 1) * 86400.0)
+                  - greatest(s, bi * 86400.0), 0) AS wt
+  FROM seg
+)
+SELECT user_id, bucket_start, state,
+       round(sum(wt) + 1e-9, 3) AS seconds
+FROM weighted GROUP BY 1, 2, 3
+HAVING round(sum(wt) + 1e-9, 3) > 0
+"""
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum reproducible sample
+    (trainprep.stratified_sample): 5 documents per source ranked by
+    the md5-keyed draw, ties by id — balanced eval-set construction.
+    One window exchange; membership is a pure function of
+    (seed, doc_id, k) within each stratum."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.trainprep import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample(docs, ["source"], k=5)
+
+
+_SQL_STRATIFIED_SAMPLE = """
+SELECT doc_id, source
+FROM documents
+QUALIFY row_number() OVER (
+  PARTITION BY source
+  ORDER BY ('0x' || substr(md5('sample-v1:' || CAST(doc_id AS VARCHAR)),
+                           1, 8))::BIGINT ASC,
+           doc_id ASC
+) <= 5
+"""
+
+
 def _q_overlap_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap join (operators/asof.py overlap_join): per
     user, daily click-activity spans [first click, last click + 1µs)
@@ -5354,6 +5426,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "time_weighted_avg_1h": (_q_time_weighted_avg, _SQL_TWA),
     "time_weighted_linear_1h": (_q_time_weighted_linear, _SQL_TWA_LINEAR),
     "overlap_activity": (_q_overlap_activity, _SQL_OVERLAP_ACTIVITY),
+    "duration_in_1d": (_q_duration_in_1d, _SQL_DURATION_IN_1D),
+    "stratified_sample_source": (_q_stratified_sample, _SQL_STRATIFIED_SAMPLE),
     "percentiles_by_type": (_q_percentiles, _SQL_PERCENTILES),
     "dedup_components_planted": (
         _q_dedup_components_planted, _SQL_DEDUP_COMPONENTS_PLANTED

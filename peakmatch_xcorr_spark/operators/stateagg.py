@@ -84,6 +84,68 @@ def state_durations(
     )
 
 
+def duration_in_buckets(
+    df: DataFrame,
+    key_col: str,
+    state_col: str,
+    bucket: str = "1 hour",
+    ts_col: str = "ts",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per (key, tumbling bucket, state): LOCF state-occupancy seconds
+    — TimescaleDB's interpolated ``duration_in`` rolled into buckets.
+    A row's state holds from its own timestamp until the key's next
+    row (the final row holds to the end of its own bucket — no
+    projection beyond the data), and each holding segment splits
+    EXACTLY across every bucket boundary it crosses, so a state
+    entered at 13:59 and left at 14:01 contributes 60 s to each hour.
+
+    Same machinery as time_weighted_avg's LOCF integral with the
+    constant value replaced by the state label and the final division
+    dropped: one window exchange on the key, explode fanout bounded
+    by segment span / bucket width, one hash aggregate (which reuses
+    the window's key distribution — no second shuffle)."""
+    from peakmatch_xcorr_spark.operators.rollup import bucket_seconds
+
+    step = bucket_seconds(bucket)
+    w = _ordered_window(key_col, ts_col, tiebreak_cols)
+    tsec = fractional_epoch(ts_col)
+    own_bucket_end = (F.floor(F.col("s") / step) + 1).cast("double") * step
+    bounds = df.select(
+        F.col(key_col),
+        F.col(state_col).alias("state"),
+        tsec.alias("s"),
+        F.lead(tsec).over(w).alias("_next"),
+    ).select(
+        key_col, "state", "s",
+        F.coalesce(F.col("_next"), own_bucket_end).alias("e"),
+    )
+    first_b = F.floor(F.col("s") / step).cast("long")
+    last_b = F.greatest(
+        F.floor((F.col("e") - F.lit(1e-9)) / step).cast("long"), first_b
+    )
+    seg = bounds.select(
+        key_col, "state", "s", "e",
+        F.explode(F.sequence(first_b, last_b)).alias("bi"),
+    )
+    b_start = F.col("bi").cast("double") * step
+    overlap = F.greatest(
+        F.least(F.col("e"), b_start + step) - F.greatest(F.col("s"), b_start),
+        F.lit(0.0),
+    )
+    return (
+        seg.select(
+            key_col,
+            F.timestamp_seconds(F.col("bi") * step).alias("bucket_start"),
+            "state",
+            overlap.alias("wt"),
+        )
+        .groupBy(key_col, "bucket_start", "state")
+        .agg(F.round(F.sum("wt") + 1e-9, 3).alias("seconds"))
+        .filter(F.col("seconds") > 0)
+    )
+
+
 def heartbeat_uptime(
     df: DataFrame,
     key_col: str,

@@ -271,3 +271,33 @@ def deterministic_sample(
     no full shuffle."""
     hv = _uniform_hash(id_col, seed)
     return docs.orderBy(hv.asc(), F.col(id_col).asc()).limit(k)
+
+
+def stratified_sample(
+    docs: DataFrame,
+    keys: list[str],
+    k: int,
+    id_col: str = "doc_id",
+    seed: str = "sample-v1",
+) -> DataFrame:
+    """Exactly-k-PER-GROUP reproducible sample (stratified bottom-k):
+    within each ``keys`` group, rank rows by the same md5-keyed draw
+    as ``deterministic_sample`` (ties broken by id) and keep the k
+    smallest — "5 documents per source/language/quality-bucket" for
+    balanced eval sets and per-stratum inspection.
+
+    Membership is a pure function of (seed, id, k) WITHIN a group:
+    growth in one stratum never perturbs another's sample, and a
+    grown stratum keeps every previous member whose rank still clears
+    k.  ONE window exchange on the keys; rank k is a running counter
+    per partition (no per-group sort materialization beyond the
+    window's own), and groups smaller than k pass through whole."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    hv = _uniform_hash(id_col, seed)
+    w = Window.partitionBy(*keys).orderBy(hv.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

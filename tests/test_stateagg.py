@@ -179,3 +179,90 @@ def test_candlestick_is_one_shuffle_with_partial_agg(spark, events):
     )
     assert _n_exchanges(plain) == 1, plain
     assert "HashAggregate" in plain and "SortAggregate" not in plain, plain
+
+
+# ------------------------------------------------- duration_in_buckets
+
+def test_duration_in_buckets_splits_at_boundaries(spark):
+    from peakmatch_xcorr_spark.operators.stateagg import duration_in_buckets
+
+    t = pd.Timestamp("2024-01-01")
+    m = lambda x: t + pd.Timedelta(minutes=x)
+    # idle 13:59->14:01 crosses the hour: 60 s in each hour
+    df = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c"] * 3,
+        "ts": [m(13 * 60 + 30), m(13 * 60 + 59), m(14 * 60 + 1)],
+        "state": ["busy", "idle", "busy"],
+    }))
+    got = (
+        duration_in_buckets(df, "conv_id", "state", "1 hour")
+        .toPandas().sort_values(["bucket_start", "state"])
+        .reset_index(drop=True)
+    )
+    rows = {(r.bucket_start.hour, r.state): r.seconds
+            for r in got.itertuples()}
+    assert rows[(13, "busy")] == pytest.approx(29 * 60)
+    assert rows[(13, "idle")] == pytest.approx(60)
+    assert rows[(14, "idle")] == pytest.approx(60)
+    # last row holds to the end of ITS OWN bucket, not beyond
+    assert rows[(14, "busy")] == pytest.approx(59 * 60)
+    assert set(rows) == {(13, "busy"), (13, "idle"),
+                         (14, "idle"), (14, "busy")}
+
+
+def test_duration_in_buckets_matches_bruteforce(spark, rng):
+    from peakmatch_xcorr_spark.operators.stateagg import duration_in_buckets
+
+    n = 300
+    base = 1704067200
+    secs = np.sort(rng.choice(40_000, n, replace=False)).astype("float64")
+    states = rng.choice(["a", "b", "c"], n)
+    keys = rng.choice(["k1", "k2"], n)
+    pdf = pd.DataFrame({
+        "conv_id": keys,
+        "ts": pd.to_datetime((base + secs) * 1e9).astype("datetime64[us]"),
+        "state": states,
+    })
+    got = {
+        (r.conv_id, int(r.bucket_start.timestamp()), r.state): r.seconds
+        for r in duration_in_buckets(
+            spark.createDataFrame(pdf), "conv_id", "state", "1 hour"
+        ).toPandas().itertuples()
+    }
+    exp: dict = {}
+    for k, grp in pdf.groupby("conv_id"):
+        g = grp.sort_values("ts")
+        # datetime64[us].astype(int64) is MICROseconds
+        ss = g.ts.astype("int64").to_numpy() / 1e6
+        for i in range(len(g)):
+            s = ss[i]
+            e = ss[i + 1] if i + 1 < len(g) else (s // 3600 + 1) * 3600
+            st = g.state.iloc[i]
+            a = s
+            while a < e:
+                b = min(e, (a // 3600 + 1) * 3600)
+                bk = (k, int(a // 3600 * 3600), st)
+                exp[bk] = exp.get(bk, 0.0) + (b - a)
+                a = b
+    exp = {k: round(v + 1e-9, 3) for k, v in exp.items() if round(v + 1e-9, 3) > 0}
+    assert got.keys() == exp.keys()
+    for k in exp:
+        assert got[k] == pytest.approx(exp[k], abs=1e-6), k
+
+
+def test_duration_in_buckets_plan_one_exchange(spark):
+    from peakmatch_xcorr_spark.operators.stateagg import duration_in_buckets
+
+    t = pd.Timestamp("2024-01-01")
+    df = spark.createDataFrame(pd.DataFrame({
+        "conv_id": ["c", "c"], "ts": [t, t + pd.Timedelta(minutes=5)],
+        "state": ["a", "b"],
+    }))
+    plan = duration_in_buckets(df, "conv_id", "state", "1 hour")
+    s = plan._sc._jvm.PythonSQLUtils.explainString(
+        plan._jdf.queryExecution(), "formatted"
+    )
+    # window on key + agg on (key, bucket, state) reusing the key
+    # distribution: one data exchange
+    assert s.count(") Exchange") == 1
+    assert "Python" not in s and "ArrowEval" not in s

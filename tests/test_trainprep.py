@@ -249,3 +249,60 @@ def test_deterministic_sample_plan_is_take_ordered(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan  # no full-sort shuffle
+
+
+def test_stratified_sample_exact_k_per_group(spark):
+    from peakmatch_xcorr_spark.operators.trainprep import stratified_sample
+
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": range(200),
+        "source": ["web"] * 120 + ["books"] * 77 + ["tiny"] * 3,
+    })
+    docs = spark.createDataFrame(pdf)
+    got = stratified_sample(docs, ["source"], k=10).toPandas()
+    counts = got.groupby("source").size().to_dict()
+    # full groups yield exactly k; a group smaller than k passes whole
+    assert counts == {"web": 10, "books": 10, "tiny": 3}
+
+
+def test_stratified_sample_stable_under_growth_and_repartition(spark):
+    """Adding rows to ONE stratum never perturbs another stratum's
+    sample, and within the grown stratum previously sampled ids stay
+    sampled while their rank still clears k."""
+    from peakmatch_xcorr_spark.operators.trainprep import stratified_sample
+
+    import pandas as pd
+    base = pd.DataFrame({
+        "doc_id": range(100),
+        "source": ["web"] * 60 + ["books"] * 40,
+    })
+    grown = pd.concat([
+        base,
+        pd.DataFrame({"doc_id": range(100, 160), "source": ["web"] * 60}),
+    ])
+    s1 = stratified_sample(
+        spark.createDataFrame(base), ["source"], k=8
+    ).toPandas()
+    s2 = stratified_sample(
+        spark.createDataFrame(grown).repartition(7), ["source"], k=8
+    ).toPandas()
+    assert set(s1[s1.source == "books"].doc_id) == set(
+        s2[s2.source == "books"].doc_id
+    )
+    # grown stratum: survivors of the old sample are exactly the old
+    # members whose draw still ranks in the new top-8
+    old_web = set(s1[s1.source == "web"].doc_id)
+    new_web = set(s2[s2.source == "web"].doc_id)
+    assert new_web & set(range(100)) <= old_web
+
+
+def test_stratified_sample_rejects_bad_k(spark):
+    from peakmatch_xcorr_spark.operators.trainprep import stratified_sample
+
+    import pandas as pd
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "source": ["web"]})
+    )
+    with pytest.raises(ValueError, match="k must"):
+        stratified_sample(docs, ["source"], k=0)
