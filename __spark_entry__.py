@@ -5169,6 +5169,111 @@ FROM events WHERE value IS NOT NULL GROUP BY 1
 """
 
 
+def _q_ccf_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 cross-correlation between each user's dense 1-minute
+    click and view curves (operators/stats.py activity_ccf) — the
+    relational analogue of the engine's xcorr-at-a-lag kernel for
+    metric pairs.  Dense from sparse: zeros contribute only to n, so
+    tag-conditional power sums over the union span plus a sparse Σxy
+    join reconstruct the exact zero-filled Pearson r."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.operators.stats import activity_ccf
+
+    ev = _t(spark, sf_dir, "events")
+    tx = tumbling_rollup(
+        ev.filter(F.col("event_type") == "click"),
+        ["user_id"], "ts", None, "1 minute",
+    )
+    ty = tumbling_rollup(
+        ev.filter(F.col("event_type") == "view"),
+        ["user_id"], "ts", None, "1 minute",
+    )
+    return activity_ccf(tx, ty, ["user_id"], "1 minute", lag=1)
+
+
+_SQL_CCF_CLICK_VIEW = """
+WITH tx AS (
+  SELECT user_id, CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS es,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), ty AS (
+  SELECT user_id, CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS es,
+         CAST(count(*) AS BIGINT) AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+), b AS (
+  SELECT user_id, min(es) AS mn, max(es) AS mx
+  FROM (SELECT user_id, es FROM tx UNION ALL SELECT user_id, es FROM ty)
+  GROUP BY 1
+), sx AS (
+  SELECT t.user_id,
+         sum(CASE WHEN t.es <= b.mx - 60 THEN t.v ELSE 0 END) AS sx,
+         sum(CASE WHEN t.es <= b.mx - 60 THEN t.v * t.v ELSE 0 END) AS sxx
+  FROM tx t JOIN b ON t.user_id = b.user_id GROUP BY 1
+), sy AS (
+  SELECT t.user_id,
+         sum(CASE WHEN t.es >= b.mn + 60 THEN t.v ELSE 0 END) AS sy,
+         sum(CASE WHEN t.es >= b.mn + 60 THEN t.v * t.v ELSE 0 END) AS syy
+  FROM ty t JOIN b ON t.user_id = b.user_id GROUP BY 1
+), p AS (
+  SELECT a.user_id, sum(a.v * c.v) AS sxy
+  FROM tx a JOIN ty c ON a.user_id = c.user_id AND a.es + 60 = c.es
+  GROUP BY 1
+), m AS (
+  SELECT b.user_id,
+         CAST((b.mx - b.mn) / 60 AS BIGINT) AS n,
+         coalesce(sx.sx, 0) AS sx, coalesce(sx.sxx, 0) AS sxx,
+         coalesce(sy.sy, 0) AS sy, coalesce(sy.syy, 0) AS syy,
+         coalesce(p.sxy, 0) AS sxy
+  FROM b LEFT JOIN sx ON b.user_id = sx.user_id
+         LEFT JOIN sy ON b.user_id = sy.user_id
+         LEFT JOIN p ON b.user_id = p.user_id
+)
+SELECT user_id, n AS n_pairs,
+       CASE WHEN n >= 2
+             AND (n*sxx - sx*sx) * (n*syy - sy*sy) > 0
+            THEN round((n*sxy - sx*sy)
+                 / sqrt(CAST((n*sxx - sx*sx) * (n*syy - sy*sy) AS DOUBLE))
+                 + 1e-9, 6)
+       END AS ccf
+FROM m
+"""
+
+
+def _q_topn_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topn_agg rollup shape (operators/stats.py topn_with_rest): per
+    day, the top-5 users by event count plus ONE '<rest>' row so the
+    rows partition the day's total.  Deterministic ties (count desc,
+    user asc); the only data-volume exchange is the (day, user) count."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.stats import topn_with_rest
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    return topn_with_rest(ev, ["day"], "user_id", n=5)
+
+
+_SQL_TOPN_USERS_DAILY = """
+WITH counts AS (
+  SELECT date_trunc('day', ts) AS day, user_id,
+         count(*) AS weight
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY day
+                               ORDER BY weight DESC, user_id ASC) AS rk
+  FROM counts
+)
+SELECT day,
+       CASE WHEN rk <= 5 THEN CAST(user_id AS VARCHAR)
+            ELSE '<rest>' END AS entity,
+       CAST(sum(weight) AS BIGINT) AS weight,
+       min(CASE WHEN rk <= 5 THEN rk END) AS rank,
+       count(*) AS n_entities
+FROM ranked GROUP BY 1, 2
+"""
+
+
 def _q_rollup_month_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-aligned month tier (operators/rollup.py calendar_tier):
     cascaded raw → 1h → 1d → date_trunc('month') — TimescaleDB's
@@ -5453,6 +5558,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "rollup_90s_offset": (_q_rollup_90s_offset, _SQL_ROLLUP_90S_OFFSET),
     "irate_1h": (_q_irate_1h, _SQL_IRATE_1H),
     "acf_lag1_activity": (_q_acf_lag1_activity, _SQL_ACF_LAG1),
+    "ccf_click_view_lag1": (_q_ccf_click_view, _SQL_CCF_CLICK_VIEW),
+    "topn_users_daily": (_q_topn_users_daily, _SQL_TOPN_USERS_DAILY),
     # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
     "minhash_candidates": (_q_minhash_candidates, None),

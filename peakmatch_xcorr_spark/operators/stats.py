@@ -231,6 +231,154 @@ def activity_acf(
     )
 
 
+def activity_ccf(
+    tier_x: DataFrame,
+    tier_y: DataFrame,
+    keys: list[str],
+    bucket: str,
+    lag: int = 0,
+    ts_col: str = "bucket_start",
+    value_col: str = "turns",
+) -> DataFrame:
+    """Per-key lag-``lag`` CROSS-correlation between two dense activity
+    curves (Pearson r of x_t against y_{t+lag}, absent buckets = 0) —
+    "do clicks lead views by a minute?" — computed from the two
+    sparse rolled tiers with the same zero-skipping trick as
+    ``activity_acf``: the relational analogue of the engine's
+    xcorr-at-a-lag kernel, for metric pairs instead of curves in
+    one task.
+
+    ``lag`` may be negative (y leads x) or zero (contemporaneous,
+    the dense version of pair_metric_corr).  The dense span is the
+    UNION [mn, mx] of both series' buckets per key; with
+    shift = lag·step the pair set is t ∈ [mn − min(shift,0),
+    mx − max(shift,0)], n = N − |lag| pairs, and
+
+    - Σx, Σx² over x rows inside the t-window,
+    - Σy, Σy² over y rows inside the (t+shift)-window,
+    - Σxy via the sparse join x@(keys, es+shift) = y@(keys, es).
+
+    Exact int64 sums, one float division; null when n < 2 or either
+    side has zero variance.  One window exchange over the tagged
+    union for mn/mx, one groupBy reusing it (tag-conditional sums),
+    one sparse equi-join on the rolled tiers."""
+    from peakmatch_xcorr_spark.operators.rollup import (
+        bucket_seconds,
+        epoch_seconds,
+    )
+    from pyspark.sql import Window
+
+    step = bucket_seconds(bucket)
+    shift = lag * step
+    tx = tier_x.select(
+        *keys,
+        epoch_seconds(ts_col).alias("es"),
+        F.col(value_col).cast("long").alias("v"),
+        F.lit(1).alias("is_x"),
+    )
+    ty = tier_y.select(
+        *keys,
+        epoch_seconds(ts_col).alias("es"),
+        F.col(value_col).cast("long").alias("v"),
+        F.lit(0).alias("is_x"),
+    )
+    w = Window.partitionBy(*keys)
+    u = (
+        tx.unionByName(ty)
+        .withColumn("mn", F.min("es").over(w))
+        .withColumn("mx", F.max("es").over(w))
+    )
+    x_lo = F.col("mn") - min(shift, 0)
+    x_hi = F.col("mx") - max(shift, 0)
+    in_x = (
+        (F.col("is_x") == 1) & (F.col("es") >= x_lo) & (F.col("es") <= x_hi)
+    )
+    in_y = (
+        (F.col("is_x") == 0)
+        & (F.col("es") >= x_lo + shift)
+        & (F.col("es") <= x_hi + shift)
+    )
+    vv = F.col("v") * F.col("v")
+    sums = u.groupBy(*keys).agg(
+        ((F.first("mx") - F.first("mn")) / step + 1 - abs(lag))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(in_x, F.col("v")).otherwise(0)).alias("sx"),
+        F.sum(F.when(in_x, vv).otherwise(0)).alias("sxx"),
+        F.sum(F.when(in_y, F.col("v")).otherwise(0)).alias("sy"),
+        F.sum(F.when(in_y, vv).otherwise(0)).alias("syy"),
+    )
+    lhs = tx.select(
+        *keys, (F.col("es") + shift).alias("es_j"), F.col("v").alias("vx")
+    )
+    rhs = ty.select(*keys, F.col("es").alias("es_j"), F.col("v").alias("vy"))
+    sxy = (
+        lhs.join(rhs, [*keys, "es_j"])
+        .groupBy(*keys)
+        .agg(F.sum(F.col("vx") * F.col("vy")).alias("sxy"))
+    )
+    j = sums.join(sxy, list(keys), "left").withColumn(
+        "sxy", F.coalesce(F.col("sxy"), F.lit(0))
+    )
+    n = F.col("n")
+    var_x = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = n * F.col("syy") - F.col("sy") * F.col("sy")
+    denom = F.sqrt((var_x * var_y).cast("double"))
+    r = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / F.nullif(denom, F.lit(0.0))
+    return j.select(
+        *keys,
+        n.alias("n_pairs"),
+        F.when(n >= 2, F.round(r + 1e-9, 6)).alias("ccf"),
+    )
+
+
+def topn_with_rest(
+    df: DataFrame,
+    group_cols: list[str],
+    entity_col: str,
+    n: int,
+    rest_label: str = "<rest>",
+) -> DataFrame:
+    """Per group: the top-``n`` entities by row count plus ONE
+    ``rest_label`` row aggregating every other entity — the
+    TimescaleDB ``topn_agg`` rollup shape ("top 5 users per day, and
+    how much everyone else contributed").  Emitting the rest row is
+    what makes the result a PARTITION of the group's total (the top-k
+    alone can't tell 5-of-6 from 5-of-10⁶).
+
+    Ties break deterministically (count desc, entity asc) so the
+    boundary entity is stable under recomputation.  Plan: one hash
+    aggregate on (group, entity) — the only exchange that sees data
+    volume, map-side partials — then a rank window and the rest
+    collapse over the already-reduced entity counts."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, entity_col).agg(
+        F.count(F.lit(1)).alias("weight")
+    )
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("weight").desc(), F.col(entity_col).asc()
+    )
+    ranked = counts.withColumn("_rk", F.row_number().over(w))
+    bucketed = ranked.select(
+        *group_cols,
+        F.when(F.col("_rk") <= n, F.col(entity_col).cast("string"))
+        .otherwise(F.lit(rest_label))
+        .alias("entity"),
+        "weight",
+        F.when(F.col("_rk") <= n, F.col("_rk")).alias("rank"),
+    )
+    return bucketed.groupBy(*group_cols, "entity").agg(
+        F.sum("weight").alias("weight"),
+        F.min("rank").alias("rank"),
+        F.count(F.lit(1)).alias("n_entities"),
+    )
+
+
 def value_histogram(
     df: DataFrame,
     value_col: str,

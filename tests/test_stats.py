@@ -250,3 +250,113 @@ def test_new_tier_ops_plans_stay_jvm_side(spark, events):
     # satisfies the subset requirement), so Catalyst plans the final
     # aggregate without a second shuffle
     assert _n_exchanges(plan) == 1
+
+
+# ----------------------------------------------------------------- CCF
+
+@pytest.mark.parametrize("lag", [-2, 0, 1])
+def test_activity_ccf_matches_dense_numpy(spark, events, pdf, lag):
+    """Sparse-tier CCF must equal literal dense corrcoef of the two
+    zero-filled curves over their UNION span."""
+    from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
+    from peakmatch_xcorr_spark.operators.stats import activity_ccf
+
+    ev_click = events.filter(events.event_type == "click")
+    ev_view = events.filter(events.event_type == "view")
+    tx = tumbling_rollup(ev_click, ["user_id"], "ts", None, "1 minute")
+    ty = tumbling_rollup(ev_view, ["user_id"], "ts", None, "1 minute")
+    got = {
+        r["user_id"]: r
+        for r in activity_ccf(tx, ty, ["user_id"], "1 minute", lag=lag)
+        .collect()
+    }
+    p = pdf.copy()
+    p["minute"] = p.ts.dt.floor("min")
+    for uid, grp in p.groupby("user_id"):
+        cx = grp[grp.event_type == "click"].groupby("minute").size()
+        cy = grp[grp.event_type == "view"].groupby("minute").size()
+        if cx.empty or cy.empty:
+            assert uid not in got or got[uid]["ccf"] is None
+            continue
+        lo = min(cx.index.min(), cy.index.min())
+        hi = max(cx.index.max(), cy.index.max())
+        idx = pd.date_range(lo, hi, freq="min")
+        dx = cx.reindex(idx, fill_value=0).to_numpy().astype("float64")
+        dy = cy.reindex(idx, fill_value=0).to_numpy().astype("float64")
+        if lag >= 0:
+            x = dx[: len(dx) - lag] if lag else dx
+            y = dy[lag:]
+        else:
+            x = dx[-lag:]
+            y = dy[: len(dy) + lag]
+        row = got[uid]
+        assert row["n_pairs"] == len(idx) - abs(lag)
+        if len(x) < 2 or x.std() == 0 or y.std() == 0:
+            assert row["ccf"] is None
+        else:
+            exp = float(np.corrcoef(x, y)[0, 1])
+            assert row["ccf"] == pytest.approx(round(exp + 1e-9, 6),
+                                               abs=2e-6)
+
+
+def test_activity_ccf_planted_lead(spark):
+    """y is exactly x delayed by 2 buckets: CCF at lag 2 is 1, and at
+    lag 0 it is the (imperfect) raw alignment."""
+    from peakmatch_xcorr_spark.operators.stats import activity_ccf
+
+    t0 = pd.Timestamp("2024-01-01")
+    vals = [5, 1, 4, 2, 9, 3, 7, 1, 6, 2]
+    tier_x = spark.createDataFrame(pd.DataFrame({
+        "user_id": "u",
+        "bucket_start": [t0 + pd.Timedelta(minutes=m) for m in range(10)],
+        "turns": vals,
+    }))
+    tier_y = spark.createDataFrame(pd.DataFrame({
+        "user_id": "u",
+        "bucket_start": [t0 + pd.Timedelta(minutes=m + 2)
+                         for m in range(10)],
+        "turns": vals,
+    }))
+    out = activity_ccf(tier_x, tier_y, ["user_id"], "1 minute", lag=2)
+    assert out.collect()[0]["ccf"] == pytest.approx(1.0, abs=1e-6)
+
+
+# ------------------------------------------------------ topn with rest
+
+def test_topn_with_rest_partitions_group_totals(spark, events, pdf):
+    from peakmatch_xcorr_spark.operators.stats import topn_with_rest
+
+    got = topn_with_rest(
+        events, ["event_type"], "user_id", n=3
+    ).toPandas()
+    for et, grp in pdf.groupby("event_type"):
+        g = got[got.event_type == et]
+        # the rows partition the group total exactly
+        assert g.weight.sum() == len(grp)
+        counts = grp.groupby("user_id").size().sort_values(
+            ascending=False
+        )
+        top = g[g.entity != "<rest>"].sort_values("rank")
+        # deterministic tie-break: count desc, entity asc (native
+        # type order — ranking happens BEFORE the string cast)
+        exp_top = sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:3]
+        assert [int(e) for e in top.entity] == [int(k) for k, _ in exp_top]
+        assert list(top.weight) == [v for _, v in exp_top]
+        rest = g[g.entity == "<rest>"]
+        if len(counts) > 3:
+            assert rest.weight.iloc[0] == len(grp) - sum(
+                v for _, v in exp_top
+            )
+            assert rest.n_entities.iloc[0] == len(counts) - 3
+            assert pd.isna(rest["rank"].iloc[0])
+        else:
+            assert rest.empty
+
+
+def test_topn_with_rest_rejects_bad_n(spark, events):
+    from peakmatch_xcorr_spark.operators.stats import topn_with_rest
+
+    with pytest.raises(ValueError, match="n must"):
+        topn_with_rest(events, ["event_type"], "user_id", n=0)
