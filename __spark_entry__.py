@@ -5433,6 +5433,129 @@ FROM s LEFT JOIN p ON s.user_id = p.user_id
 """
 
 
+def _q_sax_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX symbolization of each user's first 64 samples (word_len=8,
+    alphabet=4) — the symbolic shape-preserving downsample.  Values
+    are 2-decimal doubles, so the x100 int scaling is exact and every
+    sum in the z-score is integer-exact: the oracle replays the same
+    closed form on the same exact integers, making the SYMBOLS (not
+    just rounded floats) hash-comparable across engines.  The 64-row
+    cap also bounds the int64 power sums far inside the 2^53 envelope."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from peakmatch_xcorr_spark.operators.downsample import sax_symbols
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    head = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 64)
+        .drop("rn")
+    )
+    out = sax_symbols(head, ["user_id"], "ts", "value", 8, 4, "event_id")
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"), "n_points", "word"
+    )
+
+
+_SQL_SAX_WORDS = """
+WITH s AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS xi,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+), h AS (
+  SELECT user_id, xi, rn,
+         count(*) OVER (PARTITION BY user_id) AS n,
+         sum(xi) OVER (PARTITION BY user_id) AS sx,
+         sum(xi * xi) OVER (PARTITION BY user_id) AS sxx
+  FROM s WHERE rn <= 64
+), g AS (
+  SELECT user_id, ((rn - 1) * 8) // n AS seg,
+         sum(xi) AS seg_sum, count(*) AS seg_n,
+         any_value(n) AS n, any_value(sx) AS sx, any_value(sxx) AS sxx
+  FROM h GROUP BY user_id, ((rn - 1) * 8) // n
+), z AS (
+  SELECT user_id, seg, n,
+         CASE WHEN n > 1 AND n * sxx - sx * sx > 0
+              THEN (CAST(seg_sum AS DOUBLE) / seg_n
+                    - CAST(sx AS DOUBLE) / n)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          / (n * (n - 1.0)))
+              ELSE 0.0 END AS zv
+  FROM g
+)
+SELECT user_id, any_value(n) AS n_points,
+       string_agg(CASE WHEN zv < -0.6744897501960817 THEN 'a'
+                       WHEN zv < 0.0 THEN 'b'
+                       WHEN zv < 0.6744897501960817 THEN 'c'
+                       ELSE 'd' END, '' ORDER BY seg) AS word
+FROM z GROUP BY user_id
+"""
+
+
+def _q_holt_level_3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear (level+trend) smoothing state after each user's
+    first 3 samples (alpha=0.2, beta=0.3).  The Spark side runs the
+    full O(1)-state streaming recursion; the oracle unrolls the same
+    three steps literally (the closed form stays a short expression
+    only for bounded prefixes — full-length parity vs the direct
+    recursion is bit-exact in tests/test_downsample.py)."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from peakmatch_xcorr_spark.operators.downsample import holt_smooth
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n3 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("n") >= 3)
+        .drop("rn", "n")
+    )
+    out = holt_smooth(n3, ["user_id"], "ts", "value", 0.2, 0.3, "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        out.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 3)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.round(F.col("level") + 1e-9, 6).alias("level"),
+            F.round(F.col("trend") + 1e-9, 6).alias("trend"),
+        )
+    )
+
+
+_SQL_HOLT_LEVEL_3 = """
+WITH s AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+), p AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN value END) AS v1,
+         max(CASE WHEN rn = 2 THEN value END) AS v2,
+         max(CASE WHEN rn = 3 THEN value END) AS v3,
+         count(*) AS n
+  FROM s WHERE rn <= 3 GROUP BY user_id
+), c2 AS (
+  SELECT user_id, v1, v3, 0.2 * v2 + 0.8 * (v1 + 0.0) AS l2
+  FROM p WHERE n >= 3
+), c2b AS (
+  SELECT user_id, v3, l2, 0.3 * (l2 - v1) + 0.7 * 0.0 AS b2 FROM c2
+), c3 AS (
+  SELECT user_id, l2, b2, 0.2 * v3 + 0.8 * (l2 + b2) AS l3 FROM c2b
+)
+SELECT user_id, round(l3 + 1e-9, 6) AS level,
+       round(0.3 * (l3 - l2) + 0.7 * b2 + 1e-9, 6) AS trend
+FROM c3
+"""
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -5560,6 +5683,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "acf_lag1_activity": (_q_acf_lag1_activity, _SQL_ACF_LAG1),
     "ccf_click_view_lag1": (_q_ccf_click_view, _SQL_CCF_CLICK_VIEW),
     "topn_users_daily": (_q_topn_users_daily, _SQL_TOPN_USERS_DAILY),
+    "sax_words": (_q_sax_words, _SQL_SAX_WORDS),
+    "holt_level_3": (_q_holt_level_3, _SQL_HOLT_LEVEL_3),
     # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
     "minhash_candidates": (_q_minhash_candidates, None),

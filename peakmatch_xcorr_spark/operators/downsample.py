@@ -393,3 +393,205 @@ def rolling_zscore(
         n.alias("base_n"),
         z.alias("_z"),
     ).withColumn("z", F.round(F.col("_z") + 1e-9, 6)).drop("_z")
+
+
+# ------------------------------------------------------------------ SAX
+
+# Gaussian equiprobable breakpoints (Lin/Keogh SAX, DMKD 2007) for
+# alphabet sizes 3..6.  Literal doubles so the DuckDB oracle can use
+# the exact same constants.
+SAX_BREAKPOINTS = {
+    3: [-0.4307272992954576, 0.4307272992954576],
+    4: [-0.6744897501960817, 0.0, 0.6744897501960817],
+    5: [-0.8416212335729143, -0.2533471031357997,
+        0.2533471031357997, 0.8416212335729143],
+    6: [-0.9674215661017014, -0.4307272992954576, 0.0,
+        0.4307272992954576, 0.9674215661017014],
+}
+
+
+def sax_symbols(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    word_len: int = 8,
+    alphabet: int = 4,
+    tiebreak: str | None = None,
+    value_scale: int = 100,
+) -> DataFrame:
+    """SAX symbolization (Lin & Keogh): per key, z-normalize the
+    series, PAA it into ``word_len`` contiguous row segments
+    (segment of row r = ``(r-1)*word_len div n`` — the uneven-segment
+    variant used when n % word_len != 0), map each segment mean to a
+    letter via the Gaussian breakpoints, and concatenate into one
+    symbolic word per key.  The engine analogue of the reference's
+    normalized band-mean feature vector (Util.java:214-266): a
+    fixed-width, shape-preserving summary of an arbitrary-length
+    curve, usable as a dedup/LSH blocking key.
+
+    Numeric determinism (the oracle-hash contract): values are scaled
+    by ``value_scale`` and rounded to int64, so every sum (per-key
+    Σx, Σx², per-segment Σx) is EXACT regardless of accumulation
+    order; z-scores are scale-free ((seg_mean-μ)/σ cancels the
+    scale), and the only float ops are the final closed-form
+    divisions/sqrt — the same literal expression the DuckDB oracle
+    evaluates, hence bit-identical symbols.  Int64 envelope: exact
+    while n·max(Σx², (Σx)²) < 2^53, i.e. series up to ~10^5 samples
+    of |scaled value| ≤ 3·10^4; cap the series (or lower the scale)
+    beyond that.
+
+    Plan: ONE exchange — the row_number/count/sum windows hash by
+    ``keys``, and both downstream groupBys (keys+seg, then keys) are
+    satisfied by that partitioning (subset clustering), so the whole
+    operator is a single shuffle at any data size; no Python in the
+    plan (plan-gated in tests/test_plans.py).
+
+    Degenerate series (n == 1 or zero variance) emit z = 0 for every
+    segment — the word is all middle letters, not null.
+    """
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {sorted(SAX_BREAKPOINTS)}")
+    if word_len < 1:
+        raise ValueError("word_len must be >= 1")
+    bps = SAX_BREAKPOINTS[alphabet]
+    letters = "abcdef"[:alphabet]
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    wk = Window.partitionBy(*keys)
+    wo = wk.orderBy(*order)
+    xi = F.round(F.col(value_col) * F.lit(value_scale)).cast("long")
+    base = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, *order, xi.alias("xi"))
+        .withColumn("rn", F.row_number().over(wo))
+        .withColumn("n", F.count(F.lit(1)).over(wk))
+        .withColumn("sx", F.sum("xi").over(wk))
+        .withColumn("sxx", F.sum(F.col("xi") * F.col("xi")).over(wk))
+        .withColumn("seg", F.expr(f"((rn - 1) * {word_len}) div n"))
+    )
+    segs = base.groupBy(*keys, "seg").agg(
+        F.sum("xi").alias("seg_sum"),
+        F.count(F.lit(1)).alias("seg_n"),
+        F.first("n").alias("n"),
+        F.first("sx").alias("sx"),
+        F.first("sxx").alias("sxx"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    mu = sx / n
+    m2 = n * sxx - sx * sx  # exact int64
+    sd = F.sqrt(m2 / (n * (n - F.lit(1.0))))
+    zc = (F.col("seg_sum") / F.col("seg_n") - mu) / sd
+    z = F.when((n > 1) & (m2 > 0), zc).otherwise(F.lit(0.0))
+    sym = F.when(z < F.lit(bps[0]), F.lit(letters[0]))
+    for i, b in enumerate(bps[1:], start=1):
+        sym = sym.when(z < F.lit(b), F.lit(letters[i]))
+    sym = sym.otherwise(F.lit(letters[-1]))
+    return (
+        segs.withColumn("sym", sym)
+        .groupBy(*keys)
+        .agg(
+            F.first("n").alias("n_points"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg", "sym"))),
+                    lambda s: s.sym,
+                ),
+                "",
+            ).alias("word"),
+        )
+    )
+
+
+# ----------------------------------------------------------- Holt linear
+
+def holt_smooth(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    beta: float = 0.3,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Holt linear (double exponential) smoothing per key: level +
+    trend, the next step up from ``ewma_smooth`` when series drift.
+
+        l_1 = v_1, b_1 = 0
+        l_t = alpha*v_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    appended as columns ``level`` and ``trend``.
+
+    Same execution shape as ``ewma_smooth``: repartition(keys) +
+    sortWithinPartitions + ONE mapInPandas carrying {key: (l, b)}
+    across Arrow batches — O(1) state, no group materialization, so a
+    conversation of any length streams through.  The recursion is a
+    2-term linear recurrence evaluated as a scalar loop per run
+    (C-level float ops via Python floats); at ~10^6 rows/core/sec it
+    is never the bottleneck next to the shuffle that feeds it.
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    extra = f", {tiebreak} long" if tiebreak else ""
+    schema = (
+        f"{key_fields}, {ts_col} timestamp{extra}, {value_col} double, "
+        "level double, trend double"
+    )
+    one_m_a, one_m_b = 1.0 - alpha, 1.0 - beta
+
+    def smooth(batches):
+        import pandas as pd
+
+        state: dict[tuple, tuple] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            key_arrs = [pdf[k].astype(str).to_numpy() for k in keys]
+            vals = pdf[value_col].astype("float64").to_numpy()
+            change = np.zeros(len(pdf), dtype=bool)
+            change[0] = True
+            for arr in key_arrs:
+                change[1:] |= arr[1:] != arr[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            lev = np.empty(len(pdf), dtype=np.float64)
+            trd = np.empty(len(pdf), dtype=np.float64)
+            for s, e in zip(starts, ends):
+                key = tuple(arr[s] for arr in key_arrs)
+                prev = state.get(key)
+                run = vals[s:e].tolist()
+                if prev is None:
+                    lv, b = run[0], 0.0
+                    lev[s], trd[s] = lv, b
+                    i0 = 1
+                else:
+                    lv, b = prev
+                    i0 = 0
+                j = s + i0
+                for v in run[i0:]:
+                    lp = lv
+                    lv = alpha * v + one_m_a * (lv + b)
+                    b = beta * (lv - lp) + one_m_b * b
+                    lev[j], trd[j] = lv, b
+                    j += 1
+                state[key] = (lv, b)
+            res = {k: arr for k, arr in zip(keys, key_arrs)}
+            res[ts_col] = pdf[ts_col].to_numpy()
+            if tiebreak:
+                res[tiebreak] = pdf[tiebreak].to_numpy()
+            res[value_col] = vals
+            res["level"] = lev
+            res["trend"] = trd
+            yield pd.DataFrame(res)
+
+    slim = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, *order, value_col)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, *order)
+    )
+    return slim.mapInPandas(smooth, schema=schema)

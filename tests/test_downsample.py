@@ -347,3 +347,147 @@ def test_irate_matches_pandas_bruteforce(spark, rng):
     np.testing.assert_allclose(
         got.rate.to_numpy(), exp.rate.to_numpy(), rtol=1e-12, equal_nan=True
     )
+
+
+# ------------------------------------------------------------------ SAX
+
+def test_sax_matches_bruteforce(spark, rng):
+    """Bit-exact vs a python recompute (exact int sums, same closed
+    form), including n < word_len, n == 1, and zero-variance keys."""
+    import math
+
+    from peakmatch_xcorr_spark.operators.downsample import (
+        SAX_BREAKPOINTS,
+        sax_symbols,
+    )
+
+    rows, eid = [], 0
+    for k, n in enumerate([1, 5, 23, 180]):
+        t = T0
+        for _ in range(n):
+            t += dt.timedelta(seconds=int(rng.integers(1, 900)))
+            rows.append((f"k{k}", t, round(float(rng.uniform(0, 500)), 2), eid))
+            eid += 1
+    rows.append(("kconst", T0, 3.14, eid))
+    rows.append(("kconst", T0 + dt.timedelta(days=1), 3.14, eid + 1))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "ts", "value", "event_id"])
+    got = (
+        sax_symbols(
+            spark.createDataFrame(pdf), ["conv_id"], "ts", "value", 8, 4,
+            "event_id",
+        )
+        .toPandas().set_index("conv_id").sort_index()
+    )
+    bps, letters = SAX_BREAKPOINTS[4], "abcd"
+    for cid, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "event_id"])
+        x = np.round(g["value"].to_numpy() * 100).astype(np.int64)
+        n, sx, sxx = len(x), int(x.sum()), int((x.astype(object) ** 2).sum())
+        m2 = n * sxx - sx * sx
+        segs = (np.arange(n) * 8) // n
+        word = ""
+        for s in sorted(set(segs)):
+            run = x[segs == s]
+            if n > 1 and m2 > 0:
+                sd = math.sqrt(m2 / (n * (n - 1.0)))
+                z = (run.sum() / len(run) - sx / n) / sd
+            else:
+                z = 0.0
+            word += letters[sum(z >= b for b in bps)]
+        assert got.loc[cid, "word"] == word
+        assert got.loc[cid, "n_points"] == n
+
+
+def test_sax_single_exchange_plan(spark, rng):
+    """The whole operator (two windows + two groupBys) rides ONE
+    shuffle: the window exchange on the key satisfies both downstream
+    groupings (subset clustering)."""
+    import re
+
+    from peakmatch_xcorr_spark.operators.downsample import sax_symbols
+
+    df, _ = _series_frame(spark, rng, n_keys=2, n=40)
+    out = sax_symbols(df, ["conv_id"], "ts", "value", 8, 4, "event_id")
+    p = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "PythonUDF" not in p and "BatchEvalPython" not in p
+
+
+def test_sax_scale_invariance(spark, rng):
+    """z is scale-free: scaling every value by 7 yields identical
+    words (value_scale adjusted to keep the int mapping exact)."""
+    from peakmatch_xcorr_spark.operators.downsample import sax_symbols
+
+    df, pdf = _series_frame(spark, rng, n_keys=2, n=60)
+    a = (
+        sax_symbols(df, ["conv_id"], "ts", "value", 8, 4, "event_id")
+        .toPandas().set_index("conv_id")["word"].sort_index()
+    )
+    pdf7 = pdf.assign(value=pdf["value"] * 7)
+    b = (
+        sax_symbols(
+            spark.createDataFrame(pdf7), ["conv_id"], "ts", "value", 8, 4,
+            "event_id",
+        )
+        .toPandas().set_index("conv_id")["word"].sort_index()
+    )
+    pd.testing.assert_series_equal(a, b)
+
+
+# ----------------------------------------------------------- Holt linear
+
+def test_holt_matches_recursion_with_tiny_arrow_batches(spark, rng):
+    """Bit-exact parity vs the direct (level, trend) recursion with
+    Arrow batches forced tiny, so runs straddle batches and the
+    carried (l, b) state is what produces the answer."""
+    from peakmatch_xcorr_spark.operators.downsample import holt_smooth
+
+    df, pdf = _series_frame(spark, rng, n_keys=4, n=150)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        got = (
+            holt_smooth(df, ["conv_id"], "ts", "value", 0.2, 0.3, "event_id")
+            .toPandas()
+            .sort_values(["conv_id", "ts", "event_id"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    for cid, g in pdf.groupby("conv_id"):
+        g = g.sort_values(["ts", "event_id"])
+        lv, b, L, B = None, 0.0, [], []
+        for v in g["value"]:
+            if lv is None:
+                lv = v
+            else:
+                lp = lv
+                lv = 0.2 * v + 0.8 * (lv + b)
+                b = 0.3 * (lv - lp) + 0.7 * b
+            L.append(lv)
+            B.append(b)
+        sub = got[got.conv_id == cid]
+        np.testing.assert_array_equal(sub["level"].to_numpy(), np.array(L))
+        np.testing.assert_array_equal(sub["trend"].to_numpy(), np.array(B))
+
+
+def test_holt_beta_zero_is_ewma(spark, rng):
+    """beta=0 freezes trend at 0, so level degenerates to the EWMA
+    recursion — cross-checked against ewma_smooth bit-for-bit."""
+    from peakmatch_xcorr_spark.operators.downsample import holt_smooth
+
+    df, _ = _series_frame(spark, rng, n_keys=2, n=80)
+    h = (
+        holt_smooth(df, ["conv_id"], "ts", "value", 0.3, 0.0, "event_id")
+        .toPandas().sort_values(["conv_id", "ts", "event_id"])
+    )
+    e = (
+        ewma_smooth(df, ["conv_id"], "ts", "value", 0.3, "event_id")
+        .toPandas().sort_values(["conv_id", "ts", "event_id"])
+    )
+    np.testing.assert_array_equal(
+        h["level"].to_numpy(), e["ewma"].to_numpy()
+    )
+    assert (h["trend"].to_numpy() == 0.0).all()
