@@ -18,7 +18,7 @@ re-expressed as engine jobs:
               lines with --events (DominantFreqProcessor.java:142-159)
   cluster     band features -> KNN graph -> connected components
               (ClusteringProcessor.java)
-  downsample  activity curve -> m4 / lttb / ewma table (engine
+  downsample  activity curve -> m4 / lttb / ewma / holt / sax table (engine
               addition: shape-preserving downsample family)
   maintain    warehouse table maintenance: --action compact (small
               files -> target partitions), expire (drop old
@@ -75,14 +75,23 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--key-col", default="conv_id",
                    help="maintain delete/bloom: key column (delete "
                         "values cast to its table type)")
-    p.add_argument("--method", choices=["m4", "lttb", "ewma"], default="m4",
-                   help="downsample mode: M4 buckets / LTTB budget / EWMA")
+    p.add_argument("--method",
+                   choices=["m4", "lttb", "ewma", "holt", "sax"],
+                   default="m4",
+                   help="downsample mode: M4 buckets / LTTB budget / EWMA "
+                        "/ Holt level+trend / SAX symbolic words")
     p.add_argument("--out-bucket", default="1 hour",
                    help="downsample m4 pixel-bucket width")
     p.add_argument("--n-out", type=int, default=100,
                    help="downsample lttb point budget per conversation")
     p.add_argument("--alpha", type=float, default=0.2,
-                   help="downsample ewma smoothing factor")
+                   help="downsample ewma/holt smoothing factor")
+    p.add_argument("--beta", type=float, default=0.3,
+                   help="downsample holt trend factor")
+    p.add_argument("--word-len", type=int, default=8,
+                   help="downsample sax word length")
+    p.add_argument("--alphabet", type=int, default=4,
+                   help="downsample sax alphabet size (3-6)")
     p.add_argument("--style", choices=["1d", "2d", "tiny"], default="1d",
                    help="plot mode style (XCorrProcessor.java:78-91)")
     p.add_argument("--plot-bucket-sec", type=float, default=0.64,
@@ -414,8 +423,10 @@ def main(argv: list[str] | None = None) -> None:
 
         from peakmatch_xcorr_spark.operators.downsample import (
             ewma_smooth,
+            holt_smooth,
             lttb_downsample,
             m4_downsample,
+            sax_symbols,
         )
         from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
 
@@ -429,6 +440,18 @@ def main(argv: list[str] | None = None) -> None:
         elif args.method == "lttb":
             out = lttb_downsample(
                 curve, ["conv_id"], "bucket_start", "turns", args.n_out
+            )
+        elif args.method == "holt":
+            out = holt_smooth(
+                curve, ["conv_id"], "bucket_start", "turns",
+                args.alpha, args.beta,
+            )
+        elif args.method == "sax":
+            # curve values are integer counts: scale 1 keeps the
+            # power sums exact
+            out = sax_symbols(
+                curve, ["conv_id"], "bucket_start", "turns",
+                args.word_len, args.alphabet, value_scale=1,
             )
         else:
             out = ewma_smooth(

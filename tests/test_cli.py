@@ -110,6 +110,8 @@ def test_cli_downsample_all_methods(capsys, cli_env):
         ("m4", ("--out-bucket", "1 hour")),
         ("lttb", ("--n-out", "5")),
         ("ewma", ("--alpha", "0.4")),
+        ("holt", ("--alpha", "0.4", "--beta", "0.2")),
+        ("sax", ("--word-len", "4", "--alphabet", "4")),
     ):
         out = json.loads(
             _run(capsys, cli_env, "downsample", "--method", method, *extra)
