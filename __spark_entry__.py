@@ -5070,6 +5070,118 @@ FROM w WHERE n >= 12 AND sd > 1e-12
 """
 
 
+def _q_seasonal_profile_24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical-decomposition seasonal component (period 24) of each
+    event_type's hourly activity count: 2x24 centered-MA detrend over
+    the zero-filled dense tier, per-phase means trimmed to whole
+    cycles, centered to sum 0 (operators/seasonal.py seasonal_profile
+    — the periodic-profile sibling of the reference's band-mean curve
+    summary, DominantFreqProcessor.java:90-150).  Every window/group
+    sum is exact int64 over counts; the oracle evaluates the identical
+    cleared-denominator closed form."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.seasonal import (
+        dense_bucket_counts, seasonal_profile,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    return seasonal_profile(dense, ["event_type"], period=24)
+
+
+_SQL_SEASONAL_PROFILE_24 = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS v
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+), d0 AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM sp
+), d AS (
+  SELECT d0.event_type, d0.b, COALESCE(c.v, 0) AS v
+  FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
+), w AS (
+  SELECT event_type, b, v,
+         sum(v) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS S,
+         lag(v, 12) OVER (PARTITION BY event_type ORDER BY b) AS a,
+         lead(v, 12) OVER (PARTITION BY event_type ORDER BY b) AS cc,
+         b - min(b) OVER (PARTITION BY event_type) AS pos,
+         max(b) OVER (PARTITION BY event_type)
+           - min(b) OVER (PARTITION BY event_type) + 1 AS L
+  FROM d
+), v2 AS (
+  SELECT *, (L - 24) // 24 AS n_cycles FROM w
+), val AS (
+  SELECT event_type, b % 24 AS phase,
+         48 * v - 2 * S + a + cc AS num, n_cycles
+  FROM v2
+  WHERE n_cycles >= 1 AND pos >= 12 AND pos - 12 < n_cycles * 24
+), g AS (
+  SELECT event_type, phase, sum(num) AS I, min(n_cycles) AS n_cycles
+  FROM val GROUP BY 1, 2
+), t AS (
+  SELECT *, sum(I) OVER (PARTITION BY event_type) AS T FROM g
+)
+SELECT event_type, phase, n_cycles,
+       round((24 * I - T) / (48.0 * n_cycles * 24) + 1e-9, 6) AS seasonal
+FROM t
+"""
+
+
+def _q_seasonal_anomaly_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day phase-baseline anomalies in each event_type's
+    hourly counts: leave-one-out z vs the OTHER buckets sharing the
+    same b % 24 phase (operators/seasonal.py seasonal_baseline_anomaly
+    — the seasonal transpose of anomaly_zscore_1m's trailing window).
+    All baseline moments are exact int64 power sums; |z| is compared
+    unrounded on both engines."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.seasonal import (
+        dense_bucket_counts, seasonal_baseline_anomaly,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    return seasonal_baseline_anomaly(
+        dense, ["event_type"], period=24, z_thresh=2.0, min_periods=8
+    )
+
+
+_SQL_SEASONAL_ANOMALY_HOD = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS v
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+), d0 AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM sp
+), d AS (
+  SELECT d0.event_type, d0.b, COALESCE(c.v, 0) AS v
+  FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
+), p AS (
+  SELECT event_type, b, b % 24 AS phase, v FROM d
+), g AS (
+  SELECT event_type, phase, count(*) AS n,
+         sum(v) AS S1, sum(v * v) AS S2
+  FROM p GROUP BY 1, 2
+), j AS (
+  SELECT p.event_type, p.b, p.phase, p.v,
+         (g.S1 - p.v) / CAST(g.n - 1 AS DOUBLE) AS mean_loo,
+         ((g.n - 1) * (g.S2 - p.v * p.v) - (g.S1 - p.v) * (g.S1 - p.v))
+           / CAST((g.n - 1) * (g.n - 2) AS DOUBLE) AS var_loo,
+         g.n AS n
+  FROM p JOIN g ON g.event_type = p.event_type AND g.phase = p.phase
+)
+SELECT event_type, b, phase, v,
+       round(mean_loo + 1e-9, 6) AS baseline_mean,
+       round((v - mean_loo) / sqrt(var_loo) + 1e-9, 6) AS z
+FROM j
+WHERE n >= 8 AND var_loo > 1e-12
+  AND abs((v - mean_loo) / sqrt(var_loo)) > 2.0
+"""
+
+
 def _q_metric_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stats_agg 2-D analogue (operators/stats.py pair_metric_corr):
     per day, the Pearson correlation between hourly click and view
@@ -5674,6 +5786,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "ewma_smooth": (_q_ewma_smooth, _SQL_EWMA),
     "counter_increase_1h": (_q_counter_increase, _SQL_COUNTER_INCREASE),
     "anomaly_zscore_1m": (_q_anomaly_zscore, _SQL_ANOMALY_ZSCORE),
+    "seasonal_profile_24": (_q_seasonal_profile_24, _SQL_SEASONAL_PROFILE_24),
+    "seasonal_anomaly_hod": (_q_seasonal_anomaly_hod, _SQL_SEASONAL_ANOMALY_HOD),
     "metric_corr_daily": (_q_metric_corr_daily, _SQL_METRIC_CORR),
     "trend_slope": (_q_trend_slope, _SQL_TREND_SLOPE),
     "value_histogram": (_q_value_histogram, _SQL_VALUE_HISTOGRAM),

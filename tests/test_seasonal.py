@@ -1,0 +1,211 @@
+"""Seasonal decomposition + phase-baseline anomaly: checked against
+an independent statsmodels-style brute force in numpy/pandas, plus
+structural properties (sum-zero seasonal, planted-pattern recovery,
+leave-one-out spike detection)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from peakmatch_xcorr_spark.operators.seasonal import (
+    dense_bucket_counts,
+    seasonal_baseline_anomaly,
+    seasonal_profile,
+)
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _hourly_events(rng, n_keys=2, hours=24 * 14, pattern=None, spikes=()):
+    """Synthetic events whose hourly counts follow base + pattern[hod]
+    + noise; optional planted (key, hour_index, extra) spikes."""
+    rows = []
+    for k in range(n_keys):
+        for h in range(hours):
+            hod = h % 24
+            lam = 5 + (pattern[hod] if pattern is not None else 0)
+            n = int(rng.poisson(lam)) if pattern is not None else 5
+            for key, hi, extra in spikes:
+                if key == f"k{k}" and hi == h:
+                    n += extra
+            for i in range(n):
+                rows.append(
+                    (f"k{k}", T0 + dt.timedelta(hours=h, minutes=i % 60))
+                )
+    return pd.DataFrame(rows, columns=["conv_id", "ts"])
+
+
+def _brute_profile(dense_pdf, period):
+    """Independent reference: classical 2xM (even) / M (odd) centered
+    MA decomposition, trimmed to whole cycles, seasonal centered."""
+    out = {}
+    for k, g in dense_pdf.groupby("conv_id"):
+        g = g.sort_values("b").reset_index(drop=True)
+        v = g["v"].to_numpy(dtype=np.float64)
+        L = len(v)
+        even = period % 2 == 0
+        half = period // 2
+        width = period + 1 if even else period
+        trend = np.full(L, np.nan)
+        for t in range(half, L - (width - 1 - half)):
+            if even:
+                s = v[t - half : t + half + 1].sum()
+                trend[t] = (s - 0.5 * (v[t - half] + v[t + half])) / period
+            else:
+                trend[t] = v[t - half : t + half + 1].mean()
+        valid = ~np.isnan(trend)
+        n_valid = valid.sum()
+        n_cycles = n_valid // period
+        if n_cycles < 1:
+            continue
+        det = v - trend
+        first = half
+        keep = np.zeros(L, dtype=bool)
+        keep[first : first + n_cycles * period] = True
+        b = g["b"].to_numpy()
+        raw = np.zeros(period)
+        for j in range(period):
+            m = keep & (b % period == j)
+            raw[j] = det[m].mean()
+        seas = raw - raw.mean()
+        out[k] = (seas, n_cycles)
+    return out
+
+
+def test_profile_matches_bruteforce_even_period(spark, rng):
+    pat = [3 * np.sin(2 * np.pi * h / 24) for h in range(24)]
+    ev = _hourly_events(rng, n_keys=2, hours=24 * 10, pattern=pat)
+    df = spark.createDataFrame(ev)
+    dense = dense_bucket_counts(df, ["conv_id"], "ts", "1 hour")
+    got = (
+        seasonal_profile(dense, ["conv_id"], period=24)
+        .toPandas()
+        .sort_values(["conv_id", "phase"])
+        .reset_index(drop=True)
+    )
+    ref = _brute_profile(dense.toPandas(), 24)
+    for k, (seas, n_cycles) in ref.items():
+        sub = got[got.conv_id == k].sort_values("phase")
+        assert len(sub) == 24
+        assert (sub["n_cycles"] == n_cycles).all()
+        # phase j of the output is b % 24 == j; the brute force indexed
+        # the same way, so arrays align
+        np.testing.assert_allclose(
+            sub["seasonal"].to_numpy(), np.round(seas + 1e-9, 6), atol=2e-6
+        )
+
+
+def test_profile_matches_bruteforce_odd_period(spark, rng):
+    ev = _hourly_events(rng, n_keys=1, hours=7 * 30,
+                        pattern=[(h * 13) % 7 for h in range(24)])
+    df = spark.createDataFrame(ev)
+    dense = dense_bucket_counts(df, ["conv_id"], "ts", "1 hour")
+    got = seasonal_profile(dense, ["conv_id"], period=7).toPandas()
+    ref = _brute_profile(dense.toPandas(), 7)
+    for k, (seas, _) in ref.items():
+        sub = got[got.conv_id == k].sort_values("phase")
+        assert len(sub) == 7
+        np.testing.assert_allclose(
+            sub["seasonal"].to_numpy(), np.round(seas + 1e-9, 6), atol=2e-6
+        )
+
+
+def test_profile_sums_to_zero_and_recovers_planted_shape(spark, rng):
+    pat = [6.0 if h in (9, 10, 11) else 0.0 for h in range(24)]
+    ev = _hourly_events(rng, n_keys=1, hours=24 * 21, pattern=pat)
+    df = spark.createDataFrame(ev)
+    dense = dense_bucket_counts(df, ["conv_id"], "ts", "1 hour")
+    got = seasonal_profile(dense, ["conv_id"], period=24).toPandas()
+    assert abs(got["seasonal"].sum()) < 1e-4
+    # the three peak phases must be the three largest seasonal values
+    top3 = set(got.nlargest(3, "seasonal")["phase"])
+    assert top3 == {9, 10, 11}
+
+
+def test_profile_short_series_emits_nothing(spark):
+    ev = pd.DataFrame(
+        {"conv_id": ["a"] * 30,
+         "ts": [T0 + dt.timedelta(hours=h) for h in range(30)]}
+    )
+    dense = dense_bucket_counts(
+        spark.createDataFrame(ev), ["conv_id"], "ts", "1 hour"
+    )
+    # 30 hourly buckets < one complete trend-valid cycle of 24
+    assert seasonal_profile(dense, ["conv_id"], period=24).count() == 0
+
+
+def test_anomaly_detects_planted_spike(spark, rng):
+    pat = [0.0] * 24  # Poisson(5) noise everywhere
+    ev = _hourly_events(
+        rng, n_keys=2, hours=24 * 20, pattern=pat,
+        spikes=[("k1", 24 * 7 + 3, 60)],
+    )
+    df = spark.createDataFrame(ev)
+    dense = dense_bucket_counts(df, ["conv_id"], "ts", "1 hour")
+    got = seasonal_baseline_anomaly(
+        dense, ["conv_id"], period=24, z_thresh=6.0
+    ).toPandas()
+    spike = got[(got.conv_id == "k1") & (got.phase == 3)]
+    assert len(spike) == 1
+    assert spike.iloc[0]["v"] >= 60
+    # the planted spike dominates any noise-induced flags
+    assert spike.iloc[0]["z"] == got["z"].abs().max()
+
+
+def test_anomaly_leave_one_out_matches_pandas(spark, rng):
+    pat = [2 * np.sin(2 * np.pi * h / 24) for h in range(24)]
+    ev = _hourly_events(rng, n_keys=1, hours=24 * 15, pattern=pat)
+    df = spark.createDataFrame(ev)
+    dense = dense_bucket_counts(df, ["conv_id"], "ts", "1 hour")
+    thresh = 1.5
+    got = (
+        seasonal_baseline_anomaly(dense, ["conv_id"], 24, thresh)
+        .toPandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    pdf = dense.toPandas().sort_values("b").reset_index(drop=True)
+    exp = []
+    for j in range(24):
+        sub = pdf[pdf["b"] % 24 == j]
+        vv = sub["v"].to_numpy(dtype=np.float64)
+        for i, (b, x) in enumerate(zip(sub["b"], vv)):
+            rest = np.delete(vv, i)
+            m, s = rest.mean(), rest.std(ddof=1)
+            if s > 1e-6 and abs((x - m) / s) > thresh:
+                exp.append((b, round((x - m) / s + 1e-9, 6)))
+    exp.sort()
+    assert [(r.b, r.z) for r in got.itertuples()] == exp
+
+
+def test_anomaly_spike_would_hide_without_loo(spark, rng):
+    """The planted spike's plain (inclusive) z stays under a threshold
+    its leave-one-out z clears — the reason the operator excludes the
+    point under test from its own baseline."""
+    hours, extra = 24 * 10, 25
+    ev = _hourly_events(rng, n_keys=1, hours=hours, pattern=[0.0] * 24,
+                        spikes=[("k0", 51, extra)])
+    dense = dense_bucket_counts(
+        spark.createDataFrame(ev), ["conv_id"], "ts", "1 hour"
+    )
+    pdf = dense.toPandas()
+    vals = (
+        pdf[pdf["b"] % 24 == 3].sort_values("b")["v"]
+        .to_numpy(dtype=np.float64)
+    )
+    i = int(np.argmax(vals))
+    z_incl = (vals[i] - vals.mean()) / vals.std(ddof=1)
+    rest = np.delete(vals, i)
+    z_loo = (vals[i] - rest.mean()) / rest.std(ddof=1)
+    assert z_incl < z_loo  # the gap this test exists to pin
+    thresh = (z_incl + z_loo) / 2
+    got = seasonal_baseline_anomaly(
+        dense, ["conv_id"], 24, z_thresh=thresh, min_periods=8
+    ).toPandas()
+    spike = got[(got.phase == 3) & (got.v == vals[i])]
+    assert len(spike) == 1  # flagged by LOO where inclusive-z would miss
