@@ -5668,6 +5668,82 @@ FROM c3
 """
 
 
+def _q_holt_winters_4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters additive (level+trend+seasonal, period=2) state
+    after each user's first 4 samples (alpha=0.2, beta=0.3,
+    gamma=0.4).  The Spark side runs the full O(period)-state
+    streaming recursion (operators/downsample.py holt_winters_smooth);
+    the oracle unrolls the same four steps literally — the zero-seed
+    seasonal init is what keeps a bounded prefix closed-form.  Period
+    2 (not 24) so the unroll actually exercises the seasonal feedback
+    (s_{t-2} re-enters at t=3 and t=4); full-length parity vs the
+    direct recursion is bit-exact in tests/test_downsample.py."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from peakmatch_xcorr_spark.operators.downsample import holt_winters_smooth
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n4 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("n") >= 4)
+        .drop("rn", "n")
+    )
+    out = holt_winters_smooth(
+        n4, ["user_id"], "ts", "value", 0.2, 0.3, 0.4, 2, "event_id"
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        out.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 4)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.round(F.col("level") + 1e-9, 6).alias("level"),
+            F.round(F.col("trend") + 1e-9, 6).alias("trend"),
+            F.round(F.col("seasonal") + 1e-9, 6).alias("seasonal"),
+        )
+    )
+
+
+_SQL_HOLT_WINTERS_4 = """
+WITH s AS (
+  SELECT user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+), p AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN value END) AS v1,
+         max(CASE WHEN rn = 2 THEN value END) AS v2,
+         max(CASE WHEN rn = 3 THEN value END) AS v3,
+         max(CASE WHEN rn = 4 THEN value END) AS v4,
+         count(*) AS n
+  FROM s WHERE rn <= 4 GROUP BY user_id
+), c2 AS (
+  SELECT user_id, v1, v2, v3, v4,
+         0.2 * (v2 - 0.0) + 0.8 * (v1 + 0.0) AS l2
+  FROM p WHERE n >= 4
+), c2b AS (
+  SELECT *, 0.3 * (l2 - v1) + 0.7 * 0.0 AS b2,
+            0.4 * (v2 - l2) + 0.6 * 0.0 AS s2
+  FROM c2
+), c3 AS (
+  SELECT *, 0.2 * (v3 - 0.0) + 0.8 * (l2 + b2) AS l3 FROM c2b
+), c3b AS (
+  SELECT *, 0.3 * (l3 - l2) + 0.7 * b2 AS b3 FROM c3
+), c4 AS (
+  SELECT *, 0.2 * (v4 - s2) + 0.8 * (l3 + b3) AS l4 FROM c3b
+)
+SELECT user_id, round(l4 + 1e-9, 6) AS level,
+       round(0.3 * (l4 - l3) + 0.7 * b3 + 1e-9, 6) AS trend,
+       round(0.4 * (v4 - l4) + 0.6 * s2 + 1e-9, 6) AS seasonal
+FROM c4
+"""
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -5799,6 +5875,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "topn_users_daily": (_q_topn_users_daily, _SQL_TOPN_USERS_DAILY),
     "sax_words": (_q_sax_words, _SQL_SAX_WORDS),
     "holt_level_3": (_q_holt_level_3, _SQL_HOLT_LEVEL_3),
+    "holt_winters_4": (_q_holt_winters_4, _SQL_HOLT_WINTERS_4),
     # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
     "minhash_candidates": (_q_minhash_candidates, None),

@@ -18,8 +18,9 @@ re-expressed as engine jobs:
               lines with --events (DominantFreqProcessor.java:142-159)
   cluster     band features -> KNN graph -> connected components
               (ClusteringProcessor.java)
-  downsample  activity curve -> m4 / lttb / ewma / holt / sax table (engine
-              addition: shape-preserving downsample family)
+  downsample  activity curve -> m4 / lttb / ewma / holt / holtwinters /
+              sax table (engine addition: shape-preserving downsample
+              family)
   maintain    warehouse table maintenance: --action compact (small
               files -> target partitions), expire (drop old
               snapshots + physically delete unreferenced files),
@@ -76,10 +77,12 @@ def main(argv: list[str] | None = None) -> None:
                    help="maintain delete/bloom: key column (delete "
                         "values cast to its table type)")
     p.add_argument("--method",
-                   choices=["m4", "lttb", "ewma", "holt", "sax"],
+                   choices=["m4", "lttb", "ewma", "holt", "holtwinters",
+                            "sax"],
                    default="m4",
                    help="downsample mode: M4 buckets / LTTB budget / EWMA "
-                        "/ Holt level+trend / SAX symbolic words")
+                        "/ Holt level+trend / Holt-Winters seasonal / SAX "
+                        "symbolic words")
     p.add_argument("--out-bucket", default="1 hour",
                    help="downsample m4 pixel-bucket width")
     p.add_argument("--n-out", type=int, default=100,
@@ -88,6 +91,10 @@ def main(argv: list[str] | None = None) -> None:
                    help="downsample ewma/holt smoothing factor")
     p.add_argument("--beta", type=float, default=0.3,
                    help="downsample holt trend factor")
+    p.add_argument("--gamma", type=float, default=0.4,
+                   help="downsample holtwinters seasonal factor")
+    p.add_argument("--period", type=int, default=24,
+                   help="downsample holtwinters seasonal period (buckets)")
     p.add_argument("--word-len", type=int, default=8,
                    help="downsample sax word length")
     p.add_argument("--alphabet", type=int, default=4,
@@ -445,6 +452,15 @@ def main(argv: list[str] | None = None) -> None:
             out = holt_smooth(
                 curve, ["conv_id"], "bucket_start", "turns",
                 args.alpha, args.beta,
+            )
+        elif args.method == "holtwinters":
+            from peakmatch_xcorr_spark.operators.downsample import (
+                holt_winters_smooth,
+            )
+
+            out = holt_winters_smooth(
+                curve, ["conv_id"], "bucket_start", "turns",
+                args.alpha, args.beta, args.gamma, args.period,
             )
         elif args.method == "sax":
             # curve values are integer counts: scale 1 keeps the

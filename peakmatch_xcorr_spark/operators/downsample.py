@@ -595,3 +595,122 @@ def holt_smooth(
         .sortWithinPartitions(*keys, *order)
     )
     return slim.mapInPandas(smooth, schema=schema)
+
+
+def holt_winters_smooth(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    period: int = 24,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Holt-Winters additive (triple exponential) smoothing per key:
+    level + trend + a ``period``-long seasonal cycle, the step up from
+    ``holt_smooth`` when the series has a known periodicity.
+
+        s_prev = s_{t-period}  (0.0 while t <= period: pre-season zeros)
+        l_1 = v_1, b_1 = 0
+        l_t = alpha*(v_t - s_prev) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(v_t - l_t)   + (1-gamma)*s_prev
+
+    appended as columns ``level``, ``trend``, ``seasonal``.  The
+    zero-seed initialization (rather than a first-cycle average) keeps
+    the recursion strictly one-pass — every output depends only on the
+    carried state, never on a lookahead over the first cycle — which
+    is what lets the operator stream arbitrarily long series through
+    O(period) state, and makes any bounded prefix a closed-form
+    expression the DuckDB oracle can unroll literally.
+
+    Same execution shape as ``holt_smooth``: repartition(keys) +
+    sortWithinPartitions + ONE mapInPandas carrying
+    {key: (l, b, seasonal ring buffer)} across Arrow batches — the
+    ring is ``period`` floats per key, so state stays O(period), not
+    O(series).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    extra = f", {tiebreak} long" if tiebreak else ""
+    schema = (
+        f"{key_fields}, {ts_col} timestamp{extra}, {value_col} double, "
+        "level double, trend double, seasonal double"
+    )
+    one_m_a, one_m_b, one_m_g = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    def smooth(batches):
+        import pandas as pd
+
+        # key -> (level, trend, ring list of last `period` seasonals,
+        #         ring cursor)
+        state: dict[tuple, tuple] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            key_arrs = [pdf[k].astype(str).to_numpy() for k in keys]
+            vals = pdf[value_col].astype("float64").to_numpy()
+            change = np.zeros(len(pdf), dtype=bool)
+            change[0] = True
+            for arr in key_arrs:
+                change[1:] |= arr[1:] != arr[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            lev = np.empty(len(pdf), dtype=np.float64)
+            trd = np.empty(len(pdf), dtype=np.float64)
+            sea = np.empty(len(pdf), dtype=np.float64)
+            for s0, e0 in zip(starts, ends):
+                key = tuple(arr[s0] for arr in key_arrs)
+                prev = state.get(key)
+                run = vals[s0:e0].tolist()
+                if prev is None:
+                    lv, b = run[0], 0.0
+                    ring = [0.0] * period
+                    cur = 0
+                    # s_1 = gamma*(v_1 - l_1) + (1-gamma)*0 = 0
+                    ring[cur] = 0.0
+                    cur = (cur + 1) % period
+                    lev[s0], trd[s0], sea[s0] = lv, b, 0.0
+                    i0 = 1
+                else:
+                    lv, b, ring, cur = prev
+                    i0 = 0
+                j = s0 + i0
+                for v in run[i0:]:
+                    sp = ring[cur]  # s_{t-period} (0.0 pre-season)
+                    lp = lv
+                    lv = alpha * (v - sp) + one_m_a * (lv + b)
+                    b = beta * (lv - lp) + one_m_b * b
+                    st = gamma * (v - lv) + one_m_g * sp
+                    ring[cur] = st
+                    cur = (cur + 1) % period
+                    lev[j], trd[j], sea[j] = lv, b, st
+                    j += 1
+                state[key] = (lv, b, ring, cur)
+            res = {k: arr for k, arr in zip(keys, key_arrs)}
+            res[ts_col] = pdf[ts_col].to_numpy()
+            if tiebreak:
+                res[tiebreak] = pdf[tiebreak].to_numpy()
+            res[value_col] = vals
+            res["level"] = lev
+            res["trend"] = trd
+            res["seasonal"] = sea
+            yield pd.DataFrame(res)
+
+    slim = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, *order, value_col)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, *order)
+    )
+    return slim.mapInPandas(smooth, schema=schema)

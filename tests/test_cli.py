@@ -111,6 +111,8 @@ def test_cli_downsample_all_methods(capsys, cli_env):
         ("lttb", ("--n-out", "5")),
         ("ewma", ("--alpha", "0.4")),
         ("holt", ("--alpha", "0.4", "--beta", "0.2")),
+        ("holtwinters", ("--alpha", "0.4", "--beta", "0.2",
+                         "--gamma", "0.3", "--period", "6")),
         ("sax", ("--word-len", "4", "--alphabet", "4")),
     ):
         out = json.loads(

@@ -491,3 +491,121 @@ def test_holt_beta_zero_is_ewma(spark, rng):
         h["level"].to_numpy(), e["ewma"].to_numpy()
     )
     assert (h["trend"].to_numpy() == 0.0).all()
+
+
+def test_holt_winters_matches_recursion_with_tiny_arrow_batches(spark, rng):
+    """Bit-exact parity vs the direct (level, trend, seasonal-ring)
+    recursion with Arrow batches forced tiny, so runs straddle batches
+    and the carried ring buffer is what produces the answer."""
+    from peakmatch_xcorr_spark.operators.downsample import holt_winters_smooth
+
+    period, a, be, g = 5, 0.2, 0.3, 0.4
+    df, pdf = _series_frame(spark, rng, n_keys=4, n=150)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "17")
+    try:
+        got = (
+            holt_winters_smooth(
+                df, ["conv_id"], "ts", "value", a, be, g, period, "event_id"
+            )
+            .toPandas()
+            .sort_values(["conv_id", "ts", "event_id"])
+            .reset_index(drop=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    for cid, grp in pdf.groupby("conv_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        lv, b = None, 0.0
+        ring, cur = [0.0] * period, 0
+        L, B, S = [], [], []
+        for v in grp["value"]:
+            if lv is None:
+                lv = v
+                ring[cur] = 0.0
+                cur = (cur + 1) % period
+                L.append(lv); B.append(b); S.append(0.0)
+                continue
+            sp = ring[cur]
+            lp = lv
+            lv = a * (v - sp) + (1 - a) * (lv + b)
+            b = be * (lv - lp) + (1 - be) * b
+            st = g * (v - lv) + (1 - g) * sp
+            ring[cur] = st
+            cur = (cur + 1) % period
+            L.append(lv); B.append(b); S.append(st)
+        sub = got[got.conv_id == cid]
+        np.testing.assert_array_equal(sub["level"].to_numpy(), np.array(L))
+        np.testing.assert_array_equal(sub["trend"].to_numpy(), np.array(B))
+        np.testing.assert_array_equal(sub["seasonal"].to_numpy(), np.array(S))
+
+
+def test_holt_winters_gamma_zero_is_holt(spark, rng):
+    """gamma=0 freezes the seasonal ring at its zero seed, so
+    (level, trend) degenerate to Holt linear — cross-checked against
+    holt_smooth bit-for-bit."""
+    from peakmatch_xcorr_spark.operators.downsample import (
+        holt_smooth, holt_winters_smooth,
+    )
+
+    df, _ = _series_frame(spark, rng, n_keys=2, n=80)
+    hw = (
+        holt_winters_smooth(
+            df, ["conv_id"], "ts", "value", 0.2, 0.3, 0.0, 7, "event_id"
+        )
+        .toPandas().sort_values(["conv_id", "ts", "event_id"])
+    )
+    h = (
+        holt_smooth(df, ["conv_id"], "ts", "value", 0.2, 0.3, "event_id")
+        .toPandas().sort_values(["conv_id", "ts", "event_id"])
+    )
+    np.testing.assert_array_equal(
+        hw["level"].to_numpy(), h["level"].to_numpy()
+    )
+    np.testing.assert_array_equal(
+        hw["trend"].to_numpy(), h["trend"].to_numpy()
+    )
+    assert (hw["seasonal"].to_numpy() == 0.0).all()
+
+
+def test_holt_winters_tracks_planted_seasonality(spark):
+    """On a pure additive-seasonal series (period 4, no trend, long
+    enough to converge) the seasonal state approaches the planted
+    offsets and the one-step forecast l + b + s_{t+1-m} approaches the
+    next value."""
+    from peakmatch_xcorr_spark.operators.downsample import holt_winters_smooth
+
+    period = 4
+    offs = [3.0, -1.0, -4.0, 2.0]
+    rows = []
+    t = T0
+    for i in range(400):
+        t += dt.timedelta(minutes=10)
+        rows.append(("k", t, 10.0 + offs[i % period], i))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "ts", "value", "event_id"])
+    got = (
+        holt_winters_smooth(
+            spark.createDataFrame(pdf), ["conv_id"], "ts", "value",
+            0.3, 0.1, 0.5, period, "event_id",
+        )
+        .toPandas().sort_values("event_id").reset_index(drop=True)
+    )
+    tail = got.tail(2 * period)
+    # seasonal state converged to the planted offsets (up to the
+    # shared-mean split between level and seasonal: compare deltas)
+    seas = tail.groupby(tail["event_id"] % period)["seasonal"].mean()
+    planted = pd.Series(offs, index=range(period))
+    got_centered = seas - seas.mean()
+    planted_centered = planted - planted.mean()
+    np.testing.assert_allclose(
+        got_centered.to_numpy(), planted_centered.to_numpy(), atol=0.15
+    )
+    # one-step forecast: f_{t+1} = level_t + trend_t + s_{t+1-period}
+    err = []
+    for i in range(len(got) - period, len(got) - 1):
+        f = (
+            got.loc[i, "level"] + got.loc[i, "trend"]
+            + got.loc[i + 1 - period, "seasonal"]
+        )
+        err.append(abs(f - got.loc[i + 1, "value"]))
+    assert max(err) < 0.2
