@@ -411,3 +411,27 @@ def test_occupancy_global_scan_never_single_partition(spark, events):
     assert "SinglePartition" not in p
     # the P-row offset table joins back as a broadcast, not a shuffle
     assert "BroadcastHashJoin" in p
+
+
+def test_seasonal_ops_pure_jvm_broadcast_baseline(spark, events):
+    """The seasonal family stays entirely JVM-side: no Python nodes in
+    either plan; the anomaly baseline (period rows per key) joins back
+    broadcast, never shuffling the dense tier a second time; and both
+    prune the wide columns from the scan."""
+    from peakmatch_xcorr_spark.operators.seasonal import (
+        dense_bucket_counts,
+        seasonal_baseline_anomaly,
+        seasonal_profile,
+    )
+
+    dense = dense_bucket_counts(events, ["event_type"], "ts", "1 hour")
+    pp = plan(seasonal_profile(dense, ["event_type"], 24))
+    assert "Python" not in pp
+    assert "Window" in pp
+    read_schema = pp.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in read_schema and "value" not in read_schema
+
+    pa = plan(seasonal_baseline_anomaly(dense, ["event_type"], 24, 2.0))
+    assert "Python" not in pa
+    assert "BroadcastHashJoin" in pa
+    assert "partial_sum" in pa or "partial sum" in pa.lower()
