@@ -5744,6 +5744,85 @@ FROM c4
 """
 
 
+def _q_holt_winters_forecast_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step Holt-Winters forecast (period=2, hourly cadence) from
+    each user's first 4 samples: f_h = l_4 + h*b_4 + s_{4+h-2}, ts =
+    last_ts + h hours (operators/downsample.py holt_winters_forecast —
+    the emit-after-exhaustion path whose output is |keys|*horizon
+    rows, never |input|).  The oracle unrolls the same four recursion
+    steps and extrapolates both horizons literally."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from peakmatch_xcorr_spark.operators.downsample import (
+        holt_winters_forecast,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    n4 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 4)
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("user_id")))
+        .filter(F.col("n") >= 4)
+        .drop("rn", "n")
+    )
+    out = holt_winters_forecast(
+        n4, ["user_id"], "ts", "value", 0.2, 0.3, 0.4, 2,
+        horizon=2, step_seconds=3600, tiebreak="event_id",
+    )
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        "ts", "h",
+        F.round(F.col("forecast") + 1e-9, 6).alias("forecast"),
+    )
+
+
+_SQL_HOLT_WINTERS_FORECAST_2 = """
+WITH s AS (
+  SELECT user_id, value, ts,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events WHERE value IS NOT NULL
+), p AS (
+  SELECT user_id,
+         max(CASE WHEN rn = 1 THEN value END) AS v1,
+         max(CASE WHEN rn = 2 THEN value END) AS v2,
+         max(CASE WHEN rn = 3 THEN value END) AS v3,
+         max(CASE WHEN rn = 4 THEN value END) AS v4,
+         max(ts) AS ts4,
+         count(*) AS n
+  FROM s WHERE rn <= 4 GROUP BY user_id
+), c2 AS (
+  SELECT user_id, v1, v2, v3, v4, ts4,
+         0.2 * (v2 - 0.0) + 0.8 * (v1 + 0.0) AS l2
+  FROM p WHERE n >= 4
+), c2b AS (
+  SELECT *, 0.3 * (l2 - v1) + 0.7 * 0.0 AS b2,
+            0.4 * (v2 - l2) + 0.6 * 0.0 AS s2
+  FROM c2
+), c3 AS (
+  SELECT *, 0.2 * (v3 - 0.0) + 0.8 * (l2 + b2) AS l3 FROM c2b
+), c3b AS (
+  SELECT *, 0.3 * (l3 - l2) + 0.7 * b2 AS b3,
+            0.4 * (v3 - l3) + 0.6 * 0.0 AS s3
+  FROM c3
+), c4 AS (
+  SELECT *, 0.2 * (v4 - s2) + 0.8 * (l3 + b3) AS l4 FROM c3b
+), c4b AS (
+  SELECT *, 0.3 * (l4 - l3) + 0.7 * b3 AS b4,
+            0.4 * (v4 - l4) + 0.6 * s2 AS s4
+  FROM c4
+)
+SELECT user_id,
+       ts4 + INTERVAL (h.h * 3600) SECOND AS ts,
+       h.h AS h,
+       round(l4 + h.h * b4 + CASE WHEN h.h = 1 THEN s3 ELSE s4 END
+             + 1e-9, 6) AS forecast
+FROM c4b CROSS JOIN (VALUES (1), (2)) AS h(h)
+"""
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -5876,6 +5955,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "sax_words": (_q_sax_words, _SQL_SAX_WORDS),
     "holt_level_3": (_q_holt_level_3, _SQL_HOLT_LEVEL_3),
     "holt_winters_4": (_q_holt_winters_4, _SQL_HOLT_WINTERS_4),
+    "holt_winters_forecast_2": (
+        _q_holt_winters_forecast_2, _SQL_HOLT_WINTERS_FORECAST_2,
+    ),
     # rows-only: FFT / hash-algorithm / sketch / binary-decode specific
     "dedup_xcorr_matches": (_q_dedup_xcorr_matches, None),
     "minhash_candidates": (_q_minhash_candidates, None),

@@ -140,6 +140,7 @@ def headline_queries(spark, sf_dir: str):
         "interval_join_funnel",    # bucketed event-time range join
         "occupancy_curve",         # sweep-line + distributed prefix scan
         "realtime_rollup_1h",      # materialized tier + unabsorbed-diff merge
+        "seasonal_anomaly_hod",    # phase-baseline LOO z over the dense tier
     ):
         fn = registry[name]
         extra[name] = (lambda f=fn: f(spark, sf_dir).count())

@@ -714,3 +714,127 @@ def holt_winters_smooth(
         .sortWithinPartitions(*keys, *order)
     )
     return slim.mapInPandas(smooth, schema=schema)
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    alpha: float = 0.2,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    period: int = 24,
+    horizon: int = 1,
+    step_seconds: int = 3600,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """h-step-ahead Holt-Winters additive forecast per key:
+
+        f_{T+h} = l_T + h * b_T + s_{T+h-period}
+
+    (the standard additive forecast equation; ``s_{T+h-period}`` wraps
+    the final seasonal ring).  Emits ``horizon`` rows per key with
+    ``ts = last_ts + h*step_seconds`` — forecast timestamps are
+    synthetic, so the caller supplies the cadence (the rolled tier's
+    bucket width) rather than the operator guessing it from
+    irregular gaps.
+
+    Execution: the SAME one-pass recursion as ``holt_winters_smooth``
+    (repartition + sortWithinPartitions + one mapInPandas), but only
+    the terminal state per key is kept; forecast rows are emitted
+    AFTER the input is exhausted, from the carried
+    ``{key: (l, b, ring, cursor, last_ts)}`` dict — so the operator
+    streams arbitrarily long histories through O(period) state and
+    its output is |keys| * horizon rows, never |input|.
+    """
+    if horizon < 1:
+        raise ValueError("horizon must be >= 1")
+    if step_seconds < 1:
+        raise ValueError("step_seconds must be >= 1")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError("beta must be in [0, 1]")
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError("gamma must be in [0, 1]")
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    order = [ts_col] + ([tiebreak] if tiebreak else [])
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    schema = f"{key_fields}, {ts_col} timestamp, h int, forecast double"
+    one_m_a, one_m_b, one_m_g = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    def run(batches):
+        import pandas as pd
+
+        state: dict[tuple, tuple] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            key_arrs = [pdf[k].astype(str).to_numpy() for k in keys]
+            vals = pdf[value_col].astype("float64").to_numpy()
+            tss = pdf[ts_col].to_numpy()
+            change = np.zeros(len(pdf), dtype=bool)
+            change[0] = True
+            for arr in key_arrs:
+                change[1:] |= arr[1:] != arr[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            for s0, e0 in zip(starts, ends):
+                key = tuple(arr[s0] for arr in key_arrs)
+                prev = state.get(key)
+                run_v = vals[s0:e0].tolist()
+                if prev is None:
+                    lv, b = run_v[0], 0.0
+                    ring, cur = [0.0] * period, 0
+                    ring[cur] = 0.0
+                    cur = (cur + 1) % period
+                    i0 = 1
+                else:
+                    lv, b, ring, cur, _ = prev
+                    i0 = 0
+                for v in run_v[i0:]:
+                    sp = ring[cur]
+                    lp = lv
+                    lv = alpha * (v - sp) + one_m_a * (lv + b)
+                    b = beta * (lv - lp) + one_m_b * b
+                    ring[cur] = gamma * (v - lv) + one_m_g * sp
+                    cur = (cur + 1) % period
+                state[key] = (lv, b, ring, cur, tss[e0 - 1])
+        if not state:
+            return  # an all-empty partition must not emit an
+            # object-dtype frame Arrow can't cast to the schema
+        n_keys_out = len(state) * horizon
+        key_cols = [[] for _ in keys]
+        ts_out = np.empty(n_keys_out, dtype="datetime64[us]")
+        h_out = np.empty(n_keys_out, dtype=np.int32)
+        f_out = np.empty(n_keys_out, dtype=np.float64)
+        step = np.timedelta64(step_seconds, "s")
+        i = 0
+        for key, (lv, b, ring, cur, last_ts) in state.items():
+            for h in range(1, horizon + 1):
+                # ring[cur] is s_{T+1-period}; h steps ahead reads
+                # s_{T+h-period}, i.e. (cur + h - 1) mod period —
+                # wrapping past one period reuses the latest cycle
+                # (the standard bounded-horizon convention)
+                sp = ring[(cur + h - 1) % period]
+                for kc, kv in zip(key_cols, key):
+                    kc.append(kv)
+                ts_out[i] = last_ts + h * step
+                h_out[i] = h
+                f_out[i] = lv + h * b + sp
+                i += 1
+        res = {k: kc for k, kc in zip(keys, key_cols)}
+        res[ts_col] = ts_out
+        res["h"] = h_out
+        res["forecast"] = f_out
+        yield pd.DataFrame(res)
+
+    slim = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*keys, *order, value_col)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, *order)
+    )
+    return slim.mapInPandas(run, schema=schema)

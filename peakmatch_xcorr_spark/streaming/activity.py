@@ -221,6 +221,92 @@ def stateful_ewma(
     )
 
 
+def stateful_holt_winters(
+    stream: DataFrame,
+    value_col: str = "turn_idx",
+    alpha: float = 0.2,
+    beta: float = 0.3,
+    gamma: float = 0.4,
+    period: int = 24,
+) -> DataFrame:
+    """Streaming mirror of operators/downsample.holt_winters_smooth:
+    the additive level+trend+seasonal recursion carries O(period)
+    state — (level, trend, seasonal ring, cursor) per conversation —
+    so each micro-batch continues it from the state store exactly
+    where the previous one stopped, the same carry the batch kernel
+    threads across Arrow batches.
+
+    Emits one (level, trend, seasonal) row per input row (update
+    mode).  Same in-order-arrival assumption as ``stateful_ewma``:
+    rows inside a batch are sorted by ts; out-of-order rows belong on
+    the finalized-bucket rollup path, not the raw recursion."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    out_schema = (
+        f"conv_id string, ts timestamp, {value_col} double, "
+        "level double, trend double, seasonal double"
+    )
+    state_schema = "level double, trend double, ring array<double>, cur int"
+    one_m_a, one_m_b, one_m_g = 1.0 - alpha, 1.0 - beta, 1.0 - gamma
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            lv, b, ring, cur = state.get
+            ring = list(ring)
+            started = True
+        else:
+            lv, b, ring, cur = None, 0.0, [0.0] * period, 0
+            started = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("ts", kind="mergesort")
+            vals = pdf[value_col].astype("float64").to_numpy()
+            lev = np.empty(len(vals))
+            trd = np.empty(len(vals))
+            sea = np.empty(len(vals))
+            i0 = 0
+            if not started:
+                lv = vals[0]
+                ring[cur] = 0.0
+                cur = (cur + 1) % period
+                lev[0], trd[0], sea[0] = lv, b, 0.0
+                i0, started = 1, True
+            for i in range(i0, len(vals)):
+                sp = ring[cur]
+                lp = lv
+                lv = alpha * (vals[i] - sp) + one_m_a * (lv + b)
+                b = beta * (lv - lp) + one_m_b * b
+                st = gamma * (vals[i] - lv) + one_m_g * sp
+                ring[cur] = st
+                cur = (cur + 1) % period
+                lev[i], trd[i], sea[i] = lv, b, st
+            yield pd.DataFrame({
+                "conv_id": key[0],
+                "ts": pdf["ts"].to_numpy(),
+                value_col: vals,
+                "level": lev,
+                "trend": trd,
+                "seasonal": sea,
+            })
+        if started:
+            # plain-python scalars only: numpy float64s in the state
+            # tuple fail JVM-side unpickling (razorvine ClassDict)
+            state.update(
+                (float(lv), float(b), [float(x) for x in ring], int(cur))
+            )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -609,3 +609,73 @@ def test_holt_winters_tracks_planted_seasonality(spark):
         )
         err.append(abs(f - got.loc[i + 1, "value"]))
     assert max(err) < 0.2
+
+
+def test_holt_winters_forecast_matches_state_extrapolation(spark, rng):
+    """Forecast rows equal l_T + h*b_T + s_{T+h-period} computed from
+    the direct-recursion terminal state, with synthetic timestamps at
+    the declared cadence; output is |keys| * horizon rows."""
+    from peakmatch_xcorr_spark.operators.downsample import (
+        holt_winters_forecast,
+    )
+
+    period, a, be, g, H = 3, 0.25, 0.2, 0.5, 5
+    df, pdf = _series_frame(spark, rng, n_keys=3, n=60)
+    got = (
+        holt_winters_forecast(
+            df, ["conv_id"], "ts", "value", a, be, g, period,
+            horizon=H, step_seconds=600, tiebreak="event_id",
+        )
+        .toPandas().sort_values(["conv_id", "h"]).reset_index(drop=True)
+    )
+    assert len(got) == 3 * H
+    for cid, grp in pdf.groupby("conv_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        lv, b = None, 0.0
+        ring, cur = [0.0] * period, 0
+        for v in grp["value"]:
+            if lv is None:
+                lv = v
+                cur = 1 % period
+                continue
+            sp = ring[cur]
+            lp = lv
+            lv = a * (v - sp) + (1 - a) * (lv + b)
+            b = be * (lv - lp) + (1 - be) * b
+            ring[cur] = g * (v - lv) + (1 - g) * sp
+            cur = (cur + 1) % period
+        sub = got[got.conv_id == cid]
+        last_ts = grp["ts"].iloc[-1]
+        for h in range(1, H + 1):
+            row = sub[sub.h == h].iloc[0]
+            exp = lv + h * b + ring[(cur + h - 1) % period]
+            assert row["forecast"] == exp
+            assert row["ts"] == last_ts + dt.timedelta(seconds=600 * h)
+
+
+def test_holt_winters_forecast_continues_planted_seasonality(spark):
+    """On a converged pure-seasonal series the forecasts continue the
+    planted pattern."""
+    from peakmatch_xcorr_spark.operators.downsample import (
+        holt_winters_forecast,
+    )
+
+    period = 4
+    offs = [3.0, -1.0, -4.0, 2.0]
+    rows = []
+    t = T0
+    for i in range(400):
+        t += dt.timedelta(minutes=10)
+        rows.append(("k", t, 10.0 + offs[i % period], i))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "ts", "value", "event_id"])
+    got = (
+        holt_winters_forecast(
+            spark.createDataFrame(pdf), ["conv_id"], "ts", "value",
+            0.3, 0.1, 0.5, period, horizon=2 * period,
+            step_seconds=600, tiebreak="event_id",
+        )
+        .toPandas().sort_values("h").reset_index(drop=True)
+    )
+    for _, r in got.iterrows():
+        expected = 10.0 + offs[(400 + r["h"] - 1) % period]
+        assert abs(r["forecast"] - expected) < 0.2, (r["h"], r["forecast"])

@@ -227,3 +227,56 @@ def test_streaming_interval_join_matches_batch(spark, stream_dir):
     )
     assert len(want) > 0
     assert got == want
+
+
+def test_stateful_holt_winters_matches_batch_recursion(spark, stream_dir):
+    """The streaming Holt-Winters must continue the (level, trend,
+    seasonal-ring) recursion exactly across micro-batch boundaries:
+    final emitted values == the one-shot recursion over each
+    conversation's full series."""
+    from peakmatch_xcorr_spark.streaming.activity import (
+        stateful_holt_winters,
+    )
+
+    a, be, g, period = 0.3, 0.2, 0.4, 5
+    path, pdf = stream_dir
+    stream = read_transcript_stream(spark, path)
+    out = stateful_holt_winters(stream, "turn_idx", a, be, g, period)
+    run_stream_to_memory(out, "s_hw", mode="update")
+    got = (
+        spark.sql("SELECT * FROM s_hw")
+        .toPandas()
+        .sort_values(["conv_id", "ts"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    for cid, grp in pdf.groupby("conv_id"):
+        grp = grp.sort_values("ts", kind="mergesort")
+        lv, b = None, 0.0
+        ring, cur = [0.0] * period, 0
+        L, B, S = [], [], []
+        for v in grp["turn_idx"].astype(float):
+            if lv is None:
+                lv = v
+                cur = 1 % period
+                L.append(lv); B.append(b); S.append(0.0)
+                continue
+            sp = ring[cur]
+            lp = lv
+            lv = a * (v - sp) + (1 - a) * (lv + b)
+            b = be * (lv - lp) + (1 - be) * b
+            st = g * (v - lv) + (1 - g) * sp
+            ring[cur] = st
+            cur = (cur + 1) % period
+            L.append(lv); B.append(b); S.append(st)
+        sub = got[got.conv_id == cid]
+        np.testing.assert_allclose(
+            sub["level"].to_numpy(), np.array(L), rtol=1e-12,
+            err_msg=f"conv {cid} level diverged across batch boundaries",
+        )
+        np.testing.assert_allclose(
+            sub["trend"].to_numpy(), np.array(B), rtol=1e-12, atol=1e-15,
+        )
+        np.testing.assert_allclose(
+            sub["seasonal"].to_numpy(), np.array(S), rtol=1e-12, atol=1e-15,
+        )
