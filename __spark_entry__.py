@@ -5182,6 +5182,63 @@ WHERE n >= 8 AND var_loo > 1e-12
 """
 
 
+def _q_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single strongest mean-shift point in each event_type's hourly
+    activity (operators/stats.py changepoint_mean_shift: depth-1
+    binary segmentation, standardized two-sample statistic over exact
+    integer cumulative sums; ties break to the smallest prefix so the
+    argmax is engine-deterministic)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.seasonal import dense_bucket_counts
+    from peakmatch_xcorr_spark.operators.stats import changepoint_mean_shift
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    return changepoint_mean_shift(dense, ["event_type"], min_seg=24)
+
+
+_SQL_CHANGEPOINT_HOURLY = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS v
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+), d0 AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM sp
+), d AS (
+  SELECT d0.event_type, d0.b, COALESCE(c.v, 0) AS v
+  FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
+), w AS (
+  SELECT event_type, b, v,
+         row_number() OVER win AS t,
+         sum(v) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(v) OVER (PARTITION BY event_type) AS S,
+         count(*) OVER (PARTITION BY event_type) AS L
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY b)
+), cand AS (
+  SELECT event_type, b, t, L,
+         cum / t AS lm,
+         (S - cum) / (L - t) AS rm,
+         abs(cum / t - (S - cum) / (L - t))
+           * sqrt(t * (L - t) / L) AS score
+  FROM w
+  WHERE L >= 48 AND t >= 24 AND t <= L - 24
+), pick AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, t) AS rk
+  FROM cand
+)
+SELECT event_type, b + 1 AS change_b,
+       t AS left_len, L - t AS right_len,
+       round(lm + 1e-9, 6) AS left_mean,
+       round(rm + 1e-9, 6) AS right_mean,
+       round(score + 1e-9, 6) AS score
+FROM pick WHERE rk = 1
+"""
+
+
 def _q_metric_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stats_agg 2-D analogue (operators/stats.py pair_metric_corr):
     per day, the Pearson correlation between hourly click and view
@@ -5943,6 +6000,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "anomaly_zscore_1m": (_q_anomaly_zscore, _SQL_ANOMALY_ZSCORE),
     "seasonal_profile_24": (_q_seasonal_profile_24, _SQL_SEASONAL_PROFILE_24),
     "seasonal_anomaly_hod": (_q_seasonal_anomaly_hod, _SQL_SEASONAL_ANOMALY_HOD),
+    "changepoint_hourly": (_q_changepoint_hourly, _SQL_CHANGEPOINT_HOURLY),
     "metric_corr_daily": (_q_metric_corr_daily, _SQL_METRIC_CORR),
     "trend_slope": (_q_trend_slope, _SQL_TREND_SLOPE),
     "value_histogram": (_q_value_histogram, _SQL_VALUE_HISTOGRAM),

@@ -409,3 +409,88 @@ def value_histogram(
             F.round(F.max(value_col) + 1e-9, 6).alias("bin_max"),
         )
     )
+
+
+def changepoint_mean_shift(
+    dense: DataFrame,
+    keys: list[str],
+    min_seg: int = 8,
+) -> DataFrame:
+    """Offline single-changepoint detection per key (binary
+    segmentation, depth 1): the split maximizing the standardized
+    mean difference between the two segments of a dense series
+
+        score(t) = |cum_t/t - (S - cum_t)/(L - t)| * sqrt(t*(L-t)/L)
+
+    over prefix lengths ``t`` in ``[min_seg, L - min_seg]`` — the
+    CUSUM-equivalent two-sample statistic (score = sqrt(L) * max
+    normalized-CUSUM deviation for a mean-shift alternative).  Ties
+    break to the SMALLEST t, so the result is deterministic on flat
+    series too.
+
+    Input is the ``(keys, b, v)`` dense tier from
+    ``seasonal.dense_bucket_counts``.  Returns one row per key with
+    ``L >= 2*min_seg``: the right segment's first bucket
+    (``change_b``), both segment means, and the score.  The caller
+    thresholds the score (it is sigma-free by construction — on unit-
+    variance noise it is a two-sample z; on counts, divide by an
+    estimated sigma or rank keys by score).
+
+    Exactness (the oracle-hash contract): ``cum_t``, ``S``, ``t``,
+    ``L`` are exact int64; the score is one closed-form float
+    expression per row, and the argmax is an ORDER BY (score DESC,
+    t ASC) row_number — float comparisons of identical doubles, so
+    both engines pick the same row.
+
+    Scale: two window families per key (running sum, then the argmax
+    rank), both on the keys partitioning — one exchange after the
+    dense tier; |rows| is the bucket count, not the turn count.  The
+    depth-1 split is O(L) per key where full binary segmentation
+    recurses; at 10^12 turns the recursion would re-run this operator
+    on each half — same plan shape, halved inputs.
+    """
+    from pyspark.sql import Window
+
+    if min_seg < 2:
+        raise ValueError("min_seg must be >= 2")
+    wk = Window.partitionBy(*keys).orderBy("b")
+    wall = Window.partitionBy(*keys)
+    t = F.row_number().over(wk)
+    rows = (
+        dense.withColumn("t", t)
+        .withColumn("cum", F.sum("v").over(wk.rowsBetween(
+            Window.unboundedPreceding, 0)))
+        .withColumn("S", F.sum("v").over(wall))
+        .withColumn("L", F.count(F.lit(1)).over(wall))
+    )
+    lm = F.col("cum") / F.col("t")
+    rm = (F.col("S") - F.col("cum")) / (F.col("L") - F.col("t"))
+    score = F.abs(lm - rm) * F.sqrt(
+        F.col("t") * (F.col("L") - F.col("t")) / F.col("L")
+    )
+    cand = (
+        rows.filter(
+            (F.col("L") >= 2 * min_seg)
+            & (F.col("t") >= min_seg)
+            & (F.col("t") <= F.col("L") - min_seg)
+        )
+        .withColumn("score", score)
+        .withColumn("lm", lm)
+        .withColumn("rm", rm)
+    )
+    pick = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.col("score").desc(), F.col("t"))
+    )
+    return (
+        cand.withColumn("pick", pick)
+        .filter(F.col("pick") == 1)
+        .select(
+            *keys,
+            (F.col("b") + 1).alias("change_b"),
+            F.col("t").cast("long").alias("left_len"),
+            (F.col("L") - F.col("t")).cast("long").alias("right_len"),
+            F.round(F.col("lm") + F.lit(1e-9), 6).alias("left_mean"),
+            F.round(F.col("rm") + F.lit(1e-9), 6).alias("right_mean"),
+            F.round(F.col("score") + F.lit(1e-9), 6).alias("score"),
+        )
+    )

@@ -360,3 +360,75 @@ def test_topn_with_rest_rejects_bad_n(spark, events):
 
     with pytest.raises(ValueError, match="n must"):
         topn_with_rest(events, ["event_type"], "user_id", n=0)
+
+
+# ------------------------------------------------- changepoint
+
+
+def _dense_frame(spark, series: dict[str, list[int]]):
+    rows = []
+    for k, vs in series.items():
+        for i, v in enumerate(vs):
+            rows.append((k, 1000 + i, int(v)))
+    pdf = pd.DataFrame(rows, columns=["key", "b", "v"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _brute_changepoint(vs: np.ndarray, min_seg: int):
+    L = len(vs)
+    best = None
+    for t in range(min_seg, L - min_seg + 1):
+        lm = vs[:t].mean()
+        rm = vs[t:].mean()
+        score = abs(lm - rm) * np.sqrt(t * (L - t) / L)
+        if best is None or score > best[0] + 1e-15:
+            best = (score, t, lm, rm)
+    return best
+
+
+def test_changepoint_recovers_planted_shift(spark, rng):
+    from peakmatch_xcorr_spark.operators.stats import changepoint_mean_shift
+
+    base = rng.poisson(5, 60)
+    shifted = np.concatenate([base[:35], base[35:] + 12])
+    df, _ = _dense_frame(spark, {"a": shifted.tolist()})
+    got = changepoint_mean_shift(df, ["key"], min_seg=8).toPandas()
+    assert len(got) == 1
+    r = got.iloc[0]
+    assert r["left_len"] == 35          # split found at the planted point
+    assert r["change_b"] == 1000 + 35   # first bucket of the right segment
+    assert r["right_mean"] - r["left_mean"] > 10
+
+
+def test_changepoint_matches_bruteforce(spark, rng):
+    from peakmatch_xcorr_spark.operators.stats import changepoint_mean_shift
+
+    series = {
+        f"k{i}": rng.poisson(4, int(rng.integers(30, 80))).tolist()
+        for i in range(5)
+    }
+    df, _ = _dense_frame(spark, series)
+    got = changepoint_mean_shift(df, ["key"], min_seg=5).toPandas()
+    for k, vs in series.items():
+        score, t, lm, rm = _brute_changepoint(np.array(vs, float), 5)
+        r = got[got.key == k].iloc[0]
+        assert r["left_len"] == t, k
+        assert r["score"] == round(score + 1e-9, 6)
+        assert r["left_mean"] == round(lm + 1e-9, 6)
+        assert r["right_mean"] == round(rm + 1e-9, 6)
+
+
+def test_changepoint_flat_series_ties_to_smallest_t(spark):
+    from peakmatch_xcorr_spark.operators.stats import changepoint_mean_shift
+
+    df, _ = _dense_frame(spark, {"flat": [7] * 40})
+    got = changepoint_mean_shift(df, ["key"], min_seg=6).toPandas()
+    r = got.iloc[0]
+    assert r["score"] == 0.0 and r["left_len"] == 6
+
+
+def test_changepoint_short_series_emits_nothing(spark):
+    from peakmatch_xcorr_spark.operators.stats import changepoint_mean_shift
+
+    df, _ = _dense_frame(spark, {"s": [1, 2, 3, 4, 5]})
+    assert changepoint_mean_shift(df, ["key"], min_seg=3).count() == 0
