@@ -5239,6 +5239,108 @@ FROM pick WHERE rk = 1
 """
 
 
+def _q_binseg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-2 recursive binary segmentation of each event_type's
+    hourly activity (operators/stats.py binary_segmentation): level 0
+    is the changepoint_hourly split gated at rounded score >= 3.0;
+    level 1 re-runs the same statistic INSIDE each accepted child.
+    The oracle replays both levels literally — the level-1 partition
+    key (event_type, child side) is derivable in SQL because the
+    operator's seg ids after one level are exactly {0,1} on split keys
+    and {0} on unsplit ones."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.seasonal import dense_bucket_counts
+    from peakmatch_xcorr_spark.operators.stats import binary_segmentation
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    splits, _segmented = binary_segmentation(
+        dense, ["event_type"], depth=2, min_seg=24, min_score=3.0
+    )
+    return splits.select(
+        "event_type", "seg", "level", "change_b",
+        "left_len", "right_len", "left_mean", "right_mean", "score",
+    )
+
+
+_SQL_BINSEG_HOURLY = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS v
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+), d0 AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM sp
+), d AS (
+  SELECT d0.event_type, d0.b, COALESCE(c.v, 0) AS v
+  FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
+), w1 AS (
+  SELECT event_type, b, v,
+         row_number() OVER win AS t,
+         sum(v) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(v) OVER (PARTITION BY event_type) AS S,
+         count(*) OVER (PARTITION BY event_type) AS L
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY b)
+), cand1 AS (
+  SELECT event_type, b, t, L,
+         cum / t AS lm, (S - cum) / (L - t) AS rm,
+         abs(cum / t - (S - cum) / (L - t))
+           * sqrt(t * (L - t) / L) AS score
+  FROM w1 WHERE L >= 48 AND t >= 24 AND t <= L - 24
+), pick1 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY score DESC, t) AS rk
+  FROM cand1
+), acc1 AS (
+  SELECT event_type, b + 1 AS change_b, t AS left_len, L - t AS right_len,
+         round(lm + 1e-9, 6) AS left_mean,
+         round(rm + 1e-9, 6) AS right_mean,
+         round(score + 1e-9, 6) AS score
+  FROM pick1 WHERE rk = 1 AND round(score + 1e-9, 6) >= 3.0
+), d2 AS (
+  SELECT d.event_type, d.b, d.v,
+         CASE WHEN a.change_b IS NULL THEN 0
+              WHEN d.b >= a.change_b THEN 1 ELSE 0 END AS seg
+  FROM d LEFT JOIN acc1 a ON a.event_type = d.event_type
+), w2 AS (
+  SELECT event_type, seg, b, v,
+         row_number() OVER win AS t,
+         sum(v) OVER (win ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND CURRENT ROW) AS cum,
+         sum(v) OVER (PARTITION BY event_type, seg) AS S,
+         count(*) OVER (PARTITION BY event_type, seg) AS L
+  FROM d2
+  WINDOW win AS (PARTITION BY event_type, seg ORDER BY b)
+), cand2 AS (
+  SELECT event_type, seg, b, t, L,
+         cum / t AS lm, (S - cum) / (L - t) AS rm,
+         abs(cum / t - (S - cum) / (L - t))
+           * sqrt(t * (L - t) / L) AS score
+  FROM w2 WHERE L >= 48 AND t >= 24 AND t <= L - 24
+), pick2 AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, seg
+                               ORDER BY score DESC, t) AS rk
+  FROM cand2
+), acc2 AS (
+  SELECT event_type, seg, b + 1 AS change_b, t AS left_len,
+         L - t AS right_len,
+         round(lm + 1e-9, 6) AS left_mean,
+         round(rm + 1e-9, 6) AS right_mean,
+         round(score + 1e-9, 6) AS score
+  FROM pick2 WHERE rk = 1 AND round(score + 1e-9, 6) >= 3.0
+)
+SELECT event_type, CAST(0 AS BIGINT) AS seg, 0 AS level, change_b,
+       left_len, right_len, left_mean, right_mean, score
+FROM acc1
+UNION ALL
+SELECT event_type, CAST(seg AS BIGINT) AS seg, 1 AS level, change_b,
+       left_len, right_len, left_mean, right_mean, score
+FROM acc2
+"""
+
+
 def _q_metric_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stats_agg 2-D analogue (operators/stats.py pair_metric_corr):
     per day, the Pearson correlation between hourly click and view
@@ -6001,6 +6103,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "seasonal_profile_24": (_q_seasonal_profile_24, _SQL_SEASONAL_PROFILE_24),
     "seasonal_anomaly_hod": (_q_seasonal_anomaly_hod, _SQL_SEASONAL_ANOMALY_HOD),
     "changepoint_hourly": (_q_changepoint_hourly, _SQL_CHANGEPOINT_HOURLY),
+    "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "metric_corr_daily": (_q_metric_corr_daily, _SQL_METRIC_CORR),
     "trend_slope": (_q_trend_slope, _SQL_TREND_SLOPE),
     "value_histogram": (_q_value_histogram, _SQL_VALUE_HISTOGRAM),

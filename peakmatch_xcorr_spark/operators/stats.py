@@ -494,3 +494,76 @@ def changepoint_mean_shift(
             F.round(F.col("score") + F.lit(1e-9), 6).alias("score"),
         )
     )
+
+
+def binary_segmentation(
+    dense: DataFrame,
+    keys: list[str],
+    depth: int = 3,
+    min_seg: int = 8,
+    min_score: float = 3.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Multi-changepoint detection per key: recursive binary
+    segmentation to ``depth`` levels, each level re-running the
+    depth-1 ``changepoint_mean_shift`` WITHIN the segments the
+    previous level produced.
+
+    Returns ``(splits, segmented)``:
+
+    - ``splits``: one row per ACCEPTED split (score >= ``min_score``,
+      both child segments >= ``min_seg``) with the parent segment id,
+      the level it was found at, the boundary bucket and the score;
+    - ``segmented``: the input rows with a final ``seg`` id — binary
+      path encoding (left child ``2*seg``, right ``2*seg+1``, unsplit
+      segments shift as left-only ``2*seg``), so sibling order is
+      recoverable and level-k ids stay unique in ``[0, 2^k)``.
+
+    Everything stays distributed: each level is one
+    ``changepoint_mean_shift`` pass grouped by (keys, seg) plus one
+    broadcast join assigning rows to child segments — the split table
+    is at most 2^level rows per key, broadcastable at any corpus size,
+    while the dense rows are never collected or re-shuffled beyond the
+    keys partitioning they already have.  ``localCheckpoint`` truncates
+    the per-level lineage the same way the pointer-jumping components
+    loop does (operators/dedup.py) — without it the plan doubles per
+    level and analysis dominates.
+
+    The gate matters: unthresholded binary segmentation ALWAYS splits
+    (argmax of a nonnegative score), so ``min_score`` is what turns
+    "deepest possible tree" into "statistically interesting tree" —
+    on unit-variance noise the score is a two-sample z, so 3.0 is the
+    usual three-sigma convention.
+    """
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+    seg0 = dense.withColumn("seg", F.lit(0).cast("long"))
+    cur = seg0.localCheckpoint(eager=False)
+    all_splits = None
+    for level in range(depth):
+        cand = changepoint_mean_shift(cur, [*keys, "seg"], min_seg)
+        accepted = (
+            cand.filter(F.col("score") >= F.lit(float(min_score)))
+            .withColumn("level", F.lit(level))
+        )
+        splits = accepted.select(
+            *keys, "seg", "level", "change_b",
+            "left_len", "right_len", "left_mean", "right_mean", "score",
+        ).localCheckpoint(eager=False)
+        all_splits = splits if all_splits is None else all_splits.unionByName(splits)
+        joined = cur.join(
+            F.broadcast(splits.select(*keys, "seg", "change_b")),
+            [*keys, "seg"],
+            "left",
+        )
+        # EVERY segment shifts left one bit per level (unsplit ones as
+        # a left-only child) — if unsplit segments kept their old id, a
+        # surviving seg=1 would collide with a split seg=0's right
+        # child; uniform shifting keeps level-k ids unique in [0, 2^k)
+        cur = joined.withColumn(
+            "seg",
+            2 * F.col("seg")
+            + F.when(F.col("change_b").isNull(), F.lit(0))
+            .otherwise((F.col("b") >= F.col("change_b")).cast("int"))
+            .cast("long"),
+        ).drop("change_b").localCheckpoint(eager=False)
+    return all_splits, cur

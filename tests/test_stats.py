@@ -432,3 +432,65 @@ def test_changepoint_short_series_emits_nothing(spark):
 
     df, _ = _dense_frame(spark, {"s": [1, 2, 3, 4, 5]})
     assert changepoint_mean_shift(df, ["key"], min_seg=3).count() == 0
+
+
+def test_binary_segmentation_recovers_two_planted_shifts(spark, rng):
+    from peakmatch_xcorr_spark.operators.stats import binary_segmentation
+
+    base = rng.poisson(5, 90).astype(float)
+    base[30:] += 15
+    base[60:] += 15
+    df, _ = _dense_frame(spark, {"a": base.astype(int).tolist()})
+    splits, segmented = binary_segmentation(
+        df, ["key"], depth=2, min_seg=8, min_score=5.0
+    )
+    sp = splits.toPandas().sort_values(["level", "change_b"])
+    # depth-1 finds one of the two shifts; depth-2 finds the other
+    bounds = sorted(sp["change_b"].tolist())
+    assert bounds == [1030, 1060]
+    seg = segmented.toPandas()
+    # three final segments covering 30/30/30 buckets
+    sizes = seg.groupby("seg")["b"].agg(["min", "max", "count"])
+    assert sorted(sizes["count"].tolist()) == [30, 30, 30]
+    # segment ids are unique and consistent with bucket ranges
+    assert sizes["min"].tolist() == sorted(sizes["min"].tolist())
+
+
+def test_binary_segmentation_gate_blocks_noise_splits(spark, rng):
+    from peakmatch_xcorr_spark.operators.stats import binary_segmentation
+
+    flat = rng.poisson(5, 80).tolist()
+    df, _ = _dense_frame(spark, {"flat": flat})
+    splits, segmented = binary_segmentation(
+        df, ["key"], depth=3, min_seg=8, min_score=6.0
+    )
+    assert splits.count() == 0
+    seg = segmented.toPandas()
+    assert (seg["seg"] == 0).all()  # 3 left-only shifts: 0 -> 0
+
+
+def test_binary_segmentation_ids_unique_across_mixed_splits(spark, rng):
+    """Two keys where one splits and the other doesn't: the unsplit
+    key's rows must not share a seg id with either child of the split
+    key at the same level (the left-shift collision this test pins)."""
+    from peakmatch_xcorr_spark.operators.stats import binary_segmentation
+
+    shifted = np.concatenate(
+        [rng.poisson(4, 30), rng.poisson(4, 30) + 20]
+    ).astype(int)
+    df, _ = _dense_frame(
+        spark, {"hot": shifted.tolist(), "cold": [4] * 60}
+    )
+    _, segmented = binary_segmentation(
+        df, ["key"], depth=1, min_seg=8, min_score=5.0
+    )
+    seg = segmented.toPandas()
+    hot = set(seg[seg.key == "hot"]["seg"])
+    cold = set(seg[seg.key == "cold"]["seg"])
+    assert hot == {0, 1}
+    assert cold == {0}
+    # per-key segments partition that key's buckets contiguously
+    for k, g in seg.groupby("key"):
+        for s, gg in g.groupby("seg"):
+            bs = sorted(gg["b"])
+            assert bs == list(range(bs[0], bs[0] + len(bs)))
