@@ -5239,6 +5239,65 @@ FROM pick WHERE rk = 1
 """
 
 
+def _q_period_detect_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked oracle for FFT period detection
+    (operators/seasonal.py detect_period) via planted integer-cycle
+    tones: dense count series v(b) = 10 + round(5*cos(2*pi*b/p)) over
+    L = 240 buckets with p in {8, 12, 24, 30, 40} — every p divides L,
+    so the tone lands on exactly one UNPADDED rFFT bin (k = L/p, zero
+    leakage) with |X_k| ~ 5L/2, while the rounding harmonics carry
+    amplitude < 0.5; the argmax is therefore analytic and DuckDB needs
+    no FFT.  Same promotion trick as dominant_freq_planted
+    (__spark_entry__.py) — strength is excluded (its value IS
+    FFT-shaped), the discrete answers are checked."""
+    _utc(spark)
+    import math
+
+    from peakmatch_xcorr_spark.operators.seasonal import detect_period
+
+    periods = F.array(*[F.lit(p) for p in (8, 12, 24, 30, 40)])
+    two_pi = 2.0 * math.pi
+    dense = (
+        spark.range(20)
+        .select(
+            F.col("id").cast("string").alias("conv_id"),
+            F.element_at(periods, (F.col("id") % 5 + 1).cast("int")).alias("p"),
+            F.explode(F.sequence(F.lit(0), F.lit(239))).alias("b"),
+        )
+        .select(
+            "conv_id",
+            F.col("b").cast("long").alias("b"),
+            (
+                F.lit(10)
+                + F.round(
+                    F.lit(5.0) * F.cos(F.lit(two_pi) * F.col("b") / F.col("p")),
+                    0,
+                )
+            ).cast("long").alias("v"),
+        )
+    )
+    out = detect_period(dense, ["conv_id"], min_period=2, max_period=120)
+    return out.select(
+        F.col("conv_id").cast("int").alias("id"),
+        "L", "dominant_cycles", "period_buckets",
+        F.round(F.col("period") + 1e-9, 6).alias("period"),
+    )
+
+
+_SQL_PERIOD_DETECT_PLANTED = """
+WITH ids AS (
+  SELECT range AS id,
+         ([8, 12, 24, 30, 40])[(range % 5) + 1] AS p
+  FROM range(0, 20)
+)
+SELECT id::INT AS id, CAST(240 AS BIGINT) AS L,
+       CAST(240 // p AS BIGINT) AS dominant_cycles,
+       CAST(p AS INT) AS period_buckets,
+       round(CAST(p AS DOUBLE) + 1e-9, 6) AS period
+FROM ids
+"""
+
+
 def _q_binseg_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-2 recursive binary segmentation of each event_type's
     hourly activity (operators/stats.py binary_segmentation): level 0
@@ -6104,6 +6163,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "seasonal_anomaly_hod": (_q_seasonal_anomaly_hod, _SQL_SEASONAL_ANOMALY_HOD),
     "changepoint_hourly": (_q_changepoint_hourly, _SQL_CHANGEPOINT_HOURLY),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
+    "period_detect_planted": (
+        _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,
+    ),
     "metric_corr_daily": (_q_metric_corr_daily, _SQL_METRIC_CORR),
     "trend_slope": (_q_trend_slope, _SQL_TREND_SLOPE),
     "value_histogram": (_q_value_histogram, _SQL_VALUE_HISTOGRAM),

@@ -209,3 +209,65 @@ def test_anomaly_spike_would_hide_without_loo(spark, rng):
     ).toPandas()
     spike = got[(got.phase == 3) & (got.v == vals[i])]
     assert len(spike) == 1  # flagged by LOO where inclusive-z would miss
+
+
+def test_detect_period_recovers_planted_cycle(spark):
+    from peakmatch_xcorr_spark.operators.seasonal import detect_period
+
+    rows = []
+    for key, p in (("a", 24), ("b", 12), ("c", 8)):
+        for b in range(240):
+            v = int(round(10 + 5 * np.cos(2 * np.pi * b / p)))
+            rows.append((key, 1000 + b, v))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "b", "v"])
+    )
+    got = detect_period(df, ["conv_id"]).toPandas().set_index("conv_id")
+    for key, p in (("a", 24), ("b", 12), ("c", 8)):
+        r = got.loc[key]
+        assert r["period_buckets"] == p
+        assert r["dominant_cycles"] == 240 // p
+        assert r["period"] == 240 / (240 // p)
+        assert r["strength"] > 0.9  # near-pure tone dominates energy
+
+
+def test_detect_period_matches_numpy_bruteforce(spark, rng):
+    from peakmatch_xcorr_spark.operators.seasonal import detect_period
+
+    series = {f"k{i}": rng.poisson(6, 150) for i in range(4)}
+    rows = [
+        (k, 1000 + b, int(v))
+        for k, vs in series.items()
+        for b, v in enumerate(vs)
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "b", "v"])
+    )
+    min_p, max_p = 4, 50
+    got = detect_period(df, ["conv_id"], min_p, max_p).toPandas()
+    for k, vs in series.items():
+        v = vs.astype(float)
+        L = len(v)
+        k_lo, k_hi = max(2, int(np.ceil(L / max_p))), L // min_p
+        mag2 = np.abs(np.fft.rfft(v - v.mean())) ** 2
+        kk = k_lo + int(np.argmax(mag2[k_lo:k_hi + 1]))
+        r = got[got.conv_id == k].iloc[0]
+        assert r["dominant_cycles"] == kk
+        assert r["period"] == L / kk
+        expect_strength = mag2[kk] / mag2[k_lo:k_hi + 1].sum()
+        np.testing.assert_allclose(r["strength"], expect_strength)
+
+
+def test_detect_period_bounds_and_short_series(spark):
+    from peakmatch_xcorr_spark.operators.seasonal import detect_period
+
+    rows = [("a", b, 5) for b in range(10)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "b", "v"])
+    )
+    # min_period 6 -> k_hi = 10//6 = 1 < k_lo = 2: empty
+    assert detect_period(df, ["conv_id"], min_period=6).count() == 0
+    with pytest.raises(ValueError):
+        detect_period(df, ["conv_id"], min_period=1)
+    with pytest.raises(ValueError):
+        detect_period(df, ["conv_id"], min_period=4, max_period=3)
