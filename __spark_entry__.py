@@ -5182,6 +5182,61 @@ WHERE n >= 8 AND var_loo > 1e-12
 """
 
 
+def _q_seasonal_robust_hod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD (modified-z) hour-of-day anomalies in each
+    event_type's hourly counts (operators/seasonal.py
+    seasonal_robust_anomaly) — the breakdown-resistant sibling of
+    seasonal_anomaly_hod.  Medians of int64 counts interpolate to
+    exact halves identically in Spark percentile() and DuckDB
+    median(), so the only inexact op is the final division; |rz| is
+    compared unrounded on both engines."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.seasonal import (
+        dense_bucket_counts, seasonal_robust_anomaly,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    return seasonal_robust_anomaly(
+        dense, ["event_type"], period=24, z_thresh=2.5, min_periods=8
+    )
+
+
+_SQL_SEASONAL_ROBUST_HOD = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS v
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+), d0 AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM sp
+), d AS (
+  SELECT d0.event_type, d0.b, COALESCE(c.v, 0) AS v
+  FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
+), p AS (
+  SELECT event_type, b, b % 24 AS phase, v FROM d
+), g AS (
+  SELECT event_type, phase, median(v) AS med, count(*) AS n
+  FROM p GROUP BY 1, 2
+), j1 AS (
+  SELECT p.*, g.med, g.n FROM p
+  JOIN g ON g.event_type = p.event_type AND g.phase = p.phase
+), m AS (
+  SELECT event_type, phase, median(abs(v - med)) AS mad
+  FROM j1 GROUP BY 1, 2
+), j2 AS (
+  SELECT j1.*, m.mad FROM j1
+  JOIN m ON m.event_type = j1.event_type AND m.phase = j1.phase
+)
+SELECT event_type, b, phase, v,
+       round(med + 1e-9, 6) AS baseline_median,
+       round((v - med) / (1.4826022185056018 * mad) + 1e-9, 6) AS rz
+FROM j2
+WHERE n >= 8 AND mad > 1e-12
+  AND abs((v - med) / (1.4826022185056018 * mad)) > 2.5
+"""
+
+
 def _q_changepoint_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single strongest mean-shift point in each event_type's hourly
     activity (operators/stats.py changepoint_mean_shift: depth-1
@@ -6161,6 +6216,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "anomaly_zscore_1m": (_q_anomaly_zscore, _SQL_ANOMALY_ZSCORE),
     "seasonal_profile_24": (_q_seasonal_profile_24, _SQL_SEASONAL_PROFILE_24),
     "seasonal_anomaly_hod": (_q_seasonal_anomaly_hod, _SQL_SEASONAL_ANOMALY_HOD),
+    "seasonal_robust_hod": (_q_seasonal_robust_hod, _SQL_SEASONAL_ROBUST_HOD),
     "changepoint_hourly": (_q_changepoint_hourly, _SQL_CHANGEPOINT_HOURLY),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (

@@ -315,3 +315,76 @@ def detect_period(
         })
 
     return dense.groupBy(*keys).applyInPandas(run, schema=schema)
+
+
+# consistency constant: 1/Phi^-1(3/4) — MAD of a normal equals
+# 0.6745*sigma, so this rescales MAD to a sigma estimate.  Literal so
+# the DuckDB oracle uses the identical double.
+MAD_SIGMA = 1.4826022185056018
+
+
+def seasonal_robust_anomaly(
+    dense: DataFrame,
+    keys: list[str],
+    period: int = 24,
+    z_thresh: float = 3.5,
+    min_periods: int = 8,
+) -> DataFrame:
+    """Robust (median/MAD) phase-baseline anomaly detection: each
+    bucket is compared to the buckets sharing its phase via
+
+        rz = (v - median) / (MAD_SIGMA * median(|v - median|))
+
+    flagged at ``|rz| > z_thresh`` (3.5 is the Iglewicz-Hoaglin
+    modified-z convention).
+
+    This is the breakdown-resistant sibling of
+    ``seasonal_baseline_anomaly``: the LOO z defends against ONE spike
+    inflating its own baseline, but k co-phase spikes still inflate a
+    mean/stddev baseline for each other, while the median/MAD pair
+    tolerates up to half the window being contaminated — the test
+    suite pins a 3-repeated-incident case that the z-baseline misses
+    and this flags.  No leave-one-out is needed (robustness IS the
+    defense), which also keeps the arithmetic two plain medians.
+
+    Exactness: medians of int64 counts interpolate to exact halves
+    identically in Spark (``percentile``, exact) and DuckDB
+    (``median``); |v - med| values are then exact .0/.5 doubles whose
+    median is again exact — so the only inexact float op is the final
+    division, mirrored literally.  Zero-MAD baselines (more than half
+    the phase's buckets identical) are excluded rather than flagged at
+    infinity.
+
+    Plan: two hash aggregates over (keys, phase) — medians need a full
+    sort-based agg buffer, unlike the power-sum baseline — each joined
+    back broadcast (period rows per key); the dense tier is never
+    re-shuffled.
+    """
+    if min_periods < 3:
+        raise ValueError("min_periods must be >= 3")
+    phased = dense.withColumn("phase", F.pmod(F.col("b"), F.lit(period)))
+    med = phased.groupBy(*keys, "phase").agg(
+        F.percentile("v", F.lit(0.5)).alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    j1 = phased.join(F.broadcast(med), [*keys, "phase"])
+    mad = (
+        j1.withColumn("adev", F.abs(F.col("v") - F.col("med")))
+        .groupBy(*keys, "phase")
+        .agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    )
+    j2 = j1.join(F.broadcast(mad), [*keys, "phase"])
+    rz = (F.col("v") - F.col("med")) / (F.lit(MAD_SIGMA) * F.col("mad"))
+    return (
+        j2.filter((F.col("n") >= F.lit(min_periods)) & (F.col("mad") > 1e-12))
+        .withColumn("rz", rz)
+        .filter(F.abs(F.col("rz")) > F.lit(z_thresh))
+        .select(
+            *keys,
+            "b",
+            "phase",
+            "v",
+            F.round(F.col("med") + F.lit(1e-9), 6).alias("baseline_median"),
+            F.round(F.col("rz") + F.lit(1e-9), 6).alias("rz"),
+        )
+    )

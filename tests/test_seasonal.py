@@ -271,3 +271,92 @@ def test_detect_period_bounds_and_short_series(spark):
         detect_period(df, ["conv_id"], min_period=1)
     with pytest.raises(ValueError):
         detect_period(df, ["conv_id"], min_period=4, max_period=3)
+
+
+def test_robust_anomaly_matches_pandas(spark, rng):
+    from peakmatch_xcorr_spark.operators.seasonal import (
+        MAD_SIGMA, seasonal_robust_anomaly,
+    )
+
+    pat = [2 * np.sin(2 * np.pi * h / 24) for h in range(24)]
+    ev = _hourly_events(rng, n_keys=1, hours=24 * 15, pattern=pat)
+    dense = dense_bucket_counts(
+        spark.createDataFrame(ev), ["conv_id"], "ts", "1 hour"
+    )
+    thresh = 1.2
+    got = (
+        seasonal_robust_anomaly(dense, ["conv_id"], 24, thresh)
+        .toPandas().sort_values("b").reset_index(drop=True)
+    )
+    pdf = dense.toPandas().sort_values("b").reset_index(drop=True)
+    exp = []
+    for j in range(24):
+        sub = pdf[pdf["b"] % 24 == j]
+        vv = sub["v"].to_numpy(dtype=np.float64)
+        med = np.median(vv)
+        mad = np.median(np.abs(vv - med))
+        if mad <= 1e-12:
+            continue
+        for b, x in zip(sub["b"], vv):
+            rz = (x - med) / (MAD_SIGMA * mad)
+            if abs(rz) > thresh:
+                exp.append((b, round(rz + 1e-9, 6)))
+    exp.sort()
+    assert [(r.b, r.rz) for r in got.itertuples()] == exp
+
+
+def test_robust_anomaly_survives_repeated_incidents(spark, rng):
+    """Three co-phase spikes: each inflates the OTHERS' mean/std
+    baseline enough that the LOO z misses them, while the median/MAD
+    baseline (breakdown 50%) still flags all three."""
+    from peakmatch_xcorr_spark.operators.seasonal import (
+        MAD_SIGMA, seasonal_baseline_anomaly, seasonal_robust_anomaly,
+    )
+
+    weeks = 12
+    spikes = [("k0", 24 * w + 3, 30) for w in (2, 5, 9)]
+    ev = _hourly_events(rng, n_keys=1, hours=24 * weeks,
+                        pattern=[0.0] * 24, spikes=spikes)
+    dense = dense_bucket_counts(
+        spark.createDataFrame(ev), ["conv_id"], "ts", "1 hour"
+    )
+    pdf = dense.toPandas()
+    vals = pdf[pdf["b"] % 24 == 3].sort_values("b")["v"].to_numpy(float)
+    # pick a threshold between the contaminated-LOO z of the weakest
+    # spike and its robust z, so the contrast is pinned on this data
+    zs, rzs = [], []
+    med = np.median(vals)
+    mad = np.median(np.abs(vals - med))
+    for i in np.argsort(vals)[-3:]:
+        rest = np.delete(vals, i)
+        zs.append((vals[i] - rest.mean()) / rest.std(ddof=1))
+        rzs.append((vals[i] - med) / (MAD_SIGMA * mad))
+    thresh = (max(zs) + min(rzs)) / 2
+    assert max(zs) < thresh < min(rzs)
+    loo = seasonal_baseline_anomaly(
+        dense, ["conv_id"], 24, z_thresh=thresh
+    ).toPandas()
+    robust = seasonal_robust_anomaly(
+        dense, ["conv_id"], 24, z_thresh=thresh
+    ).toPandas()
+    assert len(loo[loo.phase == 3]) == 0        # all three hidden
+    assert len(robust[robust.phase == 3]) == 3  # all three flagged
+
+
+def test_robust_anomaly_zero_mad_excluded(spark):
+    from peakmatch_xcorr_spark.operators.seasonal import (
+        seasonal_robust_anomaly,
+    )
+
+    ev = pd.DataFrame({
+        "conv_id": ["a"] * (24 * 10 * 5),
+        "ts": [
+            T0 + dt.timedelta(hours=h)
+            for h in range(24 * 10) for _ in range(5)
+        ],
+    })
+    dense = dense_bucket_counts(
+        spark.createDataFrame(ev), ["conv_id"], "ts", "1 hour"
+    )
+    # constant 5/hour: MAD is 0 everywhere -> nothing flagged
+    assert seasonal_robust_anomaly(dense, ["conv_id"], 24, 1.0).count() == 0
