@@ -307,6 +307,98 @@ def stateful_holt_winters(
     )
 
 
+def stateful_phase_anomaly(
+    stream: DataFrame,
+    period: int = 24,
+    z_thresh: float = 3.0,
+    min_periods: int = 8,
+    bucket_col: str = "b",
+    value_col: str = "v",
+) -> DataFrame:
+    """Streaming (prequential) phase-baseline anomaly detection: the
+    state store carries per-(conversation, phase) power sums
+    (n, Σv, Σv²) and each arriving bucket row is TESTED against the
+    baseline accumulated so far, then folded into it — the
+    test-then-update discipline, so a spike never contributes to the
+    baseline that judges it (the streaming analogue of the batch
+    operator's leave-one-out; operators/seasonal.py
+    seasonal_baseline_anomaly).
+
+    Unlike the batch operator, the baseline here is the PREFIX of the
+    stream per phase — early buckets are judged against fewer
+    references (null z below ``min_periods``), which is the honest
+    semantics for data that arrives forever and cannot be re-scanned.
+
+    Emits every input row with ``z`` (null until the phase baseline
+    has ``min_periods`` points or when its variance is ~0) and
+    ``is_anomaly``.  State is 3*period integers per conversation —
+    O(period), never O(history).  In-order arrival per key is assumed
+    (same contract as stateful_ewma)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if period < 1:
+        raise ValueError("period must be >= 1")
+    if min_periods < 3:
+        raise ValueError("min_periods must be >= 3")
+    out_schema = (
+        f"conv_id string, {bucket_col} long, {value_col} long, "
+        "z double, is_anomaly boolean"
+    )
+    state_schema = "n array<long>, s1 array<long>, s2 array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        if state.exists:
+            n, s1, s2 = (list(x) for x in state.get)
+        else:
+            n, s1, s2 = [0] * period, [0] * period, [0] * period
+        touched = False
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            touched = True
+            pdf = pdf.sort_values(bucket_col, kind="mergesort")
+            bs = pdf[bucket_col].to_numpy()
+            vs = pdf[value_col].to_numpy()
+            zs = np.full(len(pdf), np.nan)
+            for i, (b, v) in enumerate(zip(bs, vs)):
+                ph = int(b) % period
+                v = int(v)
+                if n[ph] >= min_periods:
+                    mean = s1[ph] / n[ph]
+                    var = (n[ph] * s2[ph] - s1[ph] * s1[ph]) / (
+                        n[ph] * (n[ph] - 1)
+                    )
+                    if var > 1e-12:
+                        zs[i] = (v - mean) / math.sqrt(var)
+                n[ph] += 1
+                s1[ph] += v
+                s2[ph] += v * v
+            zcol = pd.Series(zs)
+            yield pd.DataFrame({
+                "conv_id": key[0],
+                bucket_col: bs,
+                value_col: vs,
+                "z": zcol,
+                "is_anomaly": zcol.abs() > z_thresh,
+            })
+        if touched:
+            state.update((
+                [int(x) for x in n],
+                [int(x) for x in s1],
+                [int(x) for x in s2],
+            ))
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_interval_join(
     left: DataFrame,
     right: DataFrame,

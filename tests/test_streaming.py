@@ -280,3 +280,71 @@ def test_stateful_holt_winters_matches_batch_recursion(spark, stream_dir):
         np.testing.assert_allclose(
             sub["seasonal"].to_numpy(), np.array(S), rtol=1e-12, atol=1e-15,
         )
+
+
+def test_stateful_phase_anomaly_prequential_parity(spark, tmp_path, rng):
+    """Test-then-update across micro-batches: z values equal a scalar
+    prequential replay of the same rows, state carries per-phase power
+    sums between batches, and the planted spike is flagged while its
+    own baseline is untouched by it."""
+    from peakmatch_xcorr_spark.streaming.activity import (
+        stateful_phase_anomaly,
+    )
+
+    period, minp, thresh = 6, 4, 3.0
+    rows = []
+    for key in ("c0", "c1"):
+        for b in range(60):
+            v = int(rng.poisson(5)) + 1
+            if key == "c1" and b == 45:
+                v += 40  # planted spike, late enough to have a baseline
+            rows.append((key, b, v))
+    pdf = pd.DataFrame(rows, columns=["conv_id", "b", "v"])
+    d = tmp_path / "phase_stream"
+    d.mkdir()
+    n = len(pdf)
+    for i in range(3):
+        pdf.iloc[i * n // 3 : (i + 1) * n // 3].to_parquet(
+            d / f"part{i}.parquet", index=False
+        )
+    stream = (
+        spark.readStream.format("parquet")
+        .schema("conv_id string, b long, v long")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(d))
+    )
+    out = stateful_phase_anomaly(stream, period, thresh, minp)
+    run_stream_to_memory(out, "s_phase", mode="update")
+    got = (
+        spark.sql("SELECT * FROM s_phase")
+        .toPandas().sort_values(["conv_id", "b"]).reset_index(drop=True)
+    )
+    assert len(got) == len(pdf)
+    import math
+    for key, grp in pdf.groupby("conv_id"):
+        grp = grp.sort_values("b")
+        n_, s1, s2 = [0] * period, [0] * period, [0] * period
+        exp_z = []
+        for b, v in zip(grp["b"], grp["v"]):
+            ph = b % period
+            z = None
+            if n_[ph] >= minp:
+                mean = s1[ph] / n_[ph]
+                var = (n_[ph] * s2[ph] - s1[ph] ** 2) / (n_[ph] * (n_[ph] - 1))
+                if var > 1e-12:
+                    z = (v - mean) / math.sqrt(var)
+            exp_z.append(z)
+            n_[ph] += 1
+            s1[ph] += v
+            s2[ph] += v * v
+        sub = got[got.conv_id == key]
+        for zg, ze in zip(sub["z"], exp_z):
+            if ze is None:
+                assert pd.isna(zg)
+            else:
+                assert zg == ze
+    spike = got[(got.conv_id == "c1") & (got.b == 45)]
+    assert bool(spike.iloc[0]["is_anomaly"])
+    # the spike judged itself against a baseline it was not part of:
+    # later same-phase rows see an inflated baseline, earlier ones none
+    assert spike.iloc[0]["z"] > 10
