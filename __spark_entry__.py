@@ -5455,6 +5455,71 @@ FROM acc2
 """
 
 
+def _q_matrix_profile_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Motif + discord summary of each event_type's hourly activity
+    tier (operators/motif.py matrix_profile_tier, m=24: which DAY-LONG
+    window repeats most exactly, which is most anomalous).  Rows-only:
+    the matrix profile is an O(L^2) dynamic nearest-neighbor scan no
+    SQL engine expresses; the kernel is pinned by the brute-force
+    pytest oracle (tests/test_motif.py) and by the hash-checked
+    ``motif_planted`` companion below."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.motif import matrix_profile_tier
+    from peakmatch_xcorr_spark.operators.seasonal import dense_bucket_counts
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    out = matrix_profile_tier(dense, ["event_type"], m=24)
+    return out.select(
+        "event_type", "L", "n_windows", "motif_a", "motif_b",
+        F.round(F.col("motif_dist") + 1e-9, 6).alias("motif_dist"),
+        "discord_b", "discord_nn",
+        F.round(F.col("discord_dist") + 1e-9, 6).alias("discord_dist"),
+    )
+
+
+def _q_motif_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked oracle for the matrix profile (operators/motif.py)
+    via planted exact repeats: per conversation a deterministic
+    pseudo-random tier (PCG64, fixed seed — NOT data-derived, so the
+    oracle can know the answer without running the kernel) gets window
+    [B, B+m) overwritten with an exact copy of [A, A+m).  The copy
+    pair's z-normalized distance is ~0 (cumsum noise), while the
+    minimum distance between any two iid-noise windows of length 16 is
+    O(sqrt(2m)) — orders of magnitude larger — so the motif indices
+    are analytic literals; the distance itself (float-noise shaped) is
+    excluded from the checked columns, same discipline as
+    ``period_detect_planted`` excluding ``strength``."""
+    _utc(spark)
+    import numpy as np
+
+    m, L = 16, 240
+    rows = []
+    for cid in range(8):
+        rng = np.random.default_rng(9000 + cid)
+        v = np.round(rng.normal(0, 100, L)).astype(np.int64)
+        a, b = 20 + 3 * cid, 150 + 5 * cid
+        v[b : b + m] = v[a : a + m]
+        rows += [(str(cid), i, int(x)) for i, x in enumerate(v)]
+    dense = spark.createDataFrame(rows, "conv_id string, b long, v long")
+    from peakmatch_xcorr_spark.operators.motif import matrix_profile_tier
+
+    out = matrix_profile_tier(dense, ["conv_id"], m=m)
+    return out.select(
+        F.col("conv_id").cast("int").alias("id"),
+        "L", "n_windows", "motif_a", "motif_b",
+    )
+
+
+_SQL_MOTIF_PLANTED = """
+SELECT range::INT AS id, CAST(240 AS BIGINT) AS L,
+       CAST(225 AS BIGINT) AS n_windows,
+       CAST(20 + 3 * range AS BIGINT) AS motif_a,
+       CAST(150 + 5 * range AS BIGINT) AS motif_b
+FROM range(0, 8)
+"""
+
+
 def _q_metric_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stats_agg 2-D analogue (operators/stats.py pair_metric_corr):
     per day, the Pearson correlation between hourly click and view
@@ -6218,6 +6283,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "seasonal_anomaly_hod": (_q_seasonal_anomaly_hod, _SQL_SEASONAL_ANOMALY_HOD),
     "seasonal_robust_hod": (_q_seasonal_robust_hod, _SQL_SEASONAL_ROBUST_HOD),
     "changepoint_hourly": (_q_changepoint_hourly, _SQL_CHANGEPOINT_HOURLY),
+    "motif_planted": (_q_motif_planted, _SQL_MOTIF_PLANTED),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,
@@ -6244,6 +6310,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "simhash_fingerprints": (_q_simhash, None),
     "simhash_planted_recall": (_q_simhash_planted_recall, _SQL_SIMHASH_PLANTED),
     "dominant_freq": (_q_dominant_freq, None),
+    "matrix_profile_hourly": (_q_matrix_profile_hourly, None),
     "band_mean_spectrum": (_q_band_mean_spectrum, None),
     "ivf_topk": (_q_ivf_topk, None),
     "multimodal_image_features": (_q_multimodal_features, None),
