@@ -5520,6 +5520,64 @@ FROM range(0, 8)
 """
 
 
+def _q_dtw_warp_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked oracle for banded DTW (operators/dtw.py) via
+    planted TIME-STRETCHED copies — the invariance xcorr cannot
+    express.  Each base curve (deterministic PCG noise, adjacent
+    values forced distinct by a parity bit so equal-value runs can't
+    merge) is paired with its 2x stretch (np.repeat, truncated): the
+    two series are warping-equivalent, so their DTW distance is
+    EXACTLY 0.0 in float arithmetic (every matched cost is |x-x|).
+    Control pairs (different bases) are warping-distinct; the margin
+    (dtw > 0.5) is asserted as a precondition rather than assumed, so
+    the boolean emitted per pair is analytic."""
+    _utc(spark)
+    import numpy as np
+
+    half, n = 32, 64
+    curves = []
+    for cid in range(6):
+        rng = np.random.default_rng(7100 + cid)
+        a = np.round(rng.normal(0, 100, half)) * 2 + np.arange(half) % 2
+        base = np.concatenate([a, np.full(half, a[-1])])
+        stretch = np.repeat(a, 2)[:n]
+        curves.append((f"b{cid}", [float(x) for x in base]))
+        curves.append((f"s{cid}", [float(x) for x in stretch]))
+    cdf = spark.createDataFrame(curves, "conv_id string, series array<double>")
+    pair_rows = [(f"b{i}", f"s{i}") for i in range(6)] + [
+        (f"b{i}", f"b{(i + 1) % 6}") for i in range(6)
+    ]
+    pdf = spark.createDataFrame(pair_rows, "id_a string, id_b string")
+    from peakmatch_xcorr_spark.operators.dtw import dtw_pair_scores
+
+    out = dtw_pair_scores(pdf, cdf, band=n - 1).collect()
+    for r in out:
+        planted = r["id_a"][0] == "b" and r["id_b"][0] == "s"
+        if not planted and r["dtw"] <= 0.5:
+            raise ValueError(
+                f"dtw_warp_planted precondition violated: control pair "
+                f"({r['id_a']}, {r['id_b']}) has dtw {r['dtw']} <= 0.5"
+            )
+    import pandas as pd
+
+    res = pd.DataFrame({
+        "id_a": [r["id_a"] for r in out],
+        "id_b": [r["id_b"] for r in out],
+        "warp_equal": [r["dtw"] == 0.0 for r in out],
+    })
+    return spark.createDataFrame(res)
+
+
+_SQL_DTW_WARP_PLANTED = """
+SELECT 'b' || range AS id_a, 's' || range AS id_b, TRUE AS warp_equal
+FROM range(0, 6)
+UNION ALL
+SELECT 'b' || range AS id_a, 'b' || ((range + 1) % 6) AS id_b,
+       FALSE AS warp_equal
+FROM range(0, 6)
+"""
+
+
 def _q_metric_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stats_agg 2-D analogue (operators/stats.py pair_metric_corr):
     per day, the Pearson correlation between hourly click and view
@@ -6284,6 +6342,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "seasonal_robust_hod": (_q_seasonal_robust_hod, _SQL_SEASONAL_ROBUST_HOD),
     "changepoint_hourly": (_q_changepoint_hourly, _SQL_CHANGEPOINT_HOURLY),
     "motif_planted": (_q_motif_planted, _SQL_MOTIF_PLANTED),
+    "dtw_warp_planted": (_q_dtw_warp_planted, _SQL_DTW_WARP_PLANTED),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,
