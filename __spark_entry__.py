@@ -5520,6 +5520,81 @@ FROM range(0, 8)
 """
 
 
+def _q_pacf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation (lags 1-3) of each event_type's hourly
+    activity (operators/stats.py activity_pacf): the AR-order
+    diagnostic — how much does the value k hours ago explain the
+    current hour AFTER shorter lags are regressed out.  Spark runs the
+    general Durbin–Levinson kernel; the DuckDB oracle evaluates the
+    lag-3 Cramer closed form over EXACT integer power sums (dense
+    spine, common-mean biased ACF with cleared denominators — only
+    the final divisions are float).  The two formulations agree to
+    ~1e-12 (pinned by tests/test_pacf.py); the 6-dp oracle rounding
+    absorbs the difference."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.seasonal import dense_bucket_counts
+    from peakmatch_xcorr_spark.operators.stats import activity_pacf
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    return activity_pacf(dense, ["event_type"], max_lag=3)
+
+
+_SQL_PACF_HOURLY = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS v
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+), d0 AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM sp
+), d AS (
+  SELECT d0.event_type, d0.b, COALESCE(c.v, 0) AS v
+  FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
+), w AS (
+  SELECT event_type, v,
+         row_number() OVER win AS t,
+         lead(v, 1) OVER win AS v1,
+         lead(v, 2) OVER win AS v2,
+         lead(v, 3) OVER win AS v3,
+         count(*) OVER (PARTITION BY event_type) AS N,
+         sum(v) OVER (PARTITION BY event_type) AS S,
+         sum(v * v) OVER (PARTITION BY event_type) AS Sxx
+  FROM d
+  WINDOW win AS (PARTITION BY event_type ORDER BY b)
+), agg AS (
+  SELECT event_type, max(N) AS N, max(S) AS S, max(Sxx) AS Sxx,
+         sum(v * v1) AS sxy1, sum(v * v2) AS sxy2, sum(v * v3) AS sxy3,
+         sum(CASE WHEN t + 1 <= N THEN v ELSE 0 END) AS h1,
+         sum(CASE WHEN t + 2 <= N THEN v ELSE 0 END) AS h2,
+         sum(CASE WHEN t + 3 <= N THEN v ELSE 0 END) AS h3,
+         sum(CASE WHEN t > 1 THEN v ELSE 0 END) AS t1,
+         sum(CASE WHEN t > 2 THEN v ELSE 0 END) AS t2,
+         sum(CASE WHEN t > 3 THEN v ELSE 0 END) AS t3
+  FROM w GROUP BY event_type
+), r AS (
+  SELECT event_type, N,
+    CAST(N*N*sxy1 - N*S*(h1 + t1) + (N-1)*S*S AS DOUBLE)
+      / (N*N*Sxx - N*S*S) AS r1,
+    CAST(N*N*sxy2 - N*S*(h2 + t2) + (N-2)*S*S AS DOUBLE)
+      / (N*N*Sxx - N*S*S) AS r2,
+    CAST(N*N*sxy3 - N*S*(h3 + t3) + (N-3)*S*S AS DOUBLE)
+      / (N*N*Sxx - N*S*S) AS r3
+  FROM agg
+  WHERE N > 4 AND N*Sxx > S*S
+)
+SELECT event_type, N,
+       round(r1 + 1e-9, 6) AS r1,
+       round(r2 + 1e-9, 6) AS r2,
+       round(r3 + 1e-9, 6) AS r3,
+       round(r1 + 1e-9, 6) AS pacf1,
+       round((r2 - r1*r1) / (1 - r1*r1) + 1e-9, 6) AS pacf2,
+       round((r3 - 2*r1*r2 - r1*r1*r3 + r1*r2*r2 + r1*r1*r1)
+             / (1 - 2*r1*r1 + 2*r1*r1*r2 - r2*r2) + 1e-9, 6) AS pacf3
+FROM r
+"""
+
+
 def _q_dtw_warp_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked oracle for banded DTW (operators/dtw.py) via
     planted TIME-STRETCHED copies — the invariance xcorr cannot
@@ -6343,6 +6418,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "changepoint_hourly": (_q_changepoint_hourly, _SQL_CHANGEPOINT_HOURLY),
     "motif_planted": (_q_motif_planted, _SQL_MOTIF_PLANTED),
     "dtw_warp_planted": (_q_dtw_warp_planted, _SQL_DTW_WARP_PLANTED),
+    "pacf_hourly": (_q_pacf_hourly, _SQL_PACF_HOURLY),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

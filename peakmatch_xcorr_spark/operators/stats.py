@@ -567,3 +567,97 @@ def binary_segmentation(
             .cast("long"),
         ).drop("change_b").localCheckpoint(eager=False)
     return all_splits, cur
+
+
+def pacf_kernel(v, max_lag: int):
+    """Partial autocorrelation of a 1-D series for lags 1..max_lag via
+    the Durbin–Levinson recursion over the classical biased sample ACF
+    (common mean, gamma_0 denominator — the Box–Jenkins estimator,
+    REQUIRED for DL: per-window corr-style lags don't form a valid
+    Toeplitz system).  Returns a float array of length max_lag; lags
+    past a (near-)singular step (|1 - sum(phi * r)| <= 1e-12, e.g. a
+    perfectly periodic series) are NaN.
+
+    pacf_k answers "how much does x_{t-k} explain x_t AFTER the
+    shorter lags are regressed out" — the standard AR-order diagnostic
+    the plain ACF (operators/stats.py activity_acf) cannot give,
+    because AR(1) alone makes ALL acf lags non-zero (r_k = r_1^k)
+    while its pacf cuts off sharply after lag 1.
+    """
+    import numpy as np
+
+    v = np.asarray(v, dtype=np.float64)
+    n = len(v)
+    if max_lag < 1:
+        raise ValueError("max_lag must be >= 1")
+    if n <= max_lag + 1:
+        raise ValueError(f"series length {n} too short for max_lag {max_lag}")
+    x = v - v.mean()
+    g0 = float(x @ x)
+    if g0 <= 0.0:
+        raise ValueError("zero-variance series has no pacf")
+    r = np.array([float(x[: n - k] @ x[k:]) / g0 for k in range(1, max_lag + 1)])
+    out = np.full(max_lag, np.nan)
+    phi = np.zeros(max_lag)
+    out[0] = phi[0] = r[0]
+    for k in range(2, max_lag + 1):
+        den = 1.0 - float(phi[: k - 1] @ r[: k - 1])
+        if abs(den) <= 1e-12:
+            break
+        # sum_j phi_{k-1,j} * r_{k-j} for j=1..k-1: phi against reversed r
+        num = r[k - 1] - float(phi[: k - 1] @ r[: k - 1][::-1])
+        pk = num / den
+        out[k - 1] = pk
+        phi[: k - 1] = phi[: k - 1] - pk * phi[: k - 1][::-1]
+        phi[k - 1] = pk
+    return out, r
+
+
+def activity_pacf(
+    dense: DataFrame,
+    keys: list[str],
+    max_lag: int = 3,
+) -> DataFrame:
+    """Per-key PACF over a dense count tier (``dense_bucket_counts``
+    shape ``(*keys, b, v)``): one row per key carrying ``N`` plus
+    ``r1..r{max_lag}`` (classical biased ACF) and
+    ``pacf1..pacf{max_lag}`` (Durbin–Levinson), all rounded to 6 dp
+    with the oracle nudge.  Keys too short (N <= max_lag+1) or with
+    zero variance emit nothing.
+
+    One applyInPandas per key after the tier's groupBy exchange —
+    state is max_lag floats per key, broadcast-joinable to anything.
+    """
+    import numpy as np
+    import pandas as pd
+
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    lag_fields = ", ".join(
+        [f"r{j} double" for j in range(1, max_lag + 1)]
+        + [f"pacf{j} double" for j in range(1, max_lag + 1)]
+    )
+    schema = f"{key_fields}, N long, {lag_fields}"
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("b")
+        v = pdf["v"].to_numpy(dtype=np.float64)
+        n = len(v)
+        empty = pd.DataFrame(
+            {f: pd.Series(dtype=d) for f, d in (
+                *[(k, "object") for k in keys],
+                ("N", "int64"),
+                *[(f"r{j}", "float64") for j in range(1, max_lag + 1)],
+                *[(f"pacf{j}", "float64") for j in range(1, max_lag + 1)],
+            )}
+        )
+        if n <= max_lag + 1 or np.ptp(v) == 0:
+            return empty
+        pacf, r = pacf_kernel(v, max_lag)
+        row = {kc: [pdf[kc].iloc[0]] for kc in keys}
+        row["N"] = np.array([n], dtype=np.int64)
+        for j in range(1, max_lag + 1):
+            row[f"r{j}"] = [round(r[j - 1] + 1e-9, 6)]
+            row[f"pacf{j}"] = [round(pacf[j - 1] + 1e-9, 6)]
+        return pd.DataFrame(row)
+
+    return dense.groupBy(*keys).applyInPandas(run, schema=schema)
