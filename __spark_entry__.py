@@ -5595,6 +5595,77 @@ FROM r
 """
 
 
+def _q_cusum_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift detection on each event_type's hourly
+    tier (operators/stats.py cusum_drift, k=0.5σ slack, h=5σ decision
+    interval).  The Page recursion is evaluated via the reflection
+    identity s_t = c_t - min(0, min_{j<=t} c_j) — running sum +
+    running min over one ordered window — which is exactly what the
+    DuckDB oracle mirrors; the recursive max() form would not be
+    SQL-expressible.  Pinned against the literal recursion in
+    tests/test_cusum.py."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.seasonal import dense_bucket_counts
+    from peakmatch_xcorr_spark.operators.stats import cusum_drift
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    return cusum_drift(dense, ["event_type"], k_sigma=0.5, h_sigma=5.0)
+
+
+_SQL_CUSUM_HOURLY = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS v
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+), d0 AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM sp
+), d AS (
+  SELECT d0.event_type, d0.b, COALESCE(c.v, 0) AS v
+  FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
+), st AS (
+  SELECT event_type, b, v,
+         count(*) OVER w AS n,
+         sum(v) OVER w AS S,
+         sum(v * v) OVER w AS Sxx
+  FROM d WINDOW w AS (PARTITION BY event_type)
+), ms AS (
+  SELECT event_type, b, v, n,
+         CAST(S AS DOUBLE) / n AS mu,
+         sqrt(CAST(n * Sxx - S * S AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1))) AS sigma
+  FROM st WHERE n >= 3
+), y AS (
+  SELECT event_type, b, v, mu, sigma,
+         v - mu - 0.5 * sigma AS y_hi,
+         mu - v - 0.5 * sigma AS y_lo
+  FROM ms WHERE sigma > 1e-12
+), cs AS (
+  SELECT event_type, b, v, sigma,
+         sum(y_hi) OVER w AS c_hi,
+         sum(y_lo) OVER w AS c_lo
+  FROM y
+  WINDOW w AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), s AS (
+  SELECT event_type, b, v, sigma, c_hi, c_lo,
+         least(CAST(0 AS DOUBLE), min(c_hi) OVER w) AS m_hi,
+         least(CAST(0 AS DOUBLE), min(c_lo) OVER w) AS m_lo
+  FROM cs
+  WINDOW w AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, b, v, 'hi' AS side,
+       round((c_hi - m_hi) / sigma + 1e-9, 6) AS s
+FROM s WHERE (c_hi - m_hi) / sigma > 5.0
+UNION ALL
+SELECT event_type, b, v, 'lo' AS side,
+       round((c_lo - m_lo) / sigma + 1e-9, 6) AS s
+FROM s WHERE (c_lo - m_lo) / sigma > 5.0
+"""
+
+
 def _q_dtw_warp_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked oracle for banded DTW (operators/dtw.py) via
     planted TIME-STRETCHED copies — the invariance xcorr cannot
@@ -6419,6 +6490,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "motif_planted": (_q_motif_planted, _SQL_MOTIF_PLANTED),
     "dtw_warp_planted": (_q_dtw_warp_planted, _SQL_DTW_WARP_PLANTED),
     "pacf_hourly": (_q_pacf_hourly, _SQL_PACF_HOURLY),
+    "cusum_hourly": (_q_cusum_hourly, _SQL_CUSUM_HOURLY),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

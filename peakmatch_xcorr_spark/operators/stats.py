@@ -661,3 +661,84 @@ def activity_pacf(
         return pd.DataFrame(row)
 
     return dense.groupBy(*keys).applyInPandas(run, schema=schema)
+
+
+def cusum_drift(
+    dense: DataFrame,
+    keys: list[str],
+    k_sigma: float = 0.5,
+    h_sigma: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection over a dense count tier — the
+    sequential sibling of ``changepoint_mean_shift``: a changepoint
+    scan needs the whole window and finds the single best split, while
+    CUSUM accumulates evidence bucket-by-bucket and fires AT the bucket
+    where cumulative drift beyond the slack band first exceeds the
+    decision interval (Page 1954), catching slow drifts no single
+    bucket's z-score would flag.
+
+    Standard parametrization: slack ``k = k_sigma * sigma`` and
+    threshold ``h = h_sigma * sigma``, with mu/sigma the key's own
+    sample moments (from exact int64 power sums; the only float ops
+    are the closed-form mean/std and the running sums below).
+
+        s+_t = max(0, s+_{t-1} + (v_t - mu - k))
+        s-_t = max(0, s-_{t-1} + (mu - v_t - k))
+
+    The recursion is evaluated WITHOUT a sequential loop via the
+    reflection identity  s_t = c_t - min(0, min_{j<=t} c_j)  where
+    ``c`` is the plain prefix sum of the increments — running sum +
+    running min are two frames of one ordered window, so the whole
+    detector is JVM-side whole-stage codegen (and literally
+    SQL-mirrorable, which a stateful recursion is not).
+
+    Returns only the flagged buckets: ``(*keys, b, v, side, s)`` with
+    ``side`` in {'hi','lo'} and ``s`` the statistic in sigma units.
+    A key emits one row per bucket WHILE the statistic stays above h
+    (CUSUM holds until reset; consumers usually take the first b per
+    (key, side) run).  Keys with zero variance or < 3 buckets emit
+    nothing.
+
+    Scale: |dense| rows through one window exchange per key ordering —
+    same shape as the rolling/window family; state is O(1) per row.
+    """
+    from pyspark.sql import Window
+
+    wk = Window.partitionBy(*keys)
+    wo = Window.partitionBy(*keys).orderBy("b")
+    stats = (
+        dense.withColumn("n", F.count(F.lit(1)).over(wk))
+        .withColumn("S", F.sum("v").over(wk))
+        .withColumn("Sxx", F.sum(F.col("v") * F.col("v")).over(wk))
+        .filter(F.col("n") >= 3)
+        .withColumn("mu", F.col("S").cast("double") / F.col("n"))
+        .withColumn(
+            "sigma",
+            F.sqrt(
+                (F.col("n") * F.col("Sxx") - F.col("S") * F.col("S")).cast(
+                    "double"
+                )
+                / (F.col("n").cast("double") * (F.col("n") - F.lit(1)))
+            ),
+        )
+        .filter(F.col("sigma") > F.lit(1e-12))
+    )
+    y_hi = F.col("v") - F.col("mu") - F.lit(k_sigma) * F.col("sigma")
+    y_lo = F.col("mu") - F.col("v") - F.lit(k_sigma) * F.col("sigma")
+    rows = (
+        stats.withColumn("c_hi", F.sum(y_hi).over(wo))
+        .withColumn("c_lo", F.sum(y_lo).over(wo))
+        .withColumn("m_hi", F.least(F.lit(0.0), F.min("c_hi").over(wo)))
+        .withColumn("m_lo", F.least(F.lit(0.0), F.min("c_lo").over(wo)))
+        .withColumn("s_hi", (F.col("c_hi") - F.col("m_hi")) / F.col("sigma"))
+        .withColumn("s_lo", (F.col("c_lo") - F.col("m_lo")) / F.col("sigma"))
+    )
+    hi = rows.filter(F.col("s_hi") > F.lit(h_sigma)).select(
+        *keys, "b", "v", F.lit("hi").alias("side"),
+        F.round(F.col("s_hi") + 1e-9, 6).alias("s"),
+    )
+    lo = rows.filter(F.col("s_lo") > F.lit(h_sigma)).select(
+        *keys, "b", "v", F.lit("lo").alias("side"),
+        F.round(F.col("s_lo") + 1e-9, 6).alias("s"),
+    )
+    return hi.unionByName(lo)
