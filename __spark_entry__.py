@@ -5666,6 +5666,52 @@ FROM s WHERE (c_lo - m_lo) / sigma > 5.0
 """
 
 
+def _q_theil_sen_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of each event_type's hourly tier
+    (operators/stats.py theil_sen_trend): median of all pairwise
+    slopes + median residual intercept — the outlier-proof line the
+    OLS `trend_slope` query can't give (one incident bucket tilts
+    OLS arbitrarily; pinned in tests/test_theilsen.py).  Medians of
+    double slopes interpolate identically in Spark percentile and
+    DuckDB median; 720-bucket tiers give 258k pair rows per key,
+    generated inside the co-partitioned join task."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.seasonal import dense_bucket_counts
+    from peakmatch_xcorr_spark.operators.stats import theil_sen_trend
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    return theil_sen_trend(dense, ["event_type"])
+
+
+_SQL_THEIL_SEN_HOURLY = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS v
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+), d0 AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM sp
+), d AS (
+  SELECT d0.event_type, d0.b, COALESCE(c.v, 0) AS v
+  FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
+), p AS (
+  SELECT a.event_type,
+         CAST(bb.v - a.v AS DOUBLE) / CAST(bb.b - a.b AS DOUBLE) AS m
+  FROM d a JOIN d bb ON a.event_type = bb.event_type AND a.b < bb.b
+), s AS (
+  SELECT event_type, median(m) AS slope, count(*) AS n_pairs
+  FROM p GROUP BY event_type
+)
+SELECT d.event_type, max(s.n_pairs) AS n_pairs,
+       round(max(s.slope) + 1e-9, 6) AS slope,
+       round(median(CAST(d.v AS DOUBLE) - s.slope * d.b) + 1e-9, 6)
+         AS intercept
+FROM d JOIN s ON s.event_type = d.event_type
+GROUP BY d.event_type
+"""
+
+
 def _q_dtw_warp_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-checked oracle for banded DTW (operators/dtw.py) via
     planted TIME-STRETCHED copies — the invariance xcorr cannot
@@ -6491,6 +6537,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "dtw_warp_planted": (_q_dtw_warp_planted, _SQL_DTW_WARP_PLANTED),
     "pacf_hourly": (_q_pacf_hourly, _SQL_PACF_HOURLY),
     "cusum_hourly": (_q_cusum_hourly, _SQL_CUSUM_HOURLY),
+    "theil_sen_hourly": (_q_theil_sen_hourly, _SQL_THEIL_SEN_HOURLY),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

@@ -742,3 +742,66 @@ def cusum_drift(
         F.round(F.col("s_lo") + 1e-9, 6).alias("s"),
     )
     return hi.unionByName(lo)
+
+
+def theil_sen_trend(
+    dense: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Theil–Sen robust trend per key over a dense count tier: slope =
+    median of all pairwise slopes (v_j − v_i)/(b_j − b_i) over bucket
+    pairs i < j, intercept = median of (v_i − slope·b_i) — the
+    breakdown-29% sibling of ``activity_trend``'s OLS line, which a
+    single incident spike can tilt arbitrarily (pinned by test).
+
+    Exactness: each pairwise slope is ONE double division of exact
+    int64 differences, and medians of doubles interpolate identically
+    in Spark (``percentile``, exact) and DuckDB (``median``) — the
+    same cross-engine equivalence ``seasonal_robust_anomaly`` relies
+    on.  Rounded at 6 dp with the oracle nudge.
+
+    Cost note (the honest Theil–Sen tradeoff): the pair set is
+    O(L²) per key — a year of hourly buckets is 38M pair rows flowing
+    into one median, bounded by tier length, NEVER by turn count.
+    The self-join is a single co-partitioned hash join on the keys;
+    per-key pair generation happens inside the join task, so no pair
+    row ever crosses the wire (plan: one exchange for the join, one
+    for the agg).  For tiers past ~10^4 buckets, downsample first
+    (operators/downsample.py) — the estimator is scale-stable.
+    """
+    a = dense.select(
+        *keys, F.col("b").alias("bi"), F.col("v").alias("vi")
+    )
+    bside = dense.select(
+        *keys, F.col("b").alias("bj"), F.col("v").alias("vj")
+    )
+    slopes = (
+        a.join(bside, keys)
+        .filter(F.col("bi") < F.col("bj"))
+        .select(
+            *keys,
+            (
+                (F.col("vj") - F.col("vi")).cast("double")
+                / (F.col("bj") - F.col("bi")).cast("double")
+            ).alias("m"),
+        )
+        .groupBy(*keys)
+        .agg(
+            F.percentile("m", F.lit(0.5)).alias("slope"),
+            (F.count(F.lit(1))).alias("n_pairs"),
+        )
+    )
+    resid = dense.join(slopes, keys).groupBy(*keys).agg(
+        F.first("n_pairs").alias("n_pairs"),
+        F.first("slope").alias("slope_raw"),
+        F.percentile(
+            F.col("v").cast("double") - F.col("slope") * F.col("b"),
+            F.lit(0.5),
+        ).alias("intercept_raw"),
+    )
+    return resid.select(
+        *keys,
+        "n_pairs",
+        F.round(F.col("slope_raw") + 1e-9, 6).alias("slope"),
+        F.round(F.col("intercept_raw") + 1e-9, 6).alias("intercept"),
+    )
