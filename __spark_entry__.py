@@ -6411,6 +6411,150 @@ FROM c4b CROSS JOIN (VALUES (1), (2)) AS h(h)
 """
 
 
+def _q_role_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order role-transition matrix over the event stream seen
+    as turns (operators/transcripts.py role_transitions): counts and
+    conditional probabilities of (role -> next role) under the stable
+    (ts, event_id) turn order -- the Markov summary of conversational
+    flow.  One conv-window exchange + one |alphabet|^2-row aggregate;
+    probabilities are exact-count divisions."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.transcripts import (
+        ordered_turns,
+        role_transitions,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return role_transitions(ordered_turns(ev))
+
+
+_SQL_ROLE_TRANSITIONS = """
+WITH t AS (
+  SELECT user_id AS conv_id, event_type AS from_role,
+         lead(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_role
+  FROM events
+), c AS (
+  SELECT from_role, to_role, count(*) AS n
+  FROM t WHERE to_role IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_role, to_role, n,
+       round(n / sum(n) OVER (PARTITION BY from_role) + 1e-9, 6) AS prob
+FROM c
+"""
+
+
+def _q_response_latency_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily view->click response-latency rollup
+    (operators/transcripts.py response_latency_stats): for every
+    click turn immediately following a view turn in the same
+    conversation, the gap as exact int64 microseconds, bucketed by
+    day with count / mean / DISCRETE p50+p95 (rank-pick, not
+    interpolated -- the engines' continuous-percentile kernels differ
+    in the last ulp on 1e11-us gaps, which the hash contract cannot
+    absorb; a rank pick is integer-exact in both)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.transcripts import (
+        ordered_turns,
+        response_latency_stats,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return response_latency_stats(
+        ordered_turns(ev), "view", "click", bucket="1 day"
+    )
+
+
+_SQL_RESPONSE_LATENCY_DAILY = """
+WITH t AS (
+  SELECT user_id, event_type AS role, ts,
+         lag(event_type) OVER w AS prev_role,
+         lag(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT date_trunc('day', ts) AS bucket,
+         epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+  FROM t WHERE role = 'click' AND prev_role = 'view'
+), r AS (
+  SELECT bucket, gap_us,
+         row_number() OVER (PARTITION BY bucket ORDER BY gap_us) AS rn,
+         count(*) OVER (PARTITION BY bucket) AS n
+  FROM g
+)
+SELECT bucket, count(*) AS n,
+       round(sum(gap_us) / count(*) / 1e6 + 1e-9, 6) AS avg_s,
+       round(min(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                      THEN gap_us END) / 1e6 + 1e-9, 6) AS p50_s,
+       round(min(CASE WHEN rn = CAST(ceil(0.95 * n) AS BIGINT)
+                      THEN gap_us END) / 1e6 + 1e-9, 6) AS p95_s
+FROM r GROUP BY bucket
+"""
+
+
+def _q_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation Shannon entropy of the role mix
+    (operators/transcripts.py behavior_entropy): two map-side
+    combinable hash aggregates; the only float sum is <= 5 O(1)
+    terms, rounded at 6 dp with the oracle nudge."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.transcripts import (
+        behavior_entropy,
+        ordered_turns,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return behavior_entropy(ordered_turns(ev))
+
+
+_SQL_BEHAVIOR_ENTROPY = """
+WITH c AS (
+  SELECT user_id AS conv_id, event_type AS role, count(*) AS c
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT conv_id,
+         CAST(sum(c) OVER (PARTITION BY conv_id) AS BIGINT) AS n_turns,
+         -(c / sum(c) OVER (PARTITION BY conv_id))
+           * log2(c / sum(c) OVER (PARTITION BY conv_id)) AS term
+  FROM c
+)
+SELECT conv_id, max(n_turns) AS n_turns,
+       round(sum(term) + 1e-9, 6) AS entropy_bits
+FROM t GROUP BY conv_id
+"""
+
+
+def _q_role_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioural trigram mining (operators/transcripts.py
+    role_ngrams): frequency of every length-3 role sequence over
+    adjacent turns -- which interaction motifs dominate (retry storms
+    vs funnel walks).  n-1 lead() columns on the shared conv window,
+    then a <= |alphabet|^3-row aggregate."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.transcripts import (
+        ordered_turns,
+        role_ngrams,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return role_ngrams(ordered_turns(ev), n=3)
+
+
+_SQL_ROLE_TRIGRAMS = """
+WITH t AS (
+  SELECT event_type AS r0,
+         lead(event_type, 1) OVER w AS r1,
+         lead(event_type, 2) OVER w AS r2
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT concat_ws('>', r0, r1, r2) AS ngram, count(*) AS n
+FROM t WHERE r2 IS NOT NULL GROUP BY 1
+"""
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -6538,6 +6682,12 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "pacf_hourly": (_q_pacf_hourly, _SQL_PACF_HOURLY),
     "cusum_hourly": (_q_cusum_hourly, _SQL_CUSUM_HOURLY),
     "theil_sen_hourly": (_q_theil_sen_hourly, _SQL_THEIL_SEN_HOURLY),
+    "role_transitions": (_q_role_transitions, _SQL_ROLE_TRANSITIONS),
+    "response_latency_daily": (
+        _q_response_latency_daily, _SQL_RESPONSE_LATENCY_DAILY,
+    ),
+    "behavior_entropy": (_q_behavior_entropy, _SQL_BEHAVIOR_ENTROPY),
+    "role_trigrams": (_q_role_trigrams, _SQL_ROLE_TRIGRAMS),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,
