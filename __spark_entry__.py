@@ -6555,6 +6555,176 @@ FROM t WHERE r2 IS NOT NULL GROUP BY 1
 
 
 
+def _q_hll_distinct_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked HLL: per-(day, event_type) distinct users
+    estimated from a MERGEABLE register tier
+    (sketches.hll_register_tier/hll_estimate) next to the exact count
+    -- per-row evidence of the sketch's accuracy.  Unlike
+    approx_count_distinct (rows-only `approx_distinct_users`; its
+    registers are engine-internal), this sketch is built from integer
+    codegen expressions on the repo's cross-engine md5 draw, the
+    harmonic-mean denominator is an exact int64 sum, and the one libm
+    call (linear counting's ln) is rounded at 6 dp -- so DuckDB
+    replays it bit-for-bit and the driver HASH-checks an approximate
+    algorithm."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    regs = hll_register_tier(
+        ev, "user_id", bucket="1 day", extra_keys=["event_type"]
+    )
+    est = hll_estimate(regs, ["bucket", "event_type"])
+    exact = ev.groupBy(
+        F.window("ts", "1 day").start.alias("bucket"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    return est.join(exact, ["bucket", "event_type"])
+
+
+def _q_hll_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked HLL tier merge: the daily register tier merged
+    down to one all-time sketch (groupBy-max union) next to a sketch
+    built directly from the raw stream -- the two estimates are EQUAL
+    (max of maxes), which is the merge-without-recall-loss contract
+    that makes distinct-count tiers cascade like the rollup tiers
+    (day -> month -> all-time) instead of rescanning raw data."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_register_tier,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    daily = hll_register_tier(ev, "user_id", bucket="1 day")
+    merged = hll_estimate(
+        hll_merge(daily.drop("bucket"), []), []
+    ).select(F.col("est_distinct").alias("est_merged"))
+    direct = hll_estimate(
+        hll_register_tier(ev, "user_id", bucket="3650 days").drop("bucket"),
+        [],
+    ).select(F.col("est_distinct").alias("est_direct"))
+    return merged.crossJoin(direct)
+
+
+
+
+def _hll_sql(bucket_expr: str, group_cols: str) -> str:
+    """DuckDB register pipeline parameterized on bucketing; numeric
+    constants are baked from the SAME sketches.py module values the
+    Spark side uses, so the two texts cannot drift."""
+    from peakmatch_xcorr_spark.operators.sketches import (
+        HLL_ALPHA,
+        HLL_P,
+        _HLL_M,
+        _HLL_SCALE,
+    )
+
+    m = _HLL_M
+    a_num = repr(HLL_ALPHA * m * m * float(1 << _HLL_SCALE))
+    g = f"{group_cols}, " if group_cols else ""
+    return f"""
+WITH h AS (
+  SELECT {bucket_expr} AS bucket, {g}
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+  FROM events
+), r AS (
+  SELECT bucket, {g}hh % {m} AS idx,
+         {_HLL_SCALE} - length(format('{{:b}}', hh // {m})) AS rho
+  FROM h
+), regs AS (
+  SELECT bucket, {g}idx, max(rho) AS r FROM r GROUP BY ALL
+), s AS (
+  SELECT bucket, {g}
+         sum(1::BIGINT << ({_HLL_SCALE} - r)) AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY ALL
+)
+SELECT bucket, {g}
+       round(CASE WHEN {a_num}
+                       / ((s_present + ({m} - n_regs)
+                           * {1 << _HLL_SCALE}::BIGINT)::DOUBLE)
+                    <= {2.5 * m}
+                   AND ({m} - n_regs) > 0
+              THEN {float(m)} * ln({float(m)} / ({m} - n_regs))
+              ELSE {a_num}
+                   / ((s_present + ({m} - n_regs)
+                       * {1 << _HLL_SCALE}::BIGINT)::DOUBLE)
+         END + 1e-9, 6) AS est_distinct
+FROM s
+"""
+
+
+_SQL_HLL_DISTINCT_DAILY = f"""
+WITH est AS (
+{_hll_sql("date_trunc('day', ts)", "event_type")}
+), exact AS (
+  SELECT date_trunc('day', ts) AS bucket, event_type,
+         count(DISTINCT user_id) AS exact_users
+  FROM events GROUP BY 1, 2
+)
+SELECT est.bucket, est.event_type, est.est_distinct, exact.exact_users
+FROM est JOIN exact USING (bucket, event_type)
+"""
+
+
+def _hll_range_merge_sql() -> str:
+    """Both sides of the merge-equals-direct identity in one DuckDB
+    text: side 'm' merges the daily register tier, side 'd' sketches
+    the raw stream; constants baked from sketches.py."""
+    from peakmatch_xcorr_spark.operators.sketches import (
+        HLL_ALPHA,
+        _HLL_M,
+        _HLL_SCALE,
+    )
+
+    m = _HLL_M
+    a_num = repr(HLL_ALPHA * m * m * float(1 << _HLL_SCALE))
+    return f"""
+WITH h AS (
+  SELECT date_trunc('day', ts) AS bucket,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hh
+  FROM events
+), r AS (
+  SELECT bucket, hh % {m} AS idx,
+         {_HLL_SCALE} - length(format('{{:b}}', hh // {m})) AS rho
+  FROM h
+), daily AS (
+  SELECT bucket, idx, max(rho) AS r FROM r GROUP BY 1, 2
+), u AS (
+  SELECT 'm' AS side, idx, max(r) AS r FROM daily GROUP BY 1, 2
+  UNION ALL
+  SELECT 'd' AS side, idx, max(rho) AS r FROM r GROUP BY 1, 2
+), s AS (
+  SELECT side,
+         sum(1::BIGINT << ({_HLL_SCALE} - r)) AS s_present,
+         count(*) AS n_regs
+  FROM u GROUP BY 1
+), e AS (
+  SELECT side,
+         round(CASE WHEN {a_num}
+                 / ((s_present + ({m} - n_regs)
+                     * {1 << _HLL_SCALE}::BIGINT)::DOUBLE) <= {2.5 * m}
+               AND ({m} - n_regs) > 0
+          THEN {float(m)} * ln({float(m)} / ({m} - n_regs))
+          ELSE {a_num}
+               / ((s_present + ({m} - n_regs)
+                   * {1 << _HLL_SCALE}::BIGINT)::DOUBLE)
+         END + 1e-9, 6) AS est
+  FROM s
+)
+SELECT max(CASE WHEN side = 'm' THEN est END) AS est_merged,
+       max(CASE WHEN side = 'd' THEN est END) AS est_direct
+FROM e
+"""
+
+
+_SQL_HLL_RANGE_MERGE = _hll_range_merge_sql()
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -6688,6 +6858,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "behavior_entropy": (_q_behavior_entropy, _SQL_BEHAVIOR_ENTROPY),
     "role_trigrams": (_q_role_trigrams, _SQL_ROLE_TRIGRAMS),
+    "hll_distinct_daily": (_q_hll_distinct_daily, _SQL_HLL_DISTINCT_DAILY),
+    "hll_range_merge": (_q_hll_range_merge, _SQL_HLL_RANGE_MERGE),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

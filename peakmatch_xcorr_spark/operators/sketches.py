@@ -269,3 +269,108 @@ def quantile_sketch(df: DataFrame, col: str, alpha: float = 0.01) -> QuantileSke
         .collect()
     )
     return QuantileSketch(alpha, [(r["store"], r["bucket"], r["cnt"]) for r in rows])
+
+
+# --------------------------------------------------------------- HLL tier
+
+HLL_P = 10  # 2^10 = 1024 registers; rsd = 1.04/sqrt(m) ~ 3.25%
+_HLL_M = 1 << HLL_P
+_HLL_HASH_BITS = 60  # 15 md5 hex digits; BIGINT-safe in every engine
+_HLL_W_BITS = _HLL_HASH_BITS - HLL_P  # 50 bits feed the rho estimator
+# term exponent scale: register value r contributes 2^(SCALE - r), so
+# the harmonic-mean denominator is an EXACT int64 sum (max 1024 terms
+# of <= 2^51 < 2^63) instead of a float accumulation whose low bits
+# depend on add order — the whole reason this sketch is cross-engine
+# hash-checkable where approx_count_distinct is rows-only
+_HLL_SCALE = _HLL_W_BITS + 1  # 51: rho in [1, 51] keeps terms >= 1
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)  # Flajolet bias constant
+
+
+def hll_register_tier(
+    df: DataFrame,
+    id_col: str,
+    ts_col: str = "ts",
+    bucket: str = "1 day",
+    extra_keys: list[str] | None = None,
+) -> DataFrame:
+    """Per-bucket HyperLogLog REGISTER tier: ``(bucket, [keys...],
+    idx, r)`` with ``idx`` the register index and ``r`` its max-rho —
+    the distinct-count analogue of the engine's rollup tiers.
+
+    The point of materializing registers instead of estimates: a
+    register frame is MERGEABLE (max is associative/commutative), so
+    "distinct users over any date range" is a groupBy-max over
+    |range| x 1024 tiny rows — never a rescan of the raw turn stream.
+    That is the sketch-rollup contract TimescaleDB ships as
+    hyperloglog()/rollup() and Spark only exposes fused inside
+    approx_count_distinct (registers unreachable, hence un-mergeable
+    across precomputed tiers).
+
+    Everything is integer codegen expressions: the 60-bit hash is the
+    first 15 hex digits of md5 (the repo's cross-engine draw,
+    trainprep._uniform_hash), idx its low HLL_P bits, and
+    rho = leading-zeros+1 of the remaining 50-bit word via
+    ``51 - length(bin(w))`` — bin-length, not floor(log2), because
+    log2's last-ulp rounding near powers of two is exactly the
+    cross-engine drift the hash contract can't absorb.  (w = 0, prob
+    2^-50 per row, yields bin '0' of length 1 -> rho 50 instead of
+    51; both engines agree on the same value, and one register held
+    one notch low is far inside the sketch's own error.)
+
+    Scale: one hash-aggregate exchange; output is <= buckets x keys x
+    1024 rows with map-side partial max — at 10^12 turns the shuffle
+    moves rows proportional to the TIER, not the corpus."""
+    keys = list(extra_keys or [])
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    # shiftright, NOT h/1024: `/` is double division and h spans 60
+    # bits > double's 53-bit mantissa, so the quotient would be lossy
+    w = F.shiftright(h, HLL_P)
+    return (
+        df.select(
+            F.window(ts_col, bucket).start.alias("bucket"),
+            *keys,
+            F.pmod(h, F.lit(_HLL_M)).cast("int").alias("idx"),
+            (
+                F.lit(_HLL_SCALE) - F.length(F.bin(w))
+            ).cast("int").alias("rho"),
+        )
+        .groupBy("bucket", *keys, "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_merge(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge register frames down to ``keys``: groupBy-max, the HLL
+    union.  Merging tiers is EXACTLY equal to sketching the unioned
+    raw data (max of maxes — tested), so cascades of distinct-count
+    tiers (day -> month -> all-time) compose without recall loss."""
+    return registers.groupBy(*keys, "idx").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(registers: DataFrame, keys: list[str]) -> DataFrame:
+    """Distinct-count estimate per ``keys`` group from a register
+    frame: the standard HLL harmonic mean with linear counting below
+    2.5m, arranged so both engines compute bit-identical doubles —
+    the denominator Σ 2^(SCALE−r) (+ 2^SCALE per absent register) is
+    an exact int64, the bias constant is one shared literal, and the
+    only libm call is linear counting's single ln, rounded at 6 dp
+    with the oracle nudge."""
+    s_int = F.sum(
+        F.expr(f"shiftleft(cast(1 as bigint), {_HLL_SCALE} - r)")
+    )
+    n_regs = F.count(F.lit(1))
+    agg = registers.groupBy(*keys).agg(
+        s_int.alias("s_present"), n_regs.alias("n_regs")
+    )
+    v = F.lit(_HLL_M) - F.col("n_regs")  # zero (absent) registers
+    s_total = (
+        F.col("s_present") + v * F.lit(1 << _HLL_SCALE)
+    ).cast("double")
+    raw = F.lit(HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_SCALE)) / s_total
+    lc = F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * _HLL_M)) & (v > 0), lc).otherwise(raw)
+    return agg.select(
+        *keys, F.round(est + 1e-9, 6).alias("est_distinct")
+    )

@@ -201,3 +201,91 @@ def test_quantile_sketch_edge_cases(spark):
         QuantileSketch(0.01, []).quantile(0.5)
     with pytest.raises(ValueError):
         sk.merge(QuantileSketch(0.05, [(0, 0, 1)]))
+
+
+# --------------------------------------------------------------- HLL tier
+
+def _ids(spark, n, prefix="u"):
+    return spark.range(n).select(
+        F.concat(F.lit(prefix), F.col("id").cast("string")).alias("uid"),
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + F.col("id") * 3600
+        ).alias("ts"),
+    )
+
+
+def test_hll_register_formula_matches_hashlib(spark):
+    """idx/rho must be exactly the md5-derived values the docstring
+    claims (and the DuckDB oracle recomputes)."""
+    import hashlib
+
+    from peakmatch_xcorr_spark.operators.sketches import (
+        HLL_P,
+        _HLL_SCALE,
+        hll_register_tier,
+    )
+
+    df = _ids(spark, 64)
+    regs = hll_register_tier(df, "uid", bucket="3650 days")
+    got = {(r["idx"], r["r"]) for r in regs.collect()}
+    want = {}
+    for i in range(64):
+        h = int(hashlib.md5(f"u{i}".encode()).hexdigest()[:15], 16)
+        idx = h % (1 << HLL_P)
+        w = h >> HLL_P
+        rho = _HLL_SCALE - len(format(w, "b"))
+        want[idx] = max(want.get(idx, 0), rho)
+    assert got == set(want.items())
+
+
+@pytest.mark.parametrize("n", [40, 500, 20_000])
+def test_hll_estimate_within_3_rsd(spark, n):
+    from peakmatch_xcorr_spark.operators.sketches import (
+        _HLL_M,
+        hll_estimate,
+        hll_register_tier,
+    )
+
+    df = _ids(spark, n)
+    est = hll_estimate(
+        hll_register_tier(df, "uid", bucket="36500 days").drop("bucket"),
+        [],
+    ).collect()[0]["est_distinct"]
+    rsd = 1.04 / (_HLL_M ** 0.5)
+    assert abs(est - n) / n <= 3 * rsd, (n, est)
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """max-of-max: merging per-bucket register tiers gives EXACTLY the
+    registers (hence estimate) of sketching the union directly."""
+    from peakmatch_xcorr_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_register_tier,
+    )
+
+    df = _ids(spark, 5_000)  # hourly ts -> ~209 daily buckets
+    daily = hll_register_tier(df, "uid", bucket="1 day")
+    merged = hll_merge(daily.drop("bucket"), [])
+    direct = hll_register_tier(df, "uid", bucket="36500 days").drop("bucket")
+    m = {(r["idx"], r["r"]) for r in merged.collect()}
+    d = {(r["idx"], r["r"]) for r in direct.collect()}
+    assert m == d
+    em = hll_estimate(merged, []).collect()[0]["est_distinct"]
+    ed = hll_estimate(direct, []).collect()[0]["est_distinct"]
+    assert em == ed
+
+
+def test_hll_tier_is_map_side_combinable(spark):
+    """The register build must plan partial aggregation (max combines
+    map-side) — the property that keeps the shuffle proportional to
+    the tier, not the corpus."""
+    from peakmatch_xcorr_spark.operators.sketches import hll_register_tier
+
+    df = _ids(spark, 1000)
+    plan = (
+        hll_register_tier(df, "uid", bucket="1 day")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") <= 1, plan
+    assert "partial_max" in plan, plan
