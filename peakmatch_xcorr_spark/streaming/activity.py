@@ -473,3 +473,46 @@ def streaming_sessionize(
             "n_turns",
         )
     )
+
+
+def streaming_hll_tier(
+    stream: DataFrame,
+    id_col: str = "conv_id",
+    bucket: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of sketches.hll_register_tier: a watermarked
+    per-bucket HyperLogLog register tier maintained incrementally —
+    distinct conversations per window without ever holding the id set.
+
+    max is a native streaming aggregate, so no applyInPandasWithState
+    is needed: state per (window, idx) key is ONE int (the running
+    register), bounded by open-windows x 1024 regardless of stream
+    rate — the streaming analogue of "the shuffle moves the tier, not
+    the corpus".  Registers emitted at watermark close merge with the
+    batch tier through sketches.hll_merge (max of maxes), so a
+    lambda-style backfill (batch history + streaming head) composes
+    without recall loss; parity with the batch registers over the
+    same rows is pinned in tests/test_streaming.py."""
+    from peakmatch_xcorr_spark.operators.sketches import (
+        HLL_P,
+        _HLL_M,
+        _HLL_SCALE,
+    )
+
+    h = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    w = F.shiftright(h, HLL_P)
+    return (
+        stream.withWatermark("ts", watermark)
+        .select(
+            F.window("ts", bucket).alias("win"),
+            "ts",
+            F.pmod(h, F.lit(_HLL_M)).cast("int").alias("idx"),
+            (F.lit(_HLL_SCALE) - F.length(F.bin(w))).cast("int").alias("rho"),
+        )
+        .groupBy("win", "idx")
+        .agg(F.max("rho").alias("r"))
+        .select(F.col("win.start").alias("bucket"), "idx", "r")
+    )

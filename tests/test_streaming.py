@@ -3,6 +3,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from peakmatch_xcorr_spark.operators.rollup import tumbling_rollup
 from peakmatch_xcorr_spark.streaming.activity import (
@@ -348,3 +349,46 @@ def test_stateful_phase_anomaly_prequential_parity(spark, tmp_path, rng):
     # the spike judged itself against a baseline it was not part of:
     # later same-phase rows see an inflated baseline, earlier ones none
     assert spike.iloc[0]["z"] > 10
+
+
+def test_streaming_hll_tier_matches_batch_registers(spark, stream_dir):
+    """Sealed streaming HLL registers must equal the batch tier's for
+    the same buckets — the lambda-backfill contract (stream head and
+    batch history merge via max without recall loss)."""
+    from peakmatch_xcorr_spark.operators.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_register_tier,
+    )
+    from peakmatch_xcorr_spark.streaming.activity import streaming_hll_tier
+
+    path, pdf = stream_dir
+    stream = read_transcript_stream(spark, path)
+    tier = streaming_hll_tier(stream, "conv_id", "1 minute", "5 minutes")
+    run_stream_to_memory(tier, "s_hll", mode="append")
+    got = spark.sql("SELECT * FROM s_hll")
+    assert got.count() > 0
+    batch = hll_register_tier(
+        spark.createDataFrame(pdf), "conv_id", "ts", "1 minute"
+    )
+    g = {(r["bucket"], r["idx"]): r["r"] for r in got.collect()}
+    b = {(r["bucket"], r["idx"]): r["r"] for r in batch.collect()}
+    # append mode emits only watermark-sealed buckets; each emitted
+    # (bucket, idx) must carry exactly the batch register
+    for k, v in g.items():
+        assert b[k] == v, k
+    # and merging the emitted tier estimates the same distinct count
+    # as merging the batch tier restricted to the emitted buckets
+    sealed = sorted({bk for bk, _ in g})
+    bsub = batch.filter(F.col("bucket").isin(sealed))
+    em = hll_estimate(
+        hll_merge(spark.createDataFrame(
+            [(i, r) for (_, i), r in g.items()], "idx int, r int"
+        ), []), [],
+    ).collect()[0]["est_distinct"]
+    eb = hll_estimate(hll_merge(bsub.drop("bucket"), []), []).collect()[0][
+        "est_distinct"
+    ]
+    # a sealed bucket emits ALL its registers, so the two register
+    # sets are identical and the estimates must agree exactly
+    assert em == eb
