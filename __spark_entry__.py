@@ -6725,6 +6725,102 @@ FROM e
 _SQL_HLL_RANGE_MERGE = _hll_range_merge_sql()
 
 
+def _q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by smoothed tf-idf
+    (textstats.tfidf_top_terms) -- the relevance prestep for corpus
+    exploration.  Hash-checked: the ranking orders by the ROUNDED
+    weight with the token as tie-break, so both engines agree even
+    when two weights collide at the last ulp."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.textstats import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, k=3)
+
+
+_SQL_TFIDF_TOP_TERMS = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(
+      lower(regexp_replace(text, '[^\\p{L}\\p{N}_\\s'']', ' ', 'g')),
+      '\\s+'),
+    x -> length(x) > 0)) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), nn AS (SELECT count(*) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         round(tf.tf * (ln((1 + nn.n) / (1 + dfreq.df)) + 1) + 1e-9, 6)
+           AS weight
+  FROM tf JOIN dfreq USING (tok) CROSS JOIN nn
+)
+SELECT doc_id, rank, tok, weight FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY weight DESC, tok
+  ) AS rank
+  FROM w
+) WHERE rank <= 3
+"""
+
+
+_BM25_QUERY = ["join", "hash", "spark", "window"]
+
+
+def _q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval scores of every document against a fixed
+    4-term query (textstats.bm25_scores, k1=1.2 b=0.75) -- eval-set
+    mining / contamination triage.  All corpus statistics (df, N,
+    avg len) reduce before broadcasting into the scorer; the per-doc
+    sum is <= 4 float terms under the 6 dp rounding."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.textstats import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_scores(docs, _BM25_QUERY)
+
+
+_SQL_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(
+      lower(regexp_replace(text, '[^\\p{L}\\p{N}_\\s'']', ' ', 'g')),
+      '\\s+'),
+    x -> length(x) > 0)) AS tok
+  FROM documents
+), lens AS (
+  SELECT doc_id, count(*) AS len_d FROM toks GROUP BY 1
+), scalars AS (
+  SELECT sum(len_d) AS tot, count(*) AS n FROM lens
+), q AS (
+  SELECT doc_id, tok FROM toks
+  WHERE tok IN ('join', 'hash', 'spark', 'window')
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM q GROUP BY 1, 2
+), dfreq AS (
+  SELECT tok,
+         ln(1 + (scalars.n - count(DISTINCT doc_id) + 0.5)
+                / (count(DISTINCT doc_id) + 0.5)) AS idf,
+         max(scalars.tot / scalars.n) AS avglen
+  FROM q CROSS JOIN scalars
+  GROUP BY tok, scalars.n, scalars.tot
+), part AS (
+  SELECT tf.doc_id,
+         dfreq.idf * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * lens.len_d / dfreq.avglen))
+           AS part
+  FROM tf
+  JOIN dfreq USING (tok)
+  JOIN lens USING (doc_id)
+)
+SELECT doc_id, round(sum(part) + 1e-9, 6) AS score
+FROM part GROUP BY doc_id
+"""
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -6860,6 +6956,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "role_trigrams": (_q_role_trigrams, _SQL_ROLE_TRIGRAMS),
     "hll_distinct_daily": (_q_hll_distinct_daily, _SQL_HLL_DISTINCT_DAILY),
     "hll_range_merge": (_q_hll_range_merge, _SQL_HLL_RANGE_MERGE),
+    "tfidf_top_terms": (_q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
+    "bm25_search": (_q_bm25_search, _SQL_BM25_SEARCH),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

@@ -284,3 +284,127 @@ def vocab_counts(
         )
         .filter(F.col("tf") >= min_count)
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed
+    tf-idf — the relevance prestep for corpus exploration and
+    keyword-based dedup triage.
+
+    weight(t, d) = tf(t,d) · (ln((1+N)/(1+df(t))) + 1)   (sklearn's
+    smooth idf: never zero, no division hazards).  Plan shape: one
+    explode → (doc, tok) tf aggregate → token-level df aggregate →
+    tf⋈df equi-join on token → per-doc top-k window.  The df frame is
+    |vocab| rows (bounded by the token alphabet, not the corpus), so
+    at scale the join broadcasts; the window partitions by document —
+    the same key the tf aggregate already hashed on.
+
+    Determinism contract: ranking orders by the ROUNDED weight (6 dp,
+    oracle nudge) with the token as tie-break — ranking on the raw
+    double would let two near-equal weights swap order across engines
+    at the last ulp, which a hash check cannot absorb."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    )
+    tf = toks.groupBy("_d", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = docs.select(F.count(F.lit(1)).alias("n"))
+    dfreq = (
+        toks.groupBy("tok")
+        .agg(F.count_distinct("_d").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok",
+            (
+                F.log((1 + F.col("n")) / (1 + F.col("df"))) + 1.0
+            ).alias("idf"),
+        )
+    )
+    weighted = tf.join(dfreq, "tok").select(
+        F.col("_d").alias(id_col),
+        "tok",
+        F.round(F.col("tf") * F.col("idf") + 1e-9, 6).alias("weight"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("weight").desc(), F.col("tok")
+    )
+    return (
+        weighted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "tok", "weight")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query —
+    the retrieval scorer for eval-set mining and contamination triage
+    (find the corpus documents most similar to a benchmark prompt).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len_d/avglen))
+    with idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)) (the standard
+    non-negative variant).  Everything reduces before it joins: per-doc
+    tf is only computed for the |query| terms (filter pushed below the
+    tf aggregate), df/N/avglen are one |query|-row and two scalar
+    aggregates broadcast to the scorer, and the final per-doc sum is
+    ≤ |query| float terms (order drift ~1e-16, absorbed by the 6 dp
+    rounding).  Documents matching no query term are dropped (score 0
+    rows at corpus scale would be the entire corpus)."""
+    terms = [t.lower() for t in query_terms]
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    )
+    lens = toks.groupBy("_d").agg(F.count(F.lit(1)).alias("len_d"))
+    scalars = lens.agg(
+        F.sum("len_d").alias("tot"), F.count(F.lit(1)).alias("n")
+    )
+    qtoks = toks.filter(F.col("tok").isin(terms))
+    tf = qtoks.groupBy("_d", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        qtoks.groupBy("tok")
+        .agg(F.count_distinct("_d").alias("df"))
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            "tok",
+            F.log(
+                1.0
+                + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+            (F.col("tot") / F.col("n")).alias("avglen"),
+        )
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(lens, "_d")
+        .select(
+            "_d",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (1.0 - b + b * F.col("len_d") / F.col("avglen"))
+                )
+            ).alias("part"),
+        )
+    )
+    return (
+        scored.groupBy("_d")
+        .agg(F.round(F.sum("part") + 1e-9, 6).alias("score"))
+        .select(F.col("_d").alias(id_col), "score")
+    )

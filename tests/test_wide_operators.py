@@ -689,3 +689,86 @@ def test_vocab_counts_tf_df(spark):
     out2 = {r["tok"] for r in
             vocab_counts(docs, min_count=2, id_col="doc_id").collect()}
     assert out2 == {"spark", "rollup"}
+
+
+# ----------------------------------------------------------- tfidf / bm25
+
+def test_tfidf_top_terms_matches_scalar(spark):
+    import math
+
+    from peakmatch_xcorr_spark.operators.textstats import tfidf_top_terms
+
+    corpus = {
+        1: "apple apple banana",
+        2: "banana cherry",
+        3: "cherry cherry cherry apple",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["tok"], r["weight"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    n = len(corpus)
+    dfreq = {}
+    for text in corpus.values():
+        for t in set(text.split()):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    for d, text in corpus.items():
+        tf = {}
+        for t in text.split():
+            tf[t] = tf.get(t, 0) + 1
+        weights = sorted(
+            (
+                (round(c * (math.log((1 + n) / (1 + dfreq[t])) + 1) + 1e-9, 6), t)
+                for t, c in tf.items()
+            ),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rank, (wt, t) in enumerate(weights[:2], 1):
+            assert got[(d, rank)] == (t, wt), (d, rank)
+
+
+def test_bm25_matches_scalar_and_ranks_relevant_first(spark):
+    import math
+
+    from peakmatch_xcorr_spark.operators.textstats import bm25_scores
+
+    corpus = {
+        1: "spark join join hash",
+        2: "window sort filter scan scan scan sort filter window scan",
+        3: "join spark",
+        4: "cherry banana apple",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_scores(docs, ["join", "spark"]).collect()
+    }
+    # docs 2 and 4 match no query term: absent, not zero rows
+    assert set(got) == {1, 3}
+    k1, b = 1.2, 0.75
+    lens = {d: len(t.split()) for d, t in corpus.items()}
+    n = len(corpus)
+    avglen = sum(lens.values()) / n
+    dfreq = {"join": 2, "spark": 2}
+    for d in (1, 3):
+        tf = {}
+        for t in corpus[d].split():
+            if t in ("join", "spark"):
+                tf[t] = tf.get(t, 0) + 1
+        score = sum(
+            math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            * (c * (k1 + 1))
+            / (c + k1 * (1 - b + b * lens[d] / avglen))
+            for t, c in tf.items()
+        )
+        assert got[d] == pytest.approx(round(score + 1e-9, 6), abs=2e-6)
+    # length normalization: doc 3 covers both terms at half doc 1's
+    # length, so BM25 ranks it ABOVE doc 1 despite doc 1's extra tf --
+    # the saturation+normalization behavior that distinguishes BM25
+    # from raw tf-idf
+    assert got[3] > got[1] > 0
