@@ -141,6 +141,9 @@ def headline_queries(spark, sf_dir: str):
         "occupancy_curve",         # sweep-line + distributed prefix scan
         "realtime_rollup_1h",      # materialized tier + unabsorbed-diff merge
         "seasonal_anomaly_hod",    # phase-baseline LOO z over the dense tier
+        "hll_distinct_daily",      # mergeable register tier + estimate
+        "response_latency_daily",  # conv-window family, shared exchange
+        "tfidf_top_terms",         # explode → tf⋈df → per-doc top-k window
     ):
         fn = registry[name]
         extra[name] = (lambda f=fn: f(spark, sf_dir).count())
