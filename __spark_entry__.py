@@ -6821,6 +6821,94 @@ FROM part GROUP BY doc_id
 
 
 
+def _q_hist_quantile_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style p90-from-histogram-tier per event type
+    (stats.keyed_histogram + stats.histogram_quantile, 50 bins over
+    [0, 500)) next to the exact DISCRETE p90 (rank-pick) -- per-row
+    evidence of the tier estimate's accuracy.  The estimate reads
+    |keys|*(n_bins+2) pre-aggregated rows, never raw data: the
+    quantile analogue of reading rollup tiers instead of the turn
+    stream."""
+    _utc(spark)
+    from pyspark.sql import Window
+
+    from peakmatch_xcorr_spark.operators.stats import (
+        histogram_quantile,
+        keyed_histogram,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    hist = keyed_histogram(ev, "value", ["event_type"], 0.0, 500.0, 50)
+    est = histogram_quantile(hist, ["event_type"], 0.9, 0.0, 500.0, 50)
+    wv = Window.partitionBy("event_type").orderBy("value")
+    wc = Window.partitionBy("event_type")
+    exact = (
+        ev.filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            F.row_number().over(wv).alias("vrn"),
+            F.count(F.lit(1)).over(wc).alias("vn"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.round(
+                F.min(
+                    F.when(
+                        F.col("vrn")
+                        == F.ceil(F.lit(0.9) * F.col("vn")).cast("long"),
+                        F.col("value"),
+                    )
+                )
+                + 1e-9,
+                6,
+            ).alias("exact_q")
+        )
+    )
+    return est.join(exact, "event_type")
+
+
+_SQL_HIST_QUANTILE_P90 = """
+WITH h AS (
+  SELECT event_type,
+         CASE WHEN value < 0.0 THEN 0
+              WHEN value >= 500.0 THEN 51
+              ELSE CAST(floor((value - 0.0) / 10.0) + 1 AS INT) END AS bin,
+         count(*) AS n
+  FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), c AS (
+  SELECT event_type, bin, n,
+         sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+         0.9 * sum(n) OVER (PARTITION BY event_type) AS rank
+  FROM h
+), f AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rn
+  FROM c WHERE cum >= rank
+), est AS (
+  SELECT event_type,
+         round(CASE WHEN bin = 0 THEN 0.0
+                    WHEN bin = 51 THEN 500.0
+               ELSE (0.0 + (bin - 1) * 10.0)
+                    + ((rank - (cum - n)) / n) * 10.0 END + 1e-9, 6)
+           AS est_q
+  FROM f WHERE rn = 1
+), x AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS vrn,
+         count(*) OVER (PARTITION BY event_type) AS vn
+  FROM events WHERE value IS NOT NULL
+), ex AS (
+  SELECT event_type,
+         round(min(CASE WHEN vrn = CAST(ceil(0.9 * vn) AS BIGINT)
+                        THEN value END) + 1e-9, 6) AS exact_q
+  FROM x GROUP BY 1
+)
+SELECT est.event_type, est.est_q, ex.exact_q
+FROM est JOIN ex USING (event_type)
+"""
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -6958,6 +7046,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "hll_range_merge": (_q_hll_range_merge, _SQL_HLL_RANGE_MERGE),
     "tfidf_top_terms": (_q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "bm25_search": (_q_bm25_search, _SQL_BM25_SEARCH),
+    "hist_quantile_p90": (_q_hist_quantile_p90, _SQL_HIST_QUANTILE_P90),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

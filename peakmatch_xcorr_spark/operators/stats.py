@@ -805,3 +805,93 @@ def theil_sen_trend(
         F.round(F.col("slope_raw") + 1e-9, 6).alias("slope"),
         F.round(F.col("intercept_raw") + 1e-9, 6).alias("intercept"),
     )
+
+
+def keyed_histogram(
+    df: DataFrame,
+    value_col: str,
+    keys: list[str],
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-key fixed-width bin counts — the histogram TIER: bin 0 is
+    underflow, 1..n cover [lo, hi), n+1 overflow (value_histogram's
+    binning, keyed).  One map-side-combinable hash aggregate; the
+    output is |keys|·(n+2) rows, a tier any number of quantile reads
+    can serve without rescanning raw data."""
+    width = (hi - lo) / n_bins
+    v = F.col(value_col)
+    bin_ = (
+        F.when(v < F.lit(float(lo)), F.lit(0))
+        .when(v >= F.lit(float(hi)), F.lit(n_bins + 1))
+        .otherwise(
+            (F.floor((v - F.lit(float(lo))) / F.lit(width)) + 1).cast("int")
+        )
+    )
+    return (
+        df.filter(v.isNotNull())
+        .groupBy(*keys, bin_.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantile(
+    hist: DataFrame,
+    keys: list[str],
+    q: float,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """PromQL-style quantile estimate from a ``keyed_histogram`` tier:
+    walk the cumulative counts to the bucket containing rank q·total,
+    then interpolate linearly inside it —
+    est = bucket_lo + (rank − cum_prev)/n_bucket · width.
+
+    The scale story is the input, not the math: quantiles are read
+    from the (|keys|·(n+2))-row PRE-AGGREGATED tier, so a dashboard's
+    p90-per-key over a 10^12-row history costs one window over tier
+    rows.  Bin counts merge by plain sum, so histogram tiers cascade
+    and refresh exactly like the rollup tiers (PromQL ships this as
+    histogram_quantile over le-bucketed counters).
+
+    Underflow hits clamp to ``lo`` and overflow to ``hi`` (PromQL
+    clamps to the boundary buckets the same way).  Every float op is
+    a fixed-order expression both engines evaluate identically;
+    rounded at 6 dp with the oracle nudge."""
+    from pyspark.sql import Window
+
+    width = (hi - lo) / n_bins
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy(*keys)
+    h = hist.select(
+        *keys,
+        "bin",
+        "n",
+        F.sum("n").over(wcum).alias("cum"),
+        (F.lit(q) * F.sum("n").over(wtot)).alias("rank"),
+    )
+    wpick = Window.partitionBy(*keys).orderBy("bin")
+    first = (
+        h.filter(F.col("cum") >= F.col("rank"))
+        .withColumn("_rn", F.row_number().over(wpick))
+        .filter(F.col("_rn") == 1)
+    )
+    bucket_lo = F.lit(float(lo)) + (F.col("bin") - 1) * F.lit(width)
+    inner = bucket_lo + (
+        (F.col("rank") - (F.col("cum") - F.col("n")))
+        / F.col("n")
+    ) * F.lit(width)
+    est = (
+        F.when(F.col("bin") == 0, F.lit(float(lo)))
+        .when(F.col("bin") == n_bins + 1, F.lit(float(hi)))
+        .otherwise(inner)
+    )
+    return first.select(
+        *keys, F.round(est + 1e-9, 6).alias("est_q")
+    )

@@ -494,3 +494,87 @@ def test_binary_segmentation_ids_unique_across_mixed_splits(spark, rng):
         for s, gg in g.groupby("seg"):
             bs = sorted(gg["b"])
             assert bs == list(range(bs[0], bs[0] + len(bs)))
+
+
+# ------------------------------------------------------ histogram quantile
+
+def test_histogram_quantile_matches_numpy_within_bin_width(spark, rng):
+    from peakmatch_xcorr_spark.operators.stats import (
+        histogram_quantile,
+        keyed_histogram,
+    )
+
+    vals = rng.uniform(0, 100, 5000)
+    df = spark.createDataFrame(
+        [("k", float(v)) for v in vals], "key string, value double"
+    )
+    hist = keyed_histogram(df, "value", ["key"], 0.0, 100.0, 50)
+    for q in (0.5, 0.9, 0.99):
+        est = histogram_quantile(hist, ["key"], q, 0.0, 100.0, 50).collect()[
+            0
+        ]["est_q"]
+        true = float(np.quantile(vals, q))
+        # linear interpolation inside a 2.0-wide bin: the estimate is
+        # off by at most one bin width on any distribution
+        assert abs(est - true) <= 2.0, (q, est, true)
+
+
+def test_histogram_quantile_exact_on_uniform_grid(spark):
+    from peakmatch_xcorr_spark.operators.stats import (
+        histogram_quantile,
+        keyed_histogram,
+    )
+
+    # one value per unit bin -> cumulative walk is analytic:
+    # rank q*100 lands in bin ceil(q*100), est = bin_lo + frac * 1.0
+    df = spark.createDataFrame(
+        [("k", i + 0.5) for i in range(100)], "key string, value double"
+    )
+    hist = keyed_histogram(df, "value", ["key"], 0.0, 100.0, 100)
+    est = histogram_quantile(hist, ["key"], 0.25, 0.0, 100.0, 100).collect()[
+        0
+    ]["est_q"]
+    assert est == pytest.approx(25.0)
+
+
+def test_histogram_quantile_clamps_under_and_overflow(spark):
+    from peakmatch_xcorr_spark.operators.stats import (
+        histogram_quantile,
+        keyed_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [("k", -5.0)] * 10 + [("k", 999.0)] * 10, "key string, value double"
+    )
+    hist = keyed_histogram(df, "value", ["key"], 0.0, 100.0, 10)
+    lo = histogram_quantile(hist, ["key"], 0.2, 0.0, 100.0, 10).collect()[0][
+        "est_q"
+    ]
+    hi = histogram_quantile(hist, ["key"], 0.95, 0.0, 100.0, 10).collect()[0][
+        "est_q"
+    ]
+    assert lo == 0.0 and hi == 100.0
+
+
+def test_keyed_histogram_merges_by_sum(spark, rng):
+    """Bin counts are decomposable: histogram(A ∪ B) == histogram(A)
+    + histogram(B) merged by plain sum — the property that lets
+    histogram tiers cascade/refresh like the rollup tiers."""
+    from pyspark.sql import functions as F
+
+    from peakmatch_xcorr_spark.operators.stats import keyed_histogram
+
+    a = [("k", float(v)) for v in rng.uniform(0, 100, 500)]
+    b = [("k", float(v)) for v in rng.uniform(0, 100, 700)]
+    mk = lambda rows: keyed_histogram(
+        spark.createDataFrame(rows, "key string, value double"),
+        "value", ["key"], 0.0, 100.0, 20,
+    )
+    merged = (
+        mk(a).unionByName(mk(b))
+        .groupBy("key", "bin").agg(F.sum("n").alias("n"))
+    )
+    direct = mk(a + b)
+    g = {(r["bin"]): r["n"] for r in merged.collect()}
+    d = {(r["bin"]): r["n"] for r in direct.collect()}
+    assert g == d
