@@ -6909,6 +6909,69 @@ FROM est JOIN ex USING (event_type)
 
 
 
+def _q_pagerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.py) over the embedding
+    kNN similarity graph -- centrality picks the canonical
+    representative of a near-dup cluster.  Two iterations, damping
+    17/20, all arithmetic exact int64 (integer sums are
+    order-independent where a float PageRank drifts ~1e-16 per
+    iteration and eventually hash-mismatches), so the DuckDB replay
+    is bit-identical."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.graph import pagerank, symmetrize_edges
+
+    knn = _q_knn_edges(spark, sf_dir)
+    return pagerank(symmetrize_edges(knn), iterations=2)
+
+
+def _pagerank_sql() -> str:
+    from peakmatch_xcorr_spark.operators.graph import PAGERANK_SCALE
+
+    s = PAGERANK_SCALE
+    base = (3 * s) // 20
+    knn = _SQL_KNN_EDGES.strip().rstrip()
+    return f"""
+WITH knn AS (
+{knn}
+), e AS (
+  SELECT id_a AS src, id_b AS dst FROM knn
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM knn
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY 1
+), v AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+  )
+), r0 AS (
+  SELECT node, {s}::BIGINT AS r FROM v
+), c1 AS (
+  SELECT e.dst AS node, sum(r0.r // deg.deg) AS sm
+  FROM e JOIN r0 ON r0.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY 1
+), r1 AS (
+  SELECT v.node,
+         CAST({base} + (17 * coalesce(c1.sm, 0)) // 20 AS BIGINT) AS r
+  FROM v LEFT JOIN c1 USING (node)
+), c2 AS (
+  SELECT e.dst AS node, sum(r1.r // deg.deg) AS sm
+  FROM e JOIN r1 ON r1.node = e.src JOIN deg ON deg.src = e.src
+  GROUP BY 1
+), r2 AS (
+  SELECT v.node,
+         CAST({base} + (17 * coalesce(c2.sm, 0)) // 20 AS BIGINT) AS r
+  FROM v LEFT JOIN c2 USING (node)
+)
+SELECT node, r AS rank_scaled,
+       round(r / {float(s)} + 1e-9, 6) AS pagerank
+FROM r2
+"""
+
+
+_SQL_PAGERANK_KNN = _pagerank_sql()
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -7047,6 +7110,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "tfidf_top_terms": (_q_tfidf_top_terms, _SQL_TFIDF_TOP_TERMS),
     "bm25_search": (_q_bm25_search, _SQL_BM25_SEARCH),
     "hist_quantile_p90": (_q_hist_quantile_p90, _SQL_HIST_QUANTILE_P90),
+    "pagerank_knn": (_q_pagerank_knn, _SQL_PAGERANK_KNN),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,
