@@ -6972,6 +6972,47 @@ _SQL_PAGERANK_KNN = _pagerank_sql()
 
 
 
+def _q_s8b_count_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple8b COUNT-tier codec round-trip, oracle-checked (the
+    pack_roundtrip pattern for the counter column): the dense 1h count
+    tier -- gap zeros included, exercising the 240-wide zero-run
+    selectors -- is s8b+DoD packed per event_type, unpacked, and
+    hash-compared against DuckDB's direct dense rollup."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.rollup import (
+        pack_count_tier,
+        unpack_count_tier,
+    )
+    from peakmatch_xcorr_spark.operators.seasonal import dense_bucket_counts
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    tier = dense.select(
+        "event_type",
+        F.timestamp_micros(F.col("b") * 3600_000_000).alias("bucket_start"),
+        F.col("v").alias("turns"),
+    )
+    packed = pack_count_tier(tier, ["event_type"])
+    return unpack_count_tier(packed, ["event_type"])
+
+
+_SQL_S8B_COUNT_ROUNDTRIP = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS v
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+), d0 AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM sp
+)
+SELECT d0.event_type,
+       make_timestamp(d0.b * 3600000000) AS bucket_start,
+       COALESCE(c.v, 0) AS turns
+FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
+"""
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -7111,6 +7152,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "bm25_search": (_q_bm25_search, _SQL_BM25_SEARCH),
     "hist_quantile_p90": (_q_hist_quantile_p90, _SQL_HIST_QUANTILE_P90),
     "pagerank_knn": (_q_pagerank_knn, _SQL_PAGERANK_KNN),
+    "s8b_count_roundtrip": (
+        _q_s8b_count_roundtrip, _SQL_S8B_COUNT_ROUNDTRIP,
+    ),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

@@ -430,3 +430,86 @@ def dod_decode_columnar(data: bytes) -> np.ndarray:
     out[0] = first_u
     out[1:] = first_u + np.cumsum(delta, dtype=np.uint64)
     return out.view(np.int64)
+
+
+# -------------------------------------------------------------- simple8b
+
+# (count, bits) per 4-bit selector — the classic simple8b table with
+# 60 payload bits per 64-bit word.  Selectors 0/1 are run encodings of
+# ZEROS (240 / 120 of them): rollup count tiers are gap-heavy, and a
+# silent day of 1-minute buckets is then 6 words instead of 24.
+_S8B_TABLE: list[tuple[int, int]] = [
+    (240, 0), (120, 0), (60, 1), (30, 2), (20, 3), (15, 4), (12, 5),
+    (10, 6), (8, 7), (7, 8), (6, 10), (5, 12), (4, 15), (3, 20),
+    (2, 30), (1, 60),
+]
+_S8B_MAX = (1 << 60) - 1
+
+
+def s8b_encode(values: np.ndarray) -> bytes:
+    """Simple8b-pack a non-negative int64 sequence (counts) into
+    64-bit words: 4-bit selector + 60 payload bits, greedy
+    largest-fitting-selector per word (Anh & Moffat's Simple-8b, the
+    integer codec InfluxDB/TimescaleDB use for counter columns).
+
+    The loop advances one WORD per iteration (≤ 16 slice-max probes
+    each), so a 720-bucket series costs ~30 iterations, not 720 —
+    values themselves are packed with one vectorized shift-or.  Fit
+    checks are integer compares (v < 2^bits), never float log2: a
+    power-of-two count must not round into the wrong width."""
+    v = np.asarray(values, dtype=np.int64)
+    if len(v) and (v.min() < 0 or v.max() > _S8B_MAX):
+        raise ValueError("s8b_encode: values must be in [0, 2^60)")
+    u = v.astype(np.uint64)
+    n = len(u)
+    out = [np.uint64(n).tobytes()[::-1]]  # 8-byte big-endian count
+    pos = 0
+    while pos < n:
+        for sel, (cnt, bits) in enumerate(_S8B_TABLE):
+            take = min(cnt, n - pos)
+            if bits == 0:
+                # zero-run selectors must fill their full width from
+                # actual zeros (a short tail of zeros falls through
+                # to a wider selector)
+                if take == cnt and not u[pos : pos + cnt].any():
+                    word = np.uint64(sel) << np.uint64(60)
+                    out.append(word.tobytes()[::-1])
+                    pos += cnt
+                    break
+                continue
+            chunk = u[pos : pos + take]
+            if take and chunk.max() >= (np.uint64(1) << np.uint64(bits)):
+                continue
+            # a partial final word is valid: the decoder stops at the
+            # element count, trailing slots decode as zeros and drop
+            shifts = (np.arange(take, dtype=np.uint64)) * np.uint64(bits)
+            word = np.uint64(sel) << np.uint64(60)
+            word |= np.bitwise_or.reduce(chunk << shifts) if take else np.uint64(0)
+            out.append(word.tobytes()[::-1])
+            pos += take
+            break
+        else:  # pragma: no cover - table ends with 1x60, always fits
+            raise AssertionError("simple8b: no selector fit")
+    return b"".join(out)
+
+
+def s8b_decode(data: bytes) -> np.ndarray:
+    """Inverse of ``s8b_encode``: one vectorized shift-and per word."""
+    n = int.from_bytes(data[:8], "big")
+    out = np.empty(n, dtype=np.int64)
+    pos = 0
+    off = 8
+    while pos < n:
+        word = np.uint64(int.from_bytes(data[off : off + 8], "big"))
+        off += 8
+        sel = int(word >> np.uint64(60))
+        cnt, bits = _S8B_TABLE[sel]
+        take = min(cnt, n - pos)
+        if bits == 0:
+            out[pos : pos + take] = 0
+        else:
+            shifts = np.arange(take, dtype=np.uint64) * np.uint64(bits)
+            mask = np.uint64((1 << bits) - 1)
+            out[pos : pos + take] = ((word >> shifts) & mask).astype(np.int64)
+        pos += take
+    return out

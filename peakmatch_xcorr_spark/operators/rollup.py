@@ -536,3 +536,111 @@ def unpack_tier(
                 yield pd.concat(frames, ignore_index=True)
 
     return packed.mapInPandas(unpack, schema=schema)
+
+
+def pack_count_tier(
+    tier: DataFrame, keys: list[str], count_col: str = "turns"
+) -> DataFrame:
+    """Simple8b-packed COUNT tier: per key, timestamps delta-of-delta
+    packed and the integer count column simple8b packed
+    (kernels/codecs.py s8b_encode) — the counter-column twin of
+    ``pack_tier``'s Gorilla float path, completing the tier triple
+    (ts / value / count) with the codec InfluxDB-family engines use
+    for counters.  Gap-heavy tiers win twice: dense-from-sparse zeros
+    collapse into 240-wide zero-run words.
+
+    Same physical plan as pack_tier (repartition + sort + ONE
+    mapInPandas with key-run carry across Arrow chunks; see that
+    docstring for why not applyInPandas)."""
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    schema = (
+        f"{key_fields}, n_buckets long, ts_packed binary, "
+        "counts_packed binary, codec string"
+    )
+
+    def pack_stream(batches):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels import codecs
+
+        def encode_chunk(pdf):
+            ts_all = (
+                pdf["bucket_start"].astype("datetime64[us]")
+                .astype("int64").to_numpy()
+            )
+            c_all = pdf[count_col].astype("int64").to_numpy()
+            key_arrs = [pdf[k].to_numpy() for k in keys]
+            change = np.zeros(len(pdf), dtype=bool)
+            change[0] = True
+            for arr in key_arrs:
+                change[1:] |= arr[1:] != arr[:-1]
+            starts = np.nonzero(change)[0]
+            ends = np.concatenate((starts[1:], [len(pdf)]))
+            row = {k: arr[starts] for k, arr in zip(keys, key_arrs)}
+            row["n_buckets"] = ends - starts
+            row["ts_packed"] = [
+                codecs.dod_encode_columnar(ts_all[s:e])
+                for s, e in zip(starts, ends)
+            ]
+            row["counts_packed"] = [
+                codecs.s8b_encode(c_all[s:e]) for s, e in zip(starts, ends)
+            ]
+            row["codec"] = "s8b"
+            return pd.DataFrame(row)
+
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if len(pdf) == 0:
+                carry = None
+                continue
+            last = np.ones(len(pdf), dtype=bool)
+            for k in keys:
+                arr = pdf[k].to_numpy()
+                last &= arr == arr[-1]
+            split = len(pdf) - int(last[::-1].argmin() or len(pdf))
+            complete, carry = pdf.iloc[:split], pdf.iloc[split:]
+            if len(complete):
+                yield encode_chunk(complete)
+        if carry is not None and len(carry):
+            yield encode_chunk(carry)
+
+    slim = (
+        tier.select(*keys, "bucket_start", count_col)
+        .repartition(*keys)
+        .sortWithinPartitions(*keys, "bucket_start")
+    )
+    return slim.mapInPandas(pack_stream, schema=schema)
+
+
+def unpack_count_tier(
+    packed: DataFrame, keys: list[str], count_col: str = "turns"
+) -> DataFrame:
+    """Inverse of ``pack_count_tier``: one mapInPandas, vectorized
+    decode per payload row, back to (keys, bucket_start, count)."""
+    key_fields = ", ".join(f"{k} string" for k in keys)
+    schema = f"{key_fields}, bucket_start timestamp_ntz, {count_col} long"
+
+    def unpack(batches):
+        import numpy as np
+        import pandas as pd
+
+        from peakmatch_xcorr_spark.kernels import codecs
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frames = []
+            for _, r in pdf.iterrows():
+                ts = codecs.dod_decode_columnar(bytes(r["ts_packed"]))
+                cs = codecs.s8b_decode(bytes(r["counts_packed"]))
+                d = {k: np.repeat(r[k], len(ts)) for k in keys}
+                d["bucket_start"] = ts.astype("datetime64[us]")
+                d[count_col] = cs
+                frames.append(pd.DataFrame(d))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    return packed.mapInPandas(unpack, schema=schema)

@@ -198,3 +198,82 @@ def test_chunked_emit_large_series_roundtrip():
     np.testing.assert_array_equal(
         codecs.dod_decode_columnar(codecs.dod_encode_columnar(ts)), ts
     )
+
+
+# -------------------------------------------------------------- simple8b
+
+def test_s8b_empty_single():
+    from peakmatch_xcorr_spark.kernels.codecs import s8b_decode, s8b_encode
+
+    assert s8b_decode(s8b_encode(np.array([], dtype=np.int64))).size == 0
+    one = np.array([7], dtype=np.int64)
+    assert np.array_equal(s8b_decode(s8b_encode(one)), one)
+
+
+def test_s8b_zero_runs_collapse():
+    from peakmatch_xcorr_spark.kernels.codecs import s8b_decode, s8b_encode
+
+    z = np.zeros(960, dtype=np.int64)
+    enc = s8b_encode(z)
+    # 960 zeros = 4 x 240-run words + 8-byte header
+    assert len(enc) == 8 + 4 * 8
+    assert np.array_equal(s8b_decode(enc), z)
+
+
+def test_s8b_poisson_counts_compress(rng):
+    from peakmatch_xcorr_spark.kernels.codecs import s8b_decode, s8b_encode
+
+    v = rng.poisson(3, 720).astype(np.int64)
+    enc = s8b_encode(v)
+    assert np.array_equal(s8b_decode(enc), v)
+    assert len(v) * 8 / len(enc) > 10  # ~3-bit values in 64-bit slots
+
+
+def test_s8b_bounds_rejected():
+    from peakmatch_xcorr_spark.kernels.codecs import s8b_encode
+
+    with pytest.raises(ValueError):
+        s8b_encode(np.array([-1], dtype=np.int64))
+    with pytest.raises(ValueError):
+        s8b_encode(np.array([1 << 60], dtype=np.int64))
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**60 - 1), max_size=300))
+@settings(deadline=None, max_examples=60)
+def test_s8b_property(values):
+    from peakmatch_xcorr_spark.kernels.codecs import s8b_decode, s8b_encode
+
+    v = np.array(values, dtype=np.int64)
+    assert np.array_equal(s8b_decode(s8b_encode(v)), v)
+
+
+def test_pack_count_tier_roundtrip_spark(spark, rng):
+    from peakmatch_xcorr_spark.operators.rollup import (
+        pack_count_tier,
+        unpack_count_tier,
+    )
+    import datetime as dt
+    import pandas as pd
+
+    t0 = dt.datetime(2024, 3, 1)
+    rows = []
+    for key in ("a", "b"):
+        for i in range(500):
+            rows.append((key, t0 + dt.timedelta(hours=i),
+                         int(rng.poisson(2))))
+    pdf = pd.DataFrame(rows, columns=["k", "bucket_start", "turns"])
+    pdf["bucket_start"] = pdf["bucket_start"].astype("datetime64[us]")
+    tier = spark.createDataFrame(pdf)
+    packed = pack_count_tier(tier, ["k"])
+    prows = packed.collect()
+    assert {r["k"] for r in prows} == {"a", "b"}
+    assert all(r["codec"] == "s8b" for r in prows)
+    # compression: 500 hourly (ts, count) rows -> well under raw 16B/row
+    raw = 500 * 16
+    for r in prows:
+        assert len(r["ts_packed"]) + len(r["counts_packed"]) < raw / 8
+    out = unpack_count_tier(packed, ["k"]).toPandas()
+    out = out.sort_values(["k", "bucket_start"]).reset_index(drop=True)
+    exp = pdf.sort_values(["k", "bucket_start"]).reset_index(drop=True)
+    assert out["turns"].equals(exp["turns"])
+    assert (out["bucket_start"] == exp["bucket_start"]).all()
