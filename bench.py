@@ -268,7 +268,47 @@ def _kernel_microbench() -> dict:
         "peakmatch_us_spread": [round(min(pms) * 1e6, 2), round(max(pms) * 1e6, 2)],
         "fft_xcorr_us_spread": [round(min(fxs) * 1e6, 2), round(max(fxs) * 1e6, 2)],
         "samples": 5,
+        "codecs": _codec_microbench(),
     }
+
+
+def _codec_microbench() -> dict:
+    """Single-core codec throughput + ratio on a representative
+    720-bucket hourly tier row (Poisson counts, smooth values,
+    regular cadence): the per-column encode/decode cost a pack job
+    pays at scale."""
+    import numpy as np
+
+    from peakmatch_xcorr_spark.kernels import codecs
+
+    rng = np.random.default_rng(11)
+    ts = (np.arange(720, dtype=np.int64) * 3_600_000_000) + 1_700_000_000_000_000
+    counts = rng.poisson(3, 720).astype(np.int64)
+    vals = np.cumsum(rng.normal(0, 0.5, 720)) + 50.0
+    out = {}
+    for name, enc, dec, arr in (
+        ("dod_ts", codecs.dod_encode_columnar, codecs.dod_decode_columnar, ts),
+        ("gorilla_val", codecs.gorilla_encode_columnar,
+         codecs.gorilla_decode_columnar, vals),
+        ("s8b_count", codecs.s8b_encode, codecs.s8b_decode, counts),
+    ):
+        payload = enc(arr)
+        encs, decs = [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            enc(arr)
+            encs.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            dec(payload)
+            decs.append(time.perf_counter() - t0)
+        import statistics
+
+        out[name] = {
+            "ratio": round(len(arr) * 8 / len(payload), 2),
+            "enc_mvals_s": round(len(arr) / statistics.median(encs) / 1e6, 2),
+            "dec_mvals_s": round(len(arr) / statistics.median(decs) / 1e6, 2),
+        }
+    return out
 
 
 def _load_telemetry() -> dict:
