@@ -7013,6 +7013,36 @@ FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
 
 
 
+def _q_props_field_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (operators/semistructured.py): the
+    events table's JSON ``props`` bag has never been parsed by any
+    query until now -- grouped stats of the numeric ``$.k`` field per
+    event type, extracted JVM-side (get_json_object, codegen; NULL on
+    malformed rows, never a task failure).  Exact int64 sums make the
+    mean a single fixed-order division."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.semistructured import (
+        json_field_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return json_field_rollup(ev, "props", "$.k", ["event_type"])
+
+
+_SQL_PROPS_FIELD_ROLLUP = """
+WITH x AS (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+  FROM events
+)
+SELECT event_type, count(*) AS n, count(v) AS n_present,
+       CAST(sum(v) AS BIGINT) AS sum_v, min(v) AS min_v, max(v) AS max_v,
+       round(sum(v) / count(v) + 1e-9, 6) AS avg_v
+FROM x GROUP BY event_type
+"""
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -7155,6 +7185,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "s8b_count_roundtrip": (
         _q_s8b_count_roundtrip, _SQL_S8B_COUNT_ROUNDTRIP,
     ),
+    "props_field_rollup": (_q_props_field_rollup, _SQL_PROPS_FIELD_ROLLUP),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,
