@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("mode", choices=[
         "peakmatch", "postprocess", "fused", "analyse", "dedup",
         "rollup", "xcorr", "bruteforce", "fftdom", "cluster", "plot",
-        "downsample", "maintain", "fromconf",
+        "downsample", "convstats", "maintain", "fromconf",
     ])
     p.add_argument("--conf", default=None,
                    help="reference xcorr.conf file: its knobs seed the "
@@ -99,6 +99,16 @@ def main(argv: list[str] | None = None) -> None:
                    help="downsample sax word length")
     p.add_argument("--alphabet", type=int, default=4,
                    help="downsample sax alphabet size (3-6)")
+    p.add_argument("--stat",
+                   choices=["transitions", "latency", "entropy", "ngrams"],
+                   default="transitions",
+                   help="convstats mode statistic")
+    p.add_argument("--from-role", default="user",
+                   help="convstats latency: the prompting role")
+    p.add_argument("--to-role", default="assistant",
+                   help="convstats latency: the responding role")
+    p.add_argument("--ngram-n", type=int, default=3,
+                   help="convstats ngrams: sequence length")
     p.add_argument("--style", choices=["1d", "2d", "tiny"], default="1d",
                    help="plot mode style (XCorrProcessor.java:78-91)")
     p.add_argument("--plot-bucket-sec", type=float, default=0.64,
@@ -475,6 +485,41 @@ def main(argv: list[str] | None = None) -> None:
             )
         snap = table(args.output or f"downsample_{args.method}").overwrite(
             out, job_id=f"downsample_{args.method}"
+        )
+        print(json.dumps({"rows": snap.metrics.get("rows")}))
+        return
+
+    if args.mode == "convstats":
+        # conversation-structure analytics (engine addition;
+        # operators/transcripts.py): one conv-window exchange shared
+        # by every statistic
+        from peakmatch_xcorr_spark.operators.transcripts import (
+            behavior_entropy,
+            ordered_turns,
+            response_latency_stats,
+            role_ngrams,
+            role_transitions,
+        )
+
+        turns = ordered_turns(
+            load_transcripts(),
+            conv_col="conv_id",
+            role_col="role",
+            ts_col="ts",
+            tiebreak="turn_idx",
+        )
+        if args.stat == "latency":
+            out = response_latency_stats(
+                turns, args.from_role, args.to_role, bucket=args.bucket
+            )
+        elif args.stat == "entropy":
+            out = behavior_entropy(turns)
+        elif args.stat == "ngrams":
+            out = role_ngrams(turns, n=args.ngram_n)
+        else:
+            out = role_transitions(turns)
+        snap = table(args.output or f"convstats_{args.stat}").overwrite(
+            out, job_id=f"convstats_{args.stat}"
         )
         print(json.dumps({"rows": snap.metrics.get("rows")}))
         return

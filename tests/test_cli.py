@@ -200,3 +200,20 @@ def test_cli_fromconf_requires_conf_and_rejects_typos(capsys, cli_env, tmp_path)
     with pytest.raises(SystemExit):
         main(["fromconf", "--conf", str(bad), "--input", cli_env["input"],
               "--warehouse", cli_env["warehouse"], "--cores", "4"])
+
+
+def test_cli_convstats_all_stats(capsys, cli_env):
+    out = json.loads(_run(capsys, cli_env, "convstats"))
+    assert out["rows"] > 0  # transitions over the role alphabet
+    out = json.loads(_run(
+        capsys, cli_env, "convstats", "--stat", "latency",
+        "--from-role", "user", "--to-role", "assistant",
+    ))
+    assert out["rows"] > 0
+    # one row per conversation: 12 base + 2 dup copies + the giant
+    out = json.loads(_run(capsys, cli_env, "convstats", "--stat", "entropy"))
+    assert out["rows"] == 15
+    out = json.loads(_run(
+        capsys, cli_env, "convstats", "--stat", "ngrams", "--ngram-n", "2",
+    ))
+    assert out["rows"] > 0
