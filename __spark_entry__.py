@@ -7043,6 +7043,96 @@ FROM x GROUP BY event_type
 
 
 
+def _q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring (textstats.unigram_surprisal):
+    mean corpus-unigram surprisal per document.  Per-token surprisal
+    is rounded once at the VOCAB level to integer micro-nats so the
+    per-doc aggregation is an exact int64 sum -- a raw float sum over
+    hundreds of occurrences drifts across engines at the 6 dp grain."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.textstats import unigram_surprisal
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)
+
+
+_SQL_UNIGRAM_SURPRISAL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(
+      lower(regexp_replace(text, '[^\\p{L}\\p{N}_\\s'']', ' ', 'g')),
+      '\\s+'),
+    x -> length(x) > 0)) AS tok
+  FROM documents
+), tf AS (
+  SELECT tok, count(*) AS tf FROM toks GROUP BY 1
+), tot AS (SELECT sum(tf) AS total FROM tf),
+lm AS (
+  SELECT tok,
+         CAST(round(-ln(tf / tot.total) * 1e6 + 1e-9, 0) AS BIGINT) AS unats
+  FROM tf CROSS JOIN tot
+)
+SELECT toks.doc_id, count(*) AS n_tokens,
+       round(sum(lm.unats) / count(*) / 1e6 + 1e-9, 6)
+         AS mean_surprisal_nats
+FROM toks JOIN lm USING (tok)
+GROUP BY toks.doc_id
+"""
+
+
+def _q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: near-dup components (ngram_jaccard_pairs ->
+    connected_components) -> canonical representative per component
+    (min doc_id) -> per-document keep/drop verdict over the WHOLE
+    corpus -- the last step of the dedup pipeline a training-data run
+    actually consumes (docs outside any component are their own
+    canonical)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5, k=5).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components(edges).select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+    canon = comp.groupBy("component").agg(F.min("doc_id").alias("canonical"))
+    labeled = comp.join(canon, "component").select("doc_id", "canonical")
+    return (
+        docs.select("doc_id")
+        .join(labeled, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("canonical", "doc_id").alias("canonical"),
+            (
+                F.coalesce("canonical", "doc_id") == F.col("doc_id")
+            ).alias("kept"),
+        )
+    )
+
+
+_SQL_DEDUP_CANONICAL = f"""
+WITH comp AS (
+{_SQL_DOC_COMPONENTS.strip()}
+), canon AS (
+  SELECT component, min(id) AS canonical FROM comp GROUP BY 1
+), labeled AS (
+  SELECT comp.id AS doc_id, canon.canonical
+  FROM comp JOIN canon USING (component)
+)
+SELECT d.doc_id,
+       COALESCE(labeled.canonical, d.doc_id) AS canonical,
+       COALESCE(labeled.canonical, d.doc_id) = d.doc_id AS kept
+FROM documents d LEFT JOIN labeled USING (doc_id)
+"""
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -7186,6 +7276,8 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_s8b_count_roundtrip, _SQL_S8B_COUNT_ROUNDTRIP,
     ),
     "props_field_rollup": (_q_props_field_rollup, _SQL_PROPS_FIELD_ROLLUP),
+    "unigram_surprisal": (_q_unigram_surprisal, _SQL_UNIGRAM_SURPRISAL),
+    "dedup_canonical": (_q_dedup_canonical, _SQL_DEDUP_CANONICAL),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

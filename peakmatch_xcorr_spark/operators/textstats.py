@@ -408,3 +408,47 @@ def bm25_scores(
         .agg(F.round(F.sum("part") + 1e-9, 6).alias("score"))
         .select(F.col("_d").alias(id_col), "score")
     )
+
+
+def unigram_surprisal(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document mean unigram surprisal under the corpus's own
+    unigram LM: avg over token occurrences of −ln(tf(t)/total) — the
+    cheap perplexity proxy quality filters use (low = repetitive
+    common-token text, high = rare-token/garbage text; both tails are
+    triage candidates, complementing ``quality_score``'s shape
+    heuristics).
+
+    Determinism: the per-token surprisal is rounded ONCE at the
+    vocabulary level to integer micro-nats (one ln per DISTINCT
+    token), so the per-document aggregation is an exact int64 sum —
+    a float sum over a few hundred occurrences would drift across
+    engines right at the 6 dp grain.  The mean is then a single
+    exact-int division.  Plan: token tf aggregate (|vocab| rows) →
+    broadcast-sized join back to occurrences → per-doc sum with
+    map-side partials."""
+    toks = docs.select(
+        F.col(id_col).alias("_d"),
+        F.explode(_tokens(text_col)).alias("tok"),
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = tf.agg(F.sum("tf").alias("total"))
+    lm = tf.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            -F.log(F.col("tf") / F.col("total")) * 1e6 + 1e-9, 0
+        ).cast("long").alias("unats"),
+    )
+    return (
+        toks.join(F.broadcast(lm), "tok")
+        .groupBy(F.col("_d").alias(id_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum("unats") / F.count(F.lit(1)) / 1e6 + 1e-9, 6
+            ).alias("mean_surprisal_nats"),
+        )
+    )

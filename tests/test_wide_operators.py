@@ -772,3 +772,30 @@ def test_bm25_matches_scalar_and_ranks_relevant_first(spark):
     # the saturation+normalization behavior that distinguishes BM25
     # from raw tf-idf
     assert got[3] > got[1] > 0
+
+
+def test_unigram_surprisal_matches_scalar(spark):
+    import math
+
+    from peakmatch_xcorr_spark.operators.textstats import unigram_surprisal
+
+    corpus = {1: "a a b", 2: "b c", 3: "a"}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["mean_surprisal_nats"])
+        for r in unigram_surprisal(docs).collect()
+    }
+    tf = {"a": 3, "b": 2, "c": 1}
+    total = 6
+    unats = {
+        t: round(-math.log(c / total) * 1e6 + 1e-9)
+        for t, c in tf.items()
+    }
+    for d, text in corpus.items():
+        toks = text.split()
+        want = round(sum(unats[t] for t in toks) / len(toks) / 1e6 + 1e-9, 6)
+        assert got[d] == (len(toks), want), d
+    # rare-token doc scores higher than common-token doc
+    assert got[2][1] > got[3][1]
