@@ -7133,6 +7133,38 @@ FROM documents d LEFT JOIN labeled USING (doc_id)
 
 
 
+def _q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted exactly-k sample (trainprep.weighted_sample, A-ES
+    exponential clocks): 20 documents drawn with probability rising in
+    n_chars -- the curriculum/mixture sampler for weighted corpora.
+    Clocks are quantized once to integer nanokeys so the ranking is an
+    int64 comparison both engines replay bit-for-bit."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.trainprep import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample(docs, 20, "n_chars").select(
+        "doc_id", "n_chars", "source"
+    )
+
+
+_SQL_WEIGHTED_SAMPLE_DOCS = """
+WITH keyed AS (
+  SELECT doc_id, n_chars, source,
+         CAST(round(
+           -ln((('0x' || substr(md5('wsample-v1:' || CAST(doc_id AS VARCHAR)),
+                 1, 8))::BIGINT + 0.5) / 4294967296.0)
+           / CAST(n_chars AS DOUBLE) * 1e9 + 1e-9, 0) AS BIGINT) AS wkey
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT doc_id, n_chars, source
+FROM keyed
+QUALIFY row_number() OVER (ORDER BY wkey, doc_id) <= 20
+"""
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -7278,6 +7310,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "props_field_rollup": (_q_props_field_rollup, _SQL_PROPS_FIELD_ROLLUP),
     "unigram_surprisal": (_q_unigram_surprisal, _SQL_UNIGRAM_SURPRISAL),
     "dedup_canonical": (_q_dedup_canonical, _SQL_DEDUP_CANONICAL),
+    "weighted_sample_docs": (
+        _q_weighted_sample_docs, _SQL_WEIGHTED_SAMPLE_DOCS,
+    ),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

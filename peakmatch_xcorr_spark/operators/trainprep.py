@@ -301,3 +301,43 @@ def stratified_sample(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    seed: str = "wsample-v1",
+) -> DataFrame:
+    """Exactly-k WEIGHTED sample without replacement (Efraimidis &
+    Spirakis A-ES): each row draws an exponential clock
+    key = −ln(u)/w from its md5-keyed uniform u and the k SMALLEST
+    keys win — inclusion probability rises with weight, membership
+    stays a pure function of (seed, id, weight).  The mixture/
+    curriculum sampler a training run uses when documents carry
+    quality or domain weights rather than uniform worth.
+
+    Determinism contract: the clock is quantized ONCE to integer
+    nanokeys (round(−ln(u)/w · 1e9)) so the ranking compares int64s
+    with the id as tie-break — ranking raw doubles would let the two
+    engines' last-ulp ln() disagreement flip near-tied ranks.  u is
+    offset to (h+0.5)/2^32 so u = 0 (infinite clock) cannot occur.
+
+    Weights must be > 0 (rows with NULL/≤0 weight are dropped — a
+    zero-weight row should never win, and −ln(u)/0 is the kind of
+    Inf that poisons a TakeOrdered).  Scale shape: same as
+    deterministic_sample — global top-k compiles to TakeOrdered,
+    per-partition partial top-k then a k-row merge."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = (_uniform_hash(id_col, seed) + F.lit(0.5)) / F.lit(float(_HASH_SPACE))
+    w = F.col(weight_col).cast("double")
+    key = F.round(-F.log(u) / w * 1e9 + 1e-9, 0).cast("long")
+    return (
+        docs.filter(w.isNotNull() & (w > 0))
+        .withColumn("_wkey", key)
+        .orderBy(F.col("_wkey").asc(), F.col(id_col).asc())
+        .limit(k)
+        .drop("_wkey")
+    )

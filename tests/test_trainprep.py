@@ -306,3 +306,62 @@ def test_stratified_sample_rejects_bad_k(spark):
     )
     with pytest.raises(ValueError, match="k must"):
         stratified_sample(docs, ["source"], k=0)
+
+
+# --------------------------------------------------------- weighted sample
+
+def _aes_scalar(ids, weights, k, seed="wsample-v1"):
+    import hashlib
+    import math
+
+    keyed = []
+    for i, w in zip(ids, weights):
+        h = int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        keyed.append((round(-math.log(u) / w * 1e9 + 1e-9), i))
+    return [i for _, i in sorted(keyed)[:k]]
+
+
+def test_weighted_sample_matches_scalar_replica(spark):
+    from peakmatch_xcorr_spark.operators.trainprep import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = [
+        r["doc_id"]
+        for r in weighted_sample(df, 15, "w").orderBy("doc_id").collect()
+    ]
+    want = sorted(_aes_scalar([i for i, _ in rows], [w for _, w in rows], 15))
+    assert got == want
+
+
+def test_weighted_sample_prefers_heavy_rows(spark):
+    """Across seeds, a row with 50x the weight must be selected far
+    more often than a unit-weight row (A-ES inclusion monotonicity) --
+    checked on the scalar replica (same math, no Spark loop)."""
+    import hashlib
+    import math
+
+    n, k, trials = 100, 10, 200
+    heavy_hits = light_hits = 0
+    for t in range(trials):
+        seed = f"s{t}"
+        weights = [50.0 if i == 0 else 1.0 for i in range(n)]
+        win = _aes_scalar(list(range(n)), weights, k, seed)
+        heavy_hits += 0 in win
+        light_hits += 1 in win
+    assert heavy_hits > trials * 0.9   # ~always in at 50x weight
+    assert light_hits < trials * 0.4   # unit rows win ~k/n of the time
+
+
+def test_weighted_sample_drops_nonpositive_and_validates(spark):
+    from peakmatch_xcorr_spark.operators.trainprep import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)],
+        "doc_id long, w double",
+    )
+    got = weighted_sample(df, 10, "w").collect()
+    assert [r["doc_id"] for r in got] == [1]
+    with pytest.raises(ValueError):
+        weighted_sample(df, 0, "w")
