@@ -7165,6 +7165,95 @@ QUALIFY row_number() OVER (ORDER BY wkey, doc_id) <= 20
 
 
 
+_ASAP_CANDIDATES = (1, 2, 3, 4, 6, 12)
+
+
+def _q_asap_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASAP smoothing parameter search (downsample.asap_pick_window)
+    over the per-event-type hourly dense tier: the window that
+    minimizes roughness while preserving kurtosis, evaluated on a
+    fixed candidate grid in ONE plan.  Integer window sums keep
+    roughness bit-exact; selection compares ROUNDED stats so
+    near-ties cannot flip across engines."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.downsample import asap_pick_window
+    from peakmatch_xcorr_spark.operators.seasonal import dense_bucket_counts
+
+    ev = _t(spark, sf_dir, "events")
+    dense = dense_bucket_counts(ev, ["event_type"], "ts", "1 hour")
+    return asap_pick_window(dense, ["event_type"], _ASAP_CANDIDATES)
+
+
+def _asap_sql() -> str:
+    dense = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS b, count(*) AS v
+  FROM events GROUP BY 1, 2
+), sp AS (
+  SELECT event_type, min(b) AS lo, max(b) AS hi FROM c GROUP BY 1
+), d0 AS (
+  SELECT event_type, unnest(generate_series(lo, hi)) AS b FROM sp
+), d AS (
+  SELECT d0.event_type, d0.b, COALESCE(c.v, 0) AS v
+  FROM d0 LEFT JOIN c ON c.event_type = d0.event_type AND c.b = d0.b
+)"""
+    parts, unions = [], []
+    for w in _ASAP_CANDIDATES:
+        parts.append(f""", sw{w} AS (
+  SELECT event_type, b,
+         sum(v) OVER (PARTITION BY event_type ORDER BY b
+                      ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS S,
+         count(v) OVER (PARTITION BY event_type ORDER BY b
+                        ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS cnt
+  FROM d
+), f{w} AS (
+  SELECT event_type, S,
+         S - lag(S) OVER (PARTITION BY event_type ORDER BY b) AS dd
+  FROM (SELECT * FROM sw{w} WHERE cnt = {w})
+), st{w} AS (
+  SELECT event_type, {w} AS w,
+         count(dd) AS nd, COALESCE(sum(dd), 0) AS d1,
+         COALESCE(sum(dd * dd), 0) AS d2,
+         count(S) AS ns,
+         sum(CAST(S AS DOUBLE)) AS s1,
+         sum(CAST(S AS DOUBLE) * CAST(S AS DOUBLE)) AS s2,
+         sum(CAST(S AS DOUBLE) * CAST(S AS DOUBLE) * CAST(S AS DOUBLE)) AS s3,
+         sum(CAST(S AS DOUBLE) * CAST(S AS DOUBLE) * CAST(S AS DOUBLE)
+             * CAST(S AS DOUBLE)) AS s4
+  FROM f{w} GROUP BY 1
+)""")
+        unions.append(f"SELECT * FROM st{w}")
+    stats = f""", allw AS (
+  SELECT event_type, w,
+         round(sqrt(CAST(nd * d2 - d1 * d1 AS DOUBLE) / (nd * nd))
+               / CAST(w AS DOUBLE) + 1e-9, 6) AS roughness,
+         CASE WHEN (s2 / ns - (s1 / ns) * (s1 / ns)) > 0 THEN
+           round((s4 / ns
+                  - 4.0 * (s1 / ns) * (s3 / ns)
+                  + 6.0 * (s1 / ns) * (s1 / ns) * (s2 / ns)
+                  - 3.0 * (s1 / ns) * (s1 / ns) * (s1 / ns) * (s1 / ns))
+                 / ((s2 / ns - (s1 / ns) * (s1 / ns))
+                    * (s2 / ns - (s1 / ns) * (s1 / ns))) + 1e-9, 6)
+         END AS kurtosis
+  FROM ({" UNION ALL ".join(unions)})
+  WHERE nd >= 2 AND ns >= 4
+), raw AS (
+  SELECT event_type, kurtosis AS kurtosis_raw FROM allw WHERE w = 1
+)
+SELECT event_type, w AS best_window, roughness, kurtosis, kurtosis_raw
+FROM allw JOIN raw USING (event_type)
+WHERE w = 1 OR (kurtosis IS NOT NULL AND kurtosis >= kurtosis_raw)
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY roughness, w
+) = 1
+"""
+    return dense + "".join(parts) + stats
+
+
+_SQL_ASAP_WINDOW = _asap_sql()
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -7313,6 +7402,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "weighted_sample_docs": (
         _q_weighted_sample_docs, _SQL_WEIGHTED_SAMPLE_DOCS,
     ),
+    "asap_window_hourly": (_q_asap_window, _SQL_ASAP_WINDOW),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

@@ -838,3 +838,114 @@ def holt_winters_forecast(
         .sortWithinPartitions(*keys, *order)
     )
     return slim.mapInPandas(run, schema=schema)
+
+
+def asap_pick_window(
+    dense: DataFrame,
+    keys: list[str],
+    candidates: tuple[int, ...] = (1, 2, 3, 4, 6, 12),
+) -> DataFrame:
+    """ASAP smoothing parameter search (Rong & Bailis, VLDB 2017):
+    per key, pick the moving-average window that minimizes ROUGHNESS
+    (std of the smoothed series' first differences) while PRESERVING
+    KURTOSIS (the smoothed series' tailedness must not drop below the
+    raw series') — the auto-knob for "smooth this dashboard curve
+    without erasing its anomalies".  Returns (keys, best_window,
+    roughness, kurtosis, kurtosis_raw).
+
+    This implementation searches a FIXED candidate grid instead of
+    ASAP's pruned autocorrelation search: the grid evaluates every
+    candidate in one plan (|candidates| window frames over the same
+    key exchange), which is the right shape for a distributed tier —
+    per-key sequential search would serialize on the longest key.
+
+    Determinism contract (oracle-replayable): window sums S and their
+    first differences d stay int64, so roughness =
+    sqrt((n·Σd² − (Σd)²) / n²) / w consumes EXACT integers in a
+    fixed-order double expression (sqrt is correctly rounded in
+    IEEE — both engines agree bit-for-bit).  Kurtosis uses raw double
+    power sums of S (m4/m2² via the standard raw-moment expansion):
+    accumulation-order drift is ~1e-15 relative, invisible at the
+    6 dp rounding.  Selection compares the ROUNDED stats with the
+    window as tie-break, so near-ties cannot flip across engines."""
+    from pyspark.sql import Window
+
+    if 1 not in candidates:
+        raise ValueError("candidates must include 1 (the raw baseline)")
+    per_w = []
+    for w in sorted(set(candidates)):
+        win = (
+            Window.partitionBy(*keys)
+            .orderBy("b")
+            .rowsBetween(-(w - 1), 0)
+        )
+        s = dense.select(
+            *keys,
+            "b",
+            F.sum("v").over(win).alias("S"),
+            F.count("v").over(win).alias("cnt"),
+        ).filter(F.col("cnt") == w)
+        lagw = Window.partitionBy(*keys).orderBy("b")
+        d = s.select(
+            *keys,
+            "S",
+            (F.col("S") - F.lag("S").over(lagw)).alias("d"),
+        )
+        sd = F.col("S").cast("double")
+        agg = d.groupBy(*keys).agg(
+            F.count("d").alias("nd"),
+            F.coalesce(F.sum("d"), F.lit(0)).alias("d1"),
+            F.coalesce(F.sum(F.col("d") * F.col("d")), F.lit(0)).alias("d2"),
+            F.count("S").alias("ns"),
+            F.sum(sd).alias("s1"),
+            F.sum(sd * sd).alias("s2"),
+            F.sum(sd * sd * sd).alias("s3"),
+            F.sum(sd * sd * sd * sd).alias("s4"),
+        )
+        m = F.col("s1") / F.col("ns")
+        m2 = F.col("s2") / F.col("ns") - m * m
+        m4 = (
+            F.col("s4") / F.col("ns")
+            - 4.0 * m * (F.col("s3") / F.col("ns"))
+            + 6.0 * m * m * (F.col("s2") / F.col("ns"))
+            - 3.0 * m * m * m * m
+        )
+        rough = F.sqrt(
+            (
+                F.col("nd") * F.col("d2") - F.col("d1") * F.col("d1")
+            ).cast("double")
+            / (F.col("nd") * F.col("nd"))
+        ) / F.lit(float(w))
+        per_w.append(
+            agg.filter((F.col("nd") >= 2) & (F.col("ns") >= 4)).select(
+                *keys,
+                F.lit(w).alias("w"),
+                F.round(rough + 1e-9, 6).alias("roughness"),
+                F.round(
+                    F.when(m2 > 0, m4 / (m2 * m2)) + 1e-9, 6
+                ).alias("kurtosis"),
+            )
+        )
+    allw = per_w[0]
+    for frame in per_w[1:]:
+        allw = allw.unionByName(frame)
+    raw = allw.filter(F.col("w") == 1).select(
+        *keys, F.col("kurtosis").alias("kurtosis_raw")
+    )
+    eligible = allw.join(raw, keys).filter(
+        (F.col("w") == 1)
+        | (F.col("kurtosis").isNotNull())
+        & (F.col("kurtosis") >= F.col("kurtosis_raw"))
+    )
+    pick = Window.partitionBy(*keys).orderBy("roughness", "w")
+    return (
+        eligible.withColumn("_rn", F.row_number().over(pick))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *keys,
+            F.col("w").alias("best_window"),
+            "roughness",
+            "kurtosis",
+            "kurtosis_raw",
+        )
+    )

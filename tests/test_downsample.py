@@ -679,3 +679,71 @@ def test_holt_winters_forecast_continues_planted_seasonality(spark):
     for _, r in got.iterrows():
         expected = 10.0 + offs[(400 + r["h"] - 1) % period]
         assert abs(r["forecast"] - expected) < 0.2, (r["h"], r["forecast"])
+
+
+# ----------------------------------------------------------------- ASAP
+
+def _asap_scalar(v, candidates):
+    import math
+
+    v = np.asarray(v, dtype=np.int64)
+    rows = {}
+    for w in sorted(set(candidates)):
+        S = np.convolve(v, np.ones(w, dtype=np.int64), "valid")
+        if len(S) < 4:
+            continue
+        d = np.diff(S)
+        if len(d) < 2:
+            continue
+        nd, d1, d2 = len(d), int(d.sum()), int((d * d).sum())
+        rough = math.sqrt((nd * d2 - d1 * d1) / (nd * nd)) / w
+        Sf = S.astype(float)
+        ns = len(Sf)
+        s1, s2 = Sf.sum(), (Sf * Sf).sum()
+        s3, s4 = (Sf**3).sum(), (Sf**4).sum()
+        m = s1 / ns
+        m2 = s2 / ns - m * m
+        m4 = s4 / ns - 4.0 * m * (s3 / ns) + 6.0 * m * m * (s2 / ns) - 3.0 * m**4
+        kurt = round(m4 / (m2 * m2) + 1e-9, 6) if m2 > 0 else None
+        rows[w] = (round(rough + 1e-9, 6), kurt)
+    raw_k = rows[1][1]
+    elig = [
+        (r, w) for w, (r, k) in rows.items()
+        if w == 1 or (k is not None and raw_k is not None and k >= raw_k)
+    ]
+    r, w = min(elig)
+    return w, rows
+
+
+def _run_asap(spark, series, candidates=(1, 2, 3, 4, 6, 12)):
+    from peakmatch_xcorr_spark.operators.downsample import asap_pick_window
+
+    dense = spark.createDataFrame(
+        [("k", i, int(x)) for i, x in enumerate(series)],
+        "event_type string, b long, v long",
+    )
+    return asap_pick_window(dense, ["event_type"], candidates).collect()[0]
+
+
+def test_asap_matches_scalar_replica(spark, rng):
+    v = rng.poisson(5, 300)
+    got = _run_asap(spark, v)
+    want_w, rows = _asap_scalar(v, (1, 2, 3, 4, 6, 12))
+    assert got["best_window"] == want_w
+    assert got["roughness"] == rows[want_w][0]
+    assert got["kurtosis"] == rows[want_w][1]
+    assert got["kurtosis_raw"] == rows[1][1]
+
+
+def test_asap_smooths_noise_but_keeps_spikes(spark, rng):
+    # smooth-eligible noise: some window > 1 wins
+    noise = rng.poisson(20, 400)
+    got = _run_asap(spark, noise)
+    w_noise, rows = _asap_scalar(noise, (1, 2, 3, 4, 6, 12))
+    assert got["best_window"] == w_noise
+    # a single massive spike dominates kurtosis; averaging dilutes it,
+    # so kurtosis preservation must reject the smoothing windows
+    spiked = rng.poisson(2, 400)
+    spiked[200] = 5000
+    got2 = _run_asap(spark, spiked)
+    assert got2["best_window"] == 1
