@@ -7254,6 +7254,39 @@ _SQL_ASAP_WINDOW = _asap_sql()
 
 
 
+def _q_largest_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outage report (stateagg.largest_gaps): per user the 3 longest
+    silent intervals between consecutive events with their bounds --
+    the WHICH-gaps detail behind heartbeat_uptime's dead-time sum.
+    Exact int64 microsecond gaps; rank ties break on gap_start."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.stateagg import largest_gaps
+
+    ev = _t(spark, sf_dir, "events")
+    return largest_gaps(
+        ev, "user_id", "ts", k=3, tiebreak_cols=("event_id",)
+    )
+
+
+_SQL_LARGEST_GAPS = """
+WITH g AS (
+  SELECT user_id, ts AS gap_start,
+         lead(ts) OVER w AS gap_end,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       row_number() OVER (
+         PARTITION BY user_id ORDER BY gap_us DESC, gap_start
+       ) AS gap_rank,
+       gap_start, gap_end, gap_us
+FROM g WHERE gap_end IS NOT NULL
+QUALIFY gap_rank <= 3
+"""
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -7403,6 +7436,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
         _q_weighted_sample_docs, _SQL_WEIGHTED_SAMPLE_DOCS,
     ),
     "asap_window_hourly": (_q_asap_window, _SQL_ASAP_WINDOW),
+    "largest_gaps_user": (_q_largest_gaps, _SQL_LARGEST_GAPS),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

@@ -212,3 +212,42 @@ def candlestick(
         F.max_by(F.col(value_col), order_key).alias("close"),
         F.count(F.lit(1)).alias("turns"),
     )
+
+
+def largest_gaps(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    k: int = 3,
+    tiebreak_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per key, the k LARGEST silent intervals between consecutive
+    events, with their bounds — the outage report behind
+    ``heartbeat_uptime``'s aggregate dead-time number (ops wants
+    WHICH gaps, not just their sum).
+
+    One lead() on the shared ordered window, then a per-key top-k
+    window on the gap — both reuse the same key exchange.  Gaps are
+    exact int64 microseconds; ranking ties break on gap_start so the
+    k-th place is deterministic cross-engine."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    w = _ordered_window(key_col, ts_col, tiebreak_cols)
+    nxt = F.lead(F.col(ts_col)).over(w)
+    gaps = df.select(
+        F.col(key_col),
+        F.col(ts_col).alias("gap_start"),
+        nxt.alias("gap_end"),
+        (
+            F.unix_micros(nxt.cast("timestamp"))
+            - F.unix_micros(F.col(ts_col).cast("timestamp"))
+        ).alias("gap_us"),
+    ).filter(F.col("gap_end").isNotNull())
+    rank_w = Window.partitionBy(key_col).orderBy(
+        F.col("gap_us").desc(), F.col("gap_start").asc()
+    )
+    return (
+        gaps.withColumn("gap_rank", F.row_number().over(rank_w))
+        .filter(F.col("gap_rank") <= k)
+        .select(key_col, "gap_rank", "gap_start", "gap_end", "gap_us")
+    )

@@ -266,3 +266,43 @@ def test_duration_in_buckets_plan_one_exchange(spark):
     # distribution: one data exchange
     assert s.count(") Exchange") == 1
     assert "Python" not in s and "ArrowEval" not in s
+
+
+def test_largest_gaps_ranks_and_bounds(spark):
+    import datetime as dt
+
+    from peakmatch_xcorr_spark.operators.stateagg import largest_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    # key a: gaps of 10s, 3600s, 60s -> top-2 = 3600, 60
+    offsets = [0, 10, 3610, 3670]
+    rows = [("a", t0 + dt.timedelta(seconds=s)) for s in offsets]
+    rows += [("b", t0)]  # single event: no gap rows at all
+    df = spark.createDataFrame(rows, "user_id string, ts timestamp")
+    got = largest_gaps(df, "user_id", "ts", k=2).collect()
+    by = {(r["user_id"], r["gap_rank"]): r for r in got}
+    assert set(by) == {("a", 1), ("a", 2)}
+    assert by[("a", 1)]["gap_us"] == 3_600_000_000
+    assert by[("a", 1)]["gap_start"] == t0 + dt.timedelta(seconds=10)
+    assert by[("a", 2)]["gap_us"] == 60_000_000
+
+
+def test_largest_gaps_tie_breaks_on_start(spark):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from peakmatch_xcorr_spark.operators.stateagg import largest_gaps
+
+    t0 = dt.datetime(2024, 1, 1)
+    # two equal 100s gaps: rank 1 must be the EARLIER one
+    offsets = [0, 100, 101, 201]
+    df = spark.createDataFrame(
+        [("a", t0 + dt.timedelta(seconds=s)) for s in offsets],
+        "user_id string, ts timestamp",
+    )
+    got = {r["gap_rank"]: r for r in largest_gaps(df, "user_id", "ts", 2).collect()}
+    assert got[1]["gap_start"] == t0
+    assert got[2]["gap_start"] == t0 + dt.timedelta(seconds=101)
+    with _pytest.raises(ValueError):
+        largest_gaps(df, "user_id", "ts", 0)
