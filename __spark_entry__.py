@@ -7287,6 +7287,47 @@ QUALIFY gap_rank <= 3
 
 
 
+def _q_snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-metadata query (sources/warehouse.py history): the
+    snapshot chain of a two-append warehouse as a DataFrame --
+    Iceberg's table.history UX, read from manifests only (no data
+    file opened).  Hash-checked: the chain (version, parent,
+    operation, live rows) is a pure function of the deterministic
+    split, so DuckDB replays it from counts + literals."""
+    import shutil
+    import tempfile
+
+    _utc(spark)
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    root = tempfile.mkdtemp(prefix="pxs_hist_q_")
+    try:
+        t = WarehouseTable(root, "events_src")
+        t.append(ev.filter(F.col("user_id") % 3 != 0), job_id="backfill")
+        t.append(ev.filter(F.col("user_id") % 3 == 0), job_id="ingest_1")
+        out = t.history(spark).select(
+            "version", "parent", "operation", "job_id", "live_rows"
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+_SQL_SNAPSHOT_HISTORY = """
+WITH c AS (
+  SELECT count(*) FILTER (user_id % 3 != 0) AS a,
+         count(*) AS total
+  FROM events
+)
+SELECT 1 AS version, CAST(NULL AS INTEGER) AS parent,
+       'append' AS operation, 'backfill' AS job_id, a AS live_rows FROM c
+UNION ALL
+SELECT 2, 1, 'append', 'ingest_1', total FROM c
+"""
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -7437,6 +7478,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "asap_window_hourly": (_q_asap_window, _SQL_ASAP_WINDOW),
     "largest_gaps_user": (_q_largest_gaps, _SQL_LARGEST_GAPS),
+    "snapshot_history": (_q_snapshot_history, _SQL_SNAPSHOT_HISTORY),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

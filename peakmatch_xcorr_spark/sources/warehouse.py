@@ -276,6 +276,31 @@ class WarehouseTable:
                 os.remove(os.path.join(self.data_dir, p))
         return files
 
+    def history(self, spark: SparkSession) -> DataFrame:
+        """Snapshot-chain metadata as a DataFrame (Iceberg's
+        ``table.history`` / ``snapshots`` UX): one row per committed
+        version with operation, job_id, file/row counts, and live
+        rows as of that snapshot.  Reads ONLY manifests — no data
+        file is opened, so it is O(versions) regardless of table
+        size; the per-partition lineage a resumable job inspects to
+        decide where to pick up."""
+        rows = []
+        for v in self.versions():
+            s = self.snapshot(v)
+            rows.append((
+                s.version,
+                s.parent,
+                s.operation,
+                s.job_id,
+                len(s.files),
+                sum(int(f.get("rows") or 0) for f in s.files),
+            ))
+        return spark.createDataFrame(
+            rows,
+            "version int, parent int, operation string, job_id string, "
+            "n_files int, live_rows long",
+        )
+
     def count_rows(self, version: int | None = None) -> int:
         """COUNT(*) from the manifest alone — zero Spark jobs, zero
         file opens.  Sound because every commit records exact per-file

@@ -1196,3 +1196,22 @@ def test_real_time_view_falls_back_after_compaction(spark, wh):
     got = _rt_pandas(agg.real_time(spark, "1h"))
     exp = _rt_pandas(tumbling_rollup(full, ["conv_id"], "ts", None, "1 hour"))
     assert got.equals(exp)
+
+
+def test_history_reflects_chain_without_reading_data(spark, tmp_path):
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+
+    t = WarehouseTable(str(tmp_path), "h")
+    df = spark.range(10).withColumnRenamed("id", "conv_id")
+    t.append(df, job_id="a")
+    t.append(df, job_id="b")
+    t.overwrite(df.limit(3), job_id="c")
+    hist = {r["version"]: r for r in t.history(spark).collect()}
+    assert [hist[v]["operation"] for v in (1, 2, 3)] == [
+        "append", "append", "overwrite"
+    ]
+    assert hist[1]["parent"] is None and hist[3]["parent"] == 2
+    assert hist[1]["live_rows"] == 10
+    assert hist[2]["live_rows"] == 20
+    assert hist[3]["live_rows"] == 3
+    assert [hist[v]["job_id"] for v in (1, 2, 3)] == ["a", "b", "c"]
