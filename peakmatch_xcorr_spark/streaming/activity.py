@@ -516,3 +516,81 @@ def streaming_hll_tier(
         .agg(F.max("rho").alias("r"))
         .select(F.col("win.start").alias("bucket"), "idx", "r")
     )
+
+
+def streaming_heavy_hitters(
+    stream: DataFrame,
+    token_col: str = "text",
+    m: int = 64,
+    shards: int = 16,
+) -> DataFrame:
+    """Streaming frequent items with BOUNDED state: the space-saving
+    candidate table of operators/sketches.frequent_items_sketch, kept
+    alive across micro-batches in the state store instead of rebuilt
+    per pass.
+
+    A native streaming groupBy(token).count() holds one state row per
+    DISTINCT token — unbounded over an unbounded vocabulary, the
+    thing that OOMs a 10^12-turn stream.  Here tokens hash into
+    ``shards`` fixed groups and each shard's state is a space-saving
+    table of at most ``m`` (token, count, err) entries: a new token
+    evicts the current minimum and INHERITS its count as the
+    overestimate bound (Metwally et al.'s Space-Saving), so any token
+    with true frequency > N/(shards·m) is guaranteed present.  State
+    is shards·m rows TOTAL, independent of vocabulary and stream
+    length.
+
+    Emits each shard's full candidate table every batch (update
+    mode); read the latest batch per shard and merge shards by
+    summing disjoint candidates (a token lives in exactly one
+    shard).  ``count`` is an upper bound, ``count − err`` a lower
+    bound — the same estimate contract as the batch sketch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "shard int, token string, count long, err long"
+    state_schema = "tokens array<string>, counts array<long>, errs array<long>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            toks, counts, errs = state.get
+            table = {
+                t: [c, e] for t, c, e in zip(toks, counts, errs)
+            }
+        else:
+            table = {}
+        for pdf in pdfs:
+            for t, n in pdf[token_col].value_counts().items():
+                n = int(n)
+                if t in table:
+                    table[t][0] += n
+                elif len(table) < m:
+                    table[t] = [n, 0]
+                else:
+                    victim = min(table, key=lambda x: table[x][0])
+                    floor_c = table[victim][0]
+                    del table[victim]
+                    # inherit the evicted minimum: count is an upper
+                    # bound, err records how much of it is inherited
+                    table[t] = [floor_c + n, floor_c]
+        items = sorted(table.items())
+        state.update((
+            [t for t, _ in items],
+            [v[0] for _, v in items],
+            [v[1] for _, v in items],
+        ))
+        yield pd.DataFrame({
+            "shard": [key[0]] * len(items),
+            "token": [t for t, _ in items],
+            "count": [v[0] for _, v in items],
+            "err": [v[1] for _, v in items],
+        })
+
+    sharded = stream.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(token_col)), F.lit(shards)).cast("int")
+    )
+    return sharded.groupBy("shard").applyInPandasWithState(
+        update, out_schema, state_schema, "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -392,3 +392,59 @@ def test_streaming_hll_tier_matches_batch_registers(spark, stream_dir):
     # a sealed bucket emits ALL its registers, so the two register
     # sets are identical and the estimates must agree exactly
     assert em == eb
+
+
+def test_streaming_heavy_hitters_bounded_state_finds_top(spark, tmp_path):
+    """Across 3 micro-batches of a skewed token stream, the sharded
+    space-saving state must (a) stay within shards*m entries, (b)
+    never under-count below an item's true frequency bound
+    (count >= true >= count - err), and (c) surface every true heavy
+    hitter."""
+    import numpy as np
+    import pandas as pd
+
+    from peakmatch_xcorr_spark.streaming.activity import (
+        read_transcript_stream,
+        run_stream_to_memory,
+        streaming_heavy_hitters,
+    )
+
+    rng = np.random.default_rng(5)
+    # zipf-ish: token0 dominates, long tail of rare tokens
+    n = 9000
+    ranks = np.minimum(rng.zipf(1.5, n), 5000)
+    toks = [f"tok{r}" for r in ranks]
+    d = tmp_path / "hh"
+    d.mkdir()
+    base = pd.Timestamp("2024-01-01").value // 1000
+    for i in range(3):
+        part = pd.DataFrame({
+            "conv_id": ["c"] * (n // 3),
+            "turn_idx": pd.array(range(n // 3), dtype="int32"),
+            "role": ["user"] * (n // 3),
+            "text": toks[i * n // 3 : (i + 1) * n // 3],
+            "tool": pd.array([None] * (n // 3), dtype="string"),
+            "ts": pd.to_datetime(
+                [base + j * 1000 for j in range(n // 3)], unit="us"
+            ).astype("datetime64[us]"),
+        })
+        part.to_parquet(d / f"p{i}.parquet", index=False)
+    stream = read_transcript_stream(spark, str(d))
+    hh = streaming_heavy_hitters(stream, "text", m=32, shards=4)
+    run_stream_to_memory(hh, "s_hh", mode="update")
+    # update mode re-emits per batch: keep the last emission per shard
+    # = the rows whose (shard, token) count is maximal per token
+    out = spark.sql(
+        "SELECT token, max(count) AS count, max(err) AS err "
+        "FROM s_hh GROUP BY token"
+    ).toPandas()
+    assert len(out) <= 4 * 32 * 3  # bounded candidates (3 emissions)
+    true = pd.Series(toks).value_counts()
+    got = dict(zip(out.token, out["count"]))
+    err = dict(zip(out.token, out["err"]))
+    # every surviving candidate's final count is a true upper bound
+    # that is tight up to its recorded err
+    for t in true.index[:5]:  # the genuine heavy hitters
+        assert t in got, t
+        assert got[t] >= true[t]
+        assert got[t] - err[t] <= true[t]
