@@ -103,6 +103,10 @@ def main(argv: list[str] | None = None) -> None:
                    choices=["transitions", "latency", "entropy", "ngrams"],
                    default="transitions",
                    help="convstats mode statistic")
+    p.add_argument("--role-col", default="role",
+                   help="convstats: the turn-label column to analyse "
+                        "(role, tool, ...) — the operators are generic "
+                        "over the label alphabet")
     p.add_argument("--from-role", default="user",
                    help="convstats latency: the prompting role")
     p.add_argument("--to-role", default="assistant",
@@ -501,10 +505,14 @@ def main(argv: list[str] | None = None) -> None:
             role_transitions,
         )
 
+        src = load_transcripts()
+        if args.role_col != "role":
+            # null labels (non-tool turns) carry no transition info
+            src = src.filter(src[args.role_col].isNotNull())
         turns = ordered_turns(
-            load_transcripts(),
+            src,
             conv_col="conv_id",
-            role_col="role",
+            role_col=args.role_col,
             ts_col="ts",
             tiebreak="turn_idx",
         )

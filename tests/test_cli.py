@@ -217,3 +217,13 @@ def test_cli_convstats_all_stats(capsys, cli_env):
         capsys, cli_env, "convstats", "--stat", "ngrams", "--ngram-n", "2",
     ))
     assert out["rows"] > 0
+
+
+def test_cli_convstats_tool_column(capsys, cli_env):
+    """The structure operators are generic over the label alphabet:
+    --role-col tool mines tool-call chains instead of role turns."""
+    out = json.loads(_run(
+        capsys, cli_env, "convstats", "--stat", "ngrams",
+        "--ngram-n", "2", "--role-col", "tool",
+    ))
+    assert out["rows"] > 0
