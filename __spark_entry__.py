@@ -7328,6 +7328,49 @@ SELECT 2, 1, 'append', 'ingest_1', total FROM c
 
 
 
+def _q_behavior_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-sequence fingerprint groups: each user's full
+    event-type sequence (stable turn order) is assembled into one
+    string (transcripts.conversation_text) and md5-fingerprinted;
+    users sharing a fingerprint had IDENTICAL behavior --
+    conversation-level exact dedup via the turn-stream -> document
+    bridge.  Deterministic because the assembly array-sorts on
+    turn_idx before joining (bare collect_list order is
+    partition-dependent)."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.transcripts import (
+        conversation_text,
+        ordered_turns,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    txt = conversation_text(ordered_turns(ev))
+    fp = txt.select(
+        F.col("conv_id").alias("user_id"),
+        "n_turns",
+        F.md5("text").alias("seq_fp"),
+    )
+    counts = fp.groupBy("seq_fp").agg(F.count(F.lit(1)).alias("n_same"))
+    return fp.join(counts, "seq_fp").select(
+        "user_id", "n_turns", "seq_fp", "n_same"
+    )
+
+
+_SQL_BEHAVIOR_FINGERPRINT = """
+WITH s AS (
+  SELECT user_id,
+         count(*) AS n_turns,
+         md5(string_agg(event_type, '>' ORDER BY ts, event_id)) AS seq_fp
+  FROM events GROUP BY user_id
+), c AS (
+  SELECT seq_fp, count(*) AS n_same FROM s GROUP BY 1
+)
+SELECT s.user_id, s.n_turns, s.seq_fp, c.n_same
+FROM s JOIN c USING (seq_fp)
+"""
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -7479,6 +7522,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "asap_window_hourly": (_q_asap_window, _SQL_ASAP_WINDOW),
     "largest_gaps_user": (_q_largest_gaps, _SQL_LARGEST_GAPS),
     "snapshot_history": (_q_snapshot_history, _SQL_SNAPSHOT_HISTORY),
+    "behavior_fingerprint": (
+        _q_behavior_fingerprint, _SQL_BEHAVIOR_FINGERPRINT,
+    ),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

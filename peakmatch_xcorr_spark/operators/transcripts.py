@@ -266,3 +266,38 @@ def role_ngrams(turns: DataFrame, n: int = 3) -> DataFrame:
             "n",
         )
     )
+
+
+def conversation_text(
+    turns: DataFrame,
+    text_col: str = "role",
+    sep: str = ">",
+) -> DataFrame:
+    """Assemble each conversation's turn sequence into ONE string
+    under the stable turn order — the bridge from the turn-stream
+    schema to every document-level operator (fingerprint groups,
+    minhash/simhash dedup, tf-idf) without re-implementing them for
+    conversations.
+
+    One hash-aggregate exchange: collect_list(struct(turn_idx, v))
+    per conversation, array_sort (struct ordering starts at the
+    first field, so turn_idx drives), then a transform+concat_ws —
+    all codegen, no window, no UDF.  collect_list's arrival order is
+    partition-dependent; the explicit sort is what makes the result
+    deterministic (a bare collect_list here is the classic
+    nondeterminism bug)."""
+    return (
+        turns.groupBy("conv_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("turn_idx", F.col(text_col).alias("v")))
+            ).alias("seq")
+        )
+        .select(
+            "conv_id",
+            F.concat_ws(
+                sep, F.transform("seq", lambda s: s["v"])
+            ).alias("text"),
+            F.size("seq").alias("n_turns"),
+        )
+    )

@@ -155,3 +155,24 @@ def test_plan_reuses_conv_exchange(spark):
     ]:
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange") <= cap, plan
+
+
+def test_conversation_text_is_order_stable(spark):
+    from peakmatch_xcorr_spark.operators.transcripts import (
+        conversation_text,
+        ordered_turns,
+    )
+
+    rows = [(3, 7, "c", 20), (1, 7, "a", 0), (2, 7, "b", 10),
+            (4, 8, "x", 5)]
+    txt = conversation_text(
+        ordered_turns(_events(spark, rows))
+    )
+    got = {r["conv_id"]: (r["text"], r["n_turns"]) for r in txt.collect()}
+    assert got[7] == ("a>b>c", 3)
+    assert got[8] == ("x", 1)
+    # partition-order independence: the classic bare-collect_list bug
+    many = [(i, 9, f"r{i:03d}", i) for i in range(200)]
+    df = _events(spark, many).repartition(32)
+    out = conversation_text(ordered_turns(df)).collect()[0]["text"]
+    assert out == ">".join(f"r{i:03d}" for i in range(200))
