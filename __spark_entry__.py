@@ -7371,6 +7371,34 @@ FROM s JOIN c USING (seq_fp)
 
 
 
+def _q_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA over the embedding table (similarity.pca_fit/pca_project):
+    4-component projection, fitted from partition-local sufficient
+    statistics (dim+dim^2 doubles per partition, the kmeans
+    bounded-collect contract) and projected JVM-side.  Rows-only (the
+    eigendecomposition has no SQL expression); determinism and
+    numpy parity are pinned in tests/test_wide_operators.py, and the
+    projection columns are rounded scalars so the driver's canon can
+    sort+hash them."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    mu, comps, _var = pca_fit(emb, k=4)
+    out = pca_project(emb, mu, comps)
+    return out.select(
+        "vec_id",
+        *[
+            F.round(F.element_at("pca", i + 1) + 1e-9, 6).alias(f"p{i}")
+            for i in range(4)
+        ],
+    )
+
+
+
 # ------------------------------------------------------------ registry
 # ONE table: query name -> (Spark callable, DuckDB oracle SQL | None).
 # None = legitimately non-SQL (FFT, hashing, sketches, binary decode);
@@ -7525,6 +7553,7 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     "behavior_fingerprint": (
         _q_behavior_fingerprint, _SQL_BEHAVIOR_FINGERPRINT,
     ),
+    "pca_embeddings": (_q_pca_embeddings, None),
     "binseg_hourly": (_q_binseg_hourly, _SQL_BINSEG_HOURLY),
     "period_detect_planted": (
         _q_period_detect_planted, _SQL_PERIOD_DETECT_PLANTED,

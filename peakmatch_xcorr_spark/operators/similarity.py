@@ -350,3 +350,101 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "item_id", "cosine", "rank")
     )
+
+
+def pca_fit(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+):
+    """Fit a k-component PCA over an embedding column — the standard
+    preprocessing in front of IVF/LSH ANN (decorrelate + truncate so
+    bucketing spends its bits on directions that matter).
+
+    Distributed moment accumulation, NOT a distributed eigensolver:
+    each partition emits ONE row carrying (n, Σx, flattened Σxxᵀ) —
+    dim + dim² doubles, ~32 KB at dim 64 — via mapInPandas, and the
+    driver sums the bounded partition rows, forms the covariance, and
+    runs one dim×dim ``numpy.linalg.eigh``.  The same
+    collect-the-sufficient-statistics contract as kmeans' k×dim
+    centroids (similarity.kmeans_fit): scale-safe because the
+    collected payload is a function of DIM, never of N.  Component
+    signs are fixed (largest-|coordinate| entry made positive) so the
+    model is deterministic across partitionings.
+
+    Returns (mean: np.ndarray, components: np.ndarray k×dim,
+    explained_var: np.ndarray k)."""
+    import numpy as np
+
+    first = embeddings.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_fit: empty input")
+    dim = len(first[0])
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+
+    def partial(batches):
+        import numpy as np
+        import pandas as pd
+
+        n = 0
+        s = np.zeros(dim)
+        g = np.zeros((dim, dim))
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            n += len(x)
+            s += x.sum(axis=0)
+            g += x.T @ x
+        if n:
+            yield pd.DataFrame(
+                {"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]}
+            )
+
+    rows = (
+        embeddings.select(vec_col)
+        .mapInPandas(
+            partial, schema="n long, s array<double>, g array<double>"
+        )
+        .collect()
+    )
+    n = sum(r["n"] for r in rows)
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    g = np.sum([np.asarray(r["g"]).reshape(dim, dim) for r in rows], axis=0)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T
+    # deterministic sign: the largest-|coordinate| entry is positive
+    for i in range(k):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return mu, comps, np.maximum(vals[order], 0.0)
+
+
+def pca_project(
+    embeddings: DataFrame,
+    mean,
+    components,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project vectors onto fitted components: centered dot products
+    as JVM zip_with/aggregate expressions (whole-stage codegen, no
+    Python in the per-row path) — the components ride into the plan
+    as array literals, k×dim doubles, trivially broadcastable."""
+    centered = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(float(m)) for m in mean]),
+        lambda x, m: x - m,
+    )
+    projs = [
+        _dot(centered, F.array(*[F.lit(float(c)) for c in comp]))
+        for comp in components
+    ]
+    return embeddings.withColumn(out_col, F.array(*projs))

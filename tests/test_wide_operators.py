@@ -799,3 +799,72 @@ def test_unigram_surprisal_matches_scalar(spark):
         assert got[d] == (len(toks), want), d
     # rare-token doc scores higher than common-token doc
     assert got[2][1] > got[3][1]
+
+
+# ------------------------------------------------------------------- PCA
+
+def test_pca_matches_numpy_and_is_partition_invariant(spark, rng):
+    from peakmatch_xcorr_spark.operators.similarity import pca_fit
+
+    # anisotropic gaussian: known covariance structure
+    n, dim = 2000, 16
+    scales = np.linspace(5, 0.5, dim)
+    x = rng.normal(0, 1, (n, dim)) * scales + rng.normal(2, 0.1, dim)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    mu, comps, var = pca_fit(df, k=4)
+    cov = np.cov(x.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:4]
+    np.testing.assert_allclose(mu, x.mean(axis=0), rtol=1e-9)
+    np.testing.assert_allclose(var, vals[order], rtol=1e-6)
+    for i, j in enumerate(order):
+        ref = vecs[:, j]
+        jj = int(np.argmax(np.abs(comps[i])))
+        if ref[jj] < 0:
+            ref = -ref
+        np.testing.assert_allclose(comps[i], ref, atol=1e-6)
+    # sufficient statistics are exact sums: repartitioning is a no-op
+    mu32, comps32, var32 = pca_fit(df.repartition(32), k=4)
+    np.testing.assert_allclose(mu32, mu, rtol=1e-12)
+    np.testing.assert_allclose(var32, var, rtol=1e-9)
+
+
+def test_pca_project_reduces_reconstruction_error(spark, rng):
+    from peakmatch_xcorr_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    n, dim = 500, 12
+    scales = np.array([10, 8] + [0.1] * (dim - 2))
+    x = rng.normal(0, 1, (n, dim)) * scales
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    )
+    mu, comps, var = pca_fit(df, k=2)
+    out = pca_project(df, mu, comps).orderBy("vec_id").toPandas()
+    p = np.stack(out.pca.to_numpy())
+    # 2 components capture almost all variance of this data
+    recon = p @ comps + mu
+    err = np.linalg.norm(x - recon) / np.linalg.norm(x)
+    assert err < 0.05
+    # and the projection plan stays JVM-side
+    plan = (
+        pca_project(df, mu, comps)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+
+
+def test_pca_validates(spark):
+    from peakmatch_xcorr_spark.operators.similarity import pca_fit
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        pca_fit(df, k=3)
