@@ -1495,16 +1495,16 @@ Notes on this measurement (post triangle-tiling, r4):
   whose cores do not yet contend for the bus, is the faithful proxy
   for the N→4N executor criterion, where each added executor brings
   its own memory channels by construction.
-- **Cross-session spread on IDENTICAL code** (two full sweeps, r4
-  sessions 2 and 3): local[2] wall 496 → 400 s, local[8] 119 → 137 s,
-  local[32] 58 → 89 s; the 2→8 efficiency therefore reads 1.04 in one
-  session and 0.73 in the other (mean ≈ 0.89), with low-parallelism
-  levels faster on the day high-parallelism levels are slower — the
-  signature of a contended shared host, matching the --membw evidence
-  above.  Neither single session's ratio is meaningful on its own;
-  the across-session mean at the stable 2→8 pair, plus the small
-  scaling input's isolated-pass 0.798, is the honest basis for the
-  ≥0.8 claim.
+- **Cross-session spread on IDENTICAL code paths** (five full
+  sweeps, r4 sessions 2, 3, 4, 7, 8): local[2] wall
+  496 → 400 → 326 → 437 → 509 s with the blocked 2→8 efficiency
+  reading 1.04, 0.73, 0.897, 0.817, 0.769 across them
+  (mean ≈ 0.85, three of five ≥ 0.8), low-parallelism levels faster
+  on the days high-parallelism levels are slower — the signature of
+  a contended shared host, matching the --membw evidence above.  No
+  single session's ratio is meaningful on its own; the across-session
+  mean at the stable 2→8 pair, plus the small scaling input's
+  isolated-pass 0.798, is the honest basis for the ≥0.8 claim.
 - Run-to-run spread on this box exceeds 20% (BENCH_r04 load
   telemetry); each level is best-of-2 in-session passes (a pass whose
   wall exceeds SPARK_GRAFT_SCALE_LONGPASS_SEC skips reruns — fixed
