@@ -448,3 +448,40 @@ def test_streaming_heavy_hitters_bounded_state_finds_top(spark, tmp_path):
         assert t in got, t
         assert got[t] >= true[t]
         assert got[t] - err[t] <= true[t]
+
+
+def test_stream_checkpoint_resume_across_restarts(spark, tmp_path):
+    """North-rule resumability at the streaming edge: a stopped query
+    restarted on the SAME checkpoint must pick up exactly the unseen
+    files — no reprocessing (would double-append snapshots), no gaps.
+    """
+    from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
+    from peakmatch_xcorr_spark.streaming.activity import (
+        read_transcript_stream,
+        stream_to_warehouse,
+    )
+
+    res = generate_transcripts(SynthConf(n_convs=6, n_dup_pairs=0, giant_conv=False))
+    pdf = res.transcripts.sort_values("ts").reset_index(drop=True)
+    n = len(pdf)
+    d = tmp_path / "resume"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    src = WarehouseTable(str(tmp_path / "wh"), "transcripts")
+
+    # run 1: two files visible
+    pdf.iloc[: n // 3].to_parquet(d / "p0.parquet", index=False)
+    pdf.iloc[n // 3 : 2 * n // 3].to_parquet(d / "p1.parquet", index=False)
+    stream_to_warehouse(read_transcript_stream(spark, str(d)), src, ckpt)
+    v_after_first = src.current_version()
+    rows_after_first = src.read(spark).count()
+    assert rows_after_first == 2 * (n // 3)
+
+    # crash/restart: a NEW query on the same checkpoint + a new file
+    pdf.iloc[2 * n // 3 :].to_parquet(d / "p2.parquet", index=False)
+    stream_to_warehouse(read_transcript_stream(spark, str(d)), src, ckpt)
+    # only the unseen file became a snapshot; nothing was replayed
+    assert src.current_version() == v_after_first + 1
+    assert src.read(spark).count() == n
+    got = src.read(spark).toPandas()
+    assert len(got.drop_duplicates(["conv_id", "turn_idx"])) == n
