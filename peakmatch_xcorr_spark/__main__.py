@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> None:
                         "line also picks the job to run")
     p.add_argument("--action",
                    choices=["compact", "expire", "delete", "orphans",
-                            "bloom"],
+                            "bloom", "ndv"],
                    default="compact", help="maintain mode action")
     p.add_argument("--older-than-hours", type=float, default=1.0,
                    help="maintain orphans: minimum file age to sweep")
@@ -409,6 +409,17 @@ def main(argv: list[str] | None = None) -> None:
 
             snap = build_bloom_index(t, spark, args.key_col)
             print(json.dumps({"version": snap.version, **snap.metrics}))
+        elif args.action == "ndv":
+            from peakmatch_xcorr_spark.operators.ndvindex import (
+                approx_distinct_from_manifest,
+                build_ndv_index,
+            )
+
+            snap = build_ndv_index(t, spark, args.key_col)
+            est = approx_distinct_from_manifest(t, args.key_col)
+            print(json.dumps(
+                {"version": snap.version, **snap.metrics, **est}
+            ))
         else:  # delete
             from peakmatch_xcorr_spark.operators.merge import delete_rows
 

@@ -227,3 +227,15 @@ def test_cli_convstats_tool_column(capsys, cli_env):
         "--ngram-n", "2", "--role-col", "tool",
     ))
     assert out["rows"] > 0
+
+
+def test_cli_maintain_ndv(capsys, cli_env):
+    _run(capsys, cli_env, "rollup")  # ensure the transcripts table exists
+    out = json.loads(_run(
+        capsys, cli_env, "maintain", "--action", "ndv",
+        "--table", "transcripts", "--key-col", "conv_id",
+    ))
+    assert out["complete"] is True
+    assert out["files_indexed"] >= 1
+    # 15 conversations; 1024-register sketch is near-exact here
+    assert abs(out["est_distinct"] - 15) <= 2
