@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None) -> None:
                         "line also picks the job to run")
     p.add_argument("--action",
                    choices=["compact", "expire", "delete", "orphans",
-                            "bloom", "ndv"],
+                            "bloom", "ndv", "history"],
                    default="compact", help="maintain mode action")
     p.add_argument("--older-than-hours", type=float, default=1.0,
                    help="maintain orphans: minimum file age to sweep")
@@ -409,6 +409,9 @@ def main(argv: list[str] | None = None) -> None:
 
             snap = build_bloom_index(t, spark, args.key_col)
             print(json.dumps({"version": snap.version, **snap.metrics}))
+        elif args.action == "history":
+            rows = [r.asDict() for r in t.history(spark).collect()]
+            print(json.dumps({"snapshots": rows}))
         elif args.action == "ndv":
             from peakmatch_xcorr_spark.operators.ndvindex import (
                 approx_distinct_from_manifest,

@@ -239,3 +239,14 @@ def test_cli_maintain_ndv(capsys, cli_env):
     assert out["files_indexed"] >= 1
     # 15 conversations; 1024-register sketch is near-exact here
     assert abs(out["est_distinct"] - 15) <= 2
+
+
+def test_cli_maintain_history(capsys, cli_env):
+    _run(capsys, cli_env, "rollup")
+    out = json.loads(_run(
+        capsys, cli_env, "maintain", "--action", "history",
+        "--table", "transcripts",
+    ))
+    snaps = out["snapshots"]
+    assert len(snaps) >= 1
+    assert {"version", "operation", "job_id", "live_rows"} <= set(snaps[0])
