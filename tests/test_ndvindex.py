@@ -85,3 +85,18 @@ def test_registers_merge_exactly_like_the_tier(spark, table):
     est = hll_estimate_from_registers(merged)
     res = approx_distinct_from_manifest(table, "user")
     assert res["est_distinct"] == est
+
+
+def test_subset_paths_estimate_composes(spark, table):
+    """Registers compose to any pruned file subset: estimating over
+    one append's files alone must track that file set's true distinct
+    (~500), not the table's (~800)."""
+    build_ndv_index(table, spark, "user")
+    snap = table.snapshot(table.current_version())
+    # files from the first append: job 'a' wrote version 1
+    v1_paths = [f["path"] for f in table.snapshot(1).files]
+    res = approx_distinct_from_manifest(table, "user", paths=v1_paths)
+    assert res["complete"]
+    assert abs(res["est_distinct"] - 500) / 500 <= 3 * (1.04 / 32)
+    full = approx_distinct_from_manifest(table, "user")
+    assert res["est_distinct"] < full["est_distinct"]
