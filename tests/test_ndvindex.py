@@ -92,7 +92,6 @@ def test_subset_paths_estimate_composes(spark, table):
     one append's files alone must track that file set's true distinct
     (~500), not the table's (~800)."""
     build_ndv_index(table, spark, "user")
-    snap = table.snapshot(table.current_version())
     # files from the first append: job 'a' wrote version 1
     v1_paths = [f["path"] for f in table.snapshot(1).files]
     res = approx_distinct_from_manifest(table, "user", paths=v1_paths)
