@@ -872,6 +872,12 @@ def asap_pick_window(
 
     if 1 not in candidates:
         raise ValueError("candidates must include 1 (the raw baseline)")
+    # every candidate branch references the dense tier; without the
+    # checkpoint each of the |candidates| branches re-derives the
+    # whole dense-from-sparse subtree (measured: 22 exchanges for 6
+    # candidates vs ~10 after — the multi-reference rule from
+    # _lsh_bucket_frames)
+    dense = dense.localCheckpoint(eager=False)
     per_w = []
     for w in sorted(set(candidates)):
         win = (
