@@ -283,6 +283,12 @@ def ngram_jaccard_pairs(
         kept = inv.join(keep, "g", "left_semi")
         n_kept = kept.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
         inv = kept.drop("n_sh").join(n_kept, "id")
+    # the self-join references inv twice and each alias would
+    # re-derive the whole shingle-explode subtree (plus the cap's two
+    # extra joins) — compute it once (the multi-reference rule from
+    # _lsh_bucket_frames; measured 27 exchanges -> fewer on the capped
+    # contract query)
+    inv = inv.localCheckpoint(eager=False)
     pairs = (
         inv.alias("a")
         .join(inv.alias("b"), "g")
