@@ -769,6 +769,9 @@ def theil_sen_trend(
     for the agg).  For tiers past ~10^4 buckets, downsample first
     (operators/downsample.py) — the estimator is scale-stable.
     """
+    # referenced three times (both self-join sides + the residual
+    # median) — compute the tier once (the multi-reference rule)
+    dense = dense.localCheckpoint(eager=False)
     a = dense.select(
         *keys, F.col("b").alias("bi"), F.col("v").alias("vi")
     )
