@@ -362,7 +362,12 @@ def seasonal_robust_anomaly(
     """
     if min_periods < 3:
         raise ValueError("min_periods must be >= 3")
-    phased = dense.withColumn("phase", F.pmod(F.col("b"), F.lit(period)))
+    # referenced by the median agg AND both rejoin layers — compute
+    # the phased tier once (multi-reference rule; measured 15 → ~6
+    # exchanges on the contract query)
+    phased = dense.withColumn(
+        "phase", F.pmod(F.col("b"), F.lit(period))
+    ).localCheckpoint(eager=False)
     med = phased.groupBy(*keys, "phase").agg(
         F.percentile("v", F.lit(0.5)).alias("med"),
         F.count(F.lit(1)).alias("n"),
