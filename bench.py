@@ -440,28 +440,85 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
 # ------------------------------------------------------------- stress mode
 
-def _gen_stress_input(workdir: str) -> None:
-    """~18M turns / 101k conversations, deterministic: one order of
-    magnitude above the sf0.1 bench and 5x the scaling input."""
-    import json as _json
+def _synth_fingerprint(conf) -> str:
+    """Deterministic fingerprint binding a generated input to the
+    SynthConf (and generator version) that produced it."""
+    import dataclasses
+    import hashlib
+    import inspect
 
-    path = f"{workdir}/transcripts.parquet"
-    pairs_path = f"{workdir}/dup_pairs.json"
-    if os.path.exists(path) and os.path.exists(pairs_path):
+    import peakmatch_xcorr_spark.synth as synthmod
+
+    src = inspect.getsource(synthmod).encode()
+    payload = json.dumps(dataclasses.asdict(conf), sort_keys=True).encode()
+    return hashlib.sha256(src + b"\x00" + payload).hexdigest()
+
+
+def _input_is_current(workdir: str, conf) -> bool:
+    """True iff transcripts.parquet + dup_pairs.json + meta.json all
+    exist and meta's fingerprint matches this generator + conf.  A
+    stale trio (e.g. a transcripts.parquet from a previous round's
+    SynthConf next to a freshly regenerated dup_pairs.json) would
+    silently mis-score LSH recall against the wrong truth (VERDICT r4
+    "Next round" item 5 / ADVICE bench.py:639)."""
+    meta_path = f"{workdir}/meta.json"
+    if not all(
+        os.path.exists(p)
+        for p in (f"{workdir}/transcripts.parquet",
+                  f"{workdir}/dup_pairs.json", meta_path)
+    ):
+        return False
+    try:
+        meta = json.load(open(meta_path))
+    except (json.JSONDecodeError, OSError):
+        return False
+    return meta.get("fingerprint") == _synth_fingerprint(conf)
+
+
+def _gen_input(workdir: str, conf) -> None:
+    """Generate transcripts.parquet + dup_pairs.json + meta.json as an
+    atomic trio: truth and data are only ever trusted together, keyed
+    by the conf/generator fingerprint written LAST."""
+    from peakmatch_xcorr_spark.synth import write_transcripts_parquet
+
+    if _input_is_current(workdir, conf):
         return
-    from peakmatch_xcorr_spark.synth import SynthConf, write_transcripts_parquet
-
     os.makedirs(workdir, exist_ok=True)
+    for stale in ("meta.json", "dup_pairs.json"):
+        if os.path.exists(f"{workdir}/{stale}"):
+            os.remove(f"{workdir}/{stale}")
+    path = f"{workdir}/transcripts.parquet"
     # write to a temp name and rename LAST: a kill during the
     # multi-minute generation must not leave a half-written parquet
     # that later runs mistake for a complete input
-    res = write_transcripts_parquet(
-        path + ".tmp",
-        SynthConf(n_convs=100_000, n_dup_pairs=1000, mean_rate=1.0, seed=21),
-    )
-    with open(pairs_path, "w") as f:
-        _json.dump(sorted(tuple(sorted(p)) for p in res.dup_pairs), f)
+    res = write_transcripts_parquet(path + ".tmp", conf)
+    with open(f"{workdir}/dup_pairs.json", "w") as f:
+        json.dump(sorted(tuple(sorted(p)) for p in res.dup_pairs), f)
+    if os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+    elif os.path.exists(path):
+        os.remove(path)
     os.replace(path + ".tmp", path)
+    # fingerprint LAST: its presence certifies the complete trio
+    _atomic_meta = f"{workdir}/meta.json.tmp"
+    with open(_atomic_meta, "w") as f:
+        json.dump({"fingerprint": _synth_fingerprint(conf),
+                   "n_rows": len(res.transcripts)}, f)
+    os.replace(_atomic_meta, f"{workdir}/meta.json")
+
+
+def _stress_conf():
+    from peakmatch_xcorr_spark.synth import SynthConf
+
+    return SynthConf(n_convs=100_000, n_dup_pairs=1000, mean_rate=1.0, seed=21)
+
+
+def _gen_stress_input(workdir: str) -> None:
+    """~18M turns / 101k conversations, deterministic: one order of
+    magnitude above the sf0.1 bench and 5x the scaling input."""
+    _gen_input(workdir, _stress_conf())
 
 
 def _stress(spark, workdir: str) -> dict:
@@ -1155,36 +1212,12 @@ def _gen_scaling_input(workdir: str) -> None:
     # sized so per-core compute (≈200M blocked pair kernels + a 4M-turn
     # rollup cascade) dominates Spark's fixed stage overhead — the
     # scaling-efficiency measurement needs a compute-bound job
-    import json as _json
+    from peakmatch_xcorr_spark.synth import SynthConf
 
-    path = f"{workdir}/transcripts.parquet"
-    pairs_path = f"{workdir}/dup_pairs.json"
-    if os.path.exists(path) and os.path.exists(pairs_path):
-        return
-    from peakmatch_xcorr_spark.synth import (
-        SynthConf,
-        generate_transcripts,
-        write_transcripts_parquet,
+    _gen_input(
+        workdir,
+        SynthConf(n_convs=20000, n_dup_pairs=200, mean_rate=1.0, seed=7),
     )
-
-    os.makedirs(workdir, exist_ok=True)
-    synth_conf = SynthConf(n_convs=20000, n_dup_pairs=200, mean_rate=1.0, seed=7)
-    if not os.path.exists(path):
-        res = write_transcripts_parquet(path, synth_conf)
-    else:
-        # parquet from an earlier round without the truth file: the
-        # generator is seeded, so regenerating yields the same pairs —
-        # but verify that assumption (row-count check) before trusting
-        # the regenerated truth: a generator change between rounds
-        # would otherwise silently score recall against wrong truth
-        res = generate_transcripts(synth_conf)
-        import pyarrow.parquet as pq
-
-        on_disk = pq.read_metadata(path).num_rows
-        if on_disk != len(res.transcripts):
-            res = write_transcripts_parquet(path, synth_conf)
-    with open(pairs_path, "w") as f:
-        _json.dump(sorted(tuple(sorted(p)) for p in res.dup_pairs), f)
 
 
 def _membw_sweep(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
@@ -1404,7 +1437,46 @@ def main() -> None:
         print(json.dumps(report))
         return
 
-    print(json.dumps(run_bench(cpus, sf_dir)))
+    report = run_bench(cpus, sf_dir)
+    # The full report outgrew the driver's stdout capture in round 4
+    # (BENCH_r04.json came back `parsed: null` from a 2,000-char tail
+    # grab), so the FINAL stdout line is now a compact machine-first
+    # JSON <= ~1.5 KB and the full report goes to BENCH/bench_full.json
+    # (VERDICT r4 "Next round" item 2).
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/bench_full.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(_compact_report(report)))
+
+
+def _compact_report(report: dict) -> dict:
+    """Headline subset of the bench report, guaranteed to fit a short
+    stdout tail capture.  Keeps the driver-contract keys (metric /
+    value / unit / queries / sf) plus the throughput + kernel numbers
+    the judge reads, drops per-query rows/warm/spread detail (those
+    live in BENCH/bench_full.json)."""
+    km = report.get("kernel_microbench") or {}
+    lsh = report.get("lsh_tier") or {}
+    compact = {
+        "metric": report["metric"],
+        "value": report["value"],
+        "unit": report["unit"],
+        "queries": {k: round(v, 2) for k, v in report["queries"].items()},
+        "sf": report["sf"],
+        "cpus": report["cpus"],
+        "rollup_turns_per_sec": report.get("rollup_turns_per_sec"),
+        "lsh_turns_per_sec": lsh.get("turns_per_sec"),
+        "lsh_recall_vs_exact": lsh.get("recall_vs_exact"),
+        "peakmatch_us_per_pair": km.get("peakmatch_us_per_pair"),
+        "fft_xcorr_us_per_pair": km.get("fft_xcorr_us_per_pair"),
+        "cold_passes": report.get("cold_passes"),
+        "full_report": "BENCH/bench_full.json",
+    }
+    line = json.dumps(compact)
+    if len(line) > 1500:  # hard cap: drop optional keys, keep contract
+        compact = {k: compact[k] for k in
+                   ("metric", "value", "unit", "queries", "sf")}
+    return compact
 
 
 def _write_baseline_md() -> None:
