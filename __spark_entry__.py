@@ -6606,8 +6606,18 @@ def _q_hll_range_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = hll_estimate(
         hll_merge(daily.drop("bucket"), []), []
     ).select(F.col("est_distinct").alias("est_merged"))
+    # the direct side ALSO routes through hll_merge: a 3650-day bucket
+    # is epoch-aligned, so a corpus straddling a window boundary (next
+    # boundary ~2029-12) yields two buckets and duplicate idx rows
+    # after drop("bucket") — hll_estimate counts rows as registers and
+    # would silently inflate; max-merging first makes idx unique by
+    # construction regardless of the corpus's time span (ADVICE r4)
     direct = hll_estimate(
-        hll_register_tier(ev, "user_id", bucket="3650 days").drop("bucket"),
+        hll_merge(
+            hll_register_tier(ev, "user_id", bucket="3650 days")
+            .drop("bucket"),
+            [],
+        ),
         [],
     ).select(F.col("est_distinct").alias("est_direct"))
     return merged.crossJoin(direct)

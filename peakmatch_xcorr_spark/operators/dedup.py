@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructField, StructType
 
+from peakmatch_xcorr_spark.plans import drop_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -73,7 +75,9 @@ def connected_components(
     # bounded size probe: limit-then-count reads at most the threshold,
     # not the whole (possibly billion-edge) list
     if driver_max_edges and sym.limit(driver_max_edges + 1).count() <= driver_max_edges:
-        return _driver_union_find(sym)
+        out = _driver_union_find(sym)
+        drop_checkpoint(sym)
+        return out
     # init with min(id, min neighbour): star components converge at
     # init, saving one full propagate round (≈3 jobs) on the loop path
     labels = (
@@ -116,11 +120,17 @@ def connected_components(
             .filter(F.col("n.component") != F.col("o.component"))
             .count()
         )
+        # the changed-count was the old labels' last reader; drop its
+        # checkpoint blocks so storage stays O(1) in rounds (the
+        # pagerank lesson, ADVICE r4) — checkpoints here are eager, so
+        # new_labels' blocks never depend on the old ones
+        drop_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
+    drop_checkpoint(sym)
     return labels
 
 

@@ -34,6 +34,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from peakmatch_xcorr_spark.plans import drop_checkpoint as _drop_checkpoint
+
 PAGERANK_SCALE = 10**12
 
 
@@ -77,13 +79,20 @@ def pagerank(
     )
     # deg rides along in the rank frame so the per-iteration join
     # count stays at one (edges ⋈ ranks), not two
+    # Eager checkpoints: each iteration's ranks materialize to executor
+    # storage immediately, so the PRIOR iteration's blocks can be
+    # dropped right away — storage stays O(1) in iteration count
+    # instead of growing linearly for the session lifetime (ADVICE r4).
+    # Lazy checkpoints could not be unpersisted safely here: the next
+    # frame's truncated lineage points AT the prior blocks, so dropping
+    # them before materialization would make the result unrecoverable.
     ranks = vertices.join(
         deg.withColumnRenamed("src", "node"), "node", "left"
     ).select(
         "node",
         F.coalesce("deg", F.lit(1)).cast("long").alias("deg"),
         F.lit(PAGERANK_SCALE).cast("long").alias("r"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
     for _ in range(iterations):
         contrib = (
             edges.join(
@@ -93,6 +102,7 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        prev = ranks
         ranks = (
             ranks.join(
                 contrib.withColumnRenamed("dst", "node"), "node", "left"
@@ -107,8 +117,9 @@ def pagerank(
                     )
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
+        _drop_checkpoint(prev)
     return ranks.select(
         "node",
         F.col("r").alias("rank_scaled"),

@@ -32,3 +32,22 @@ def plan_report(df: DataFrame) -> dict:
         "read_schema": read_schema,
         "python_stages": p.count("InPandas") + p.count("ArrowEvalPython"),
     }
+
+
+def drop_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint'd frame's executor blocks.  Checkpoint
+    blocks are NOT CacheManager entries, so ``DataFrame.unpersist()``
+    is a no-op on them; the actual RDD hangs off the plan's LogicalRDD
+    node.  Iterative loops (pagerank, connected components) call this
+    on the PREVIOUS iteration's state once the next state is
+    materialized, keeping executor storage O(1) in iteration count.
+
+    Only safe on frames whose dependents are already materialized —
+    an eager checkpoint chain, never a pending lazy one (a lazy
+    child's truncated lineage points AT these blocks)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        # non-classic backends (no _jdf): fall back to the public API
+        # and accept that blocks live until the session drops them
+        df.unpersist()

@@ -79,3 +79,26 @@ def test_damping_validation(spark):
     df = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     with pytest.raises(ValueError):
         pagerank(symmetrize_edges(df), damping_num=20, damping_den=20)
+
+
+def test_pagerank_storage_bounded_in_iterations(spark):
+    """Each iteration's eager checkpoint must drop the previous
+    iteration's blocks: executor storage is O(1) in iteration count,
+    not linear for the session lifetime (ADVICE r4)."""
+    import pandas as pd
+
+    sc = spark.sparkContext
+    before = len(sc._jsc.sc().getRDDStorageInfo())
+    pairs = spark.createDataFrame(
+        pd.DataFrame({
+            "id_a": ["a", "b", "c", "d", "a"],
+            "id_b": ["b", "c", "d", "a", "c"],
+        })
+    )
+    out = pagerank(symmetrize_edges(pairs), iterations=6)
+    out.collect()
+    after = len(sc._jsc.sc().getRDDStorageInfo())
+    # only the final iteration's checkpoint may remain cached
+    assert after - before <= 1, (
+        f"pagerank leaked {after - before} cached RDDs over 6 iterations"
+    )

@@ -289,3 +289,29 @@ def test_hll_tier_is_map_side_combinable(spark):
     )
     assert plan.count("Exchange") <= 1, plan
     assert "partial_max" in plan, plan
+
+
+def test_hll_range_merge_query_survives_epoch_window_straddle(spark, tmp_path):
+    """The hll_range_merge contract query's 'direct' side must route
+    through hll_merge: a corpus straddling an epoch-aligned 3650-day
+    window boundary (next one ~2029-12) yields two buckets, and
+    estimating the concatenated registers without max-merging counts
+    duplicate idx rows as registers (ADVICE r4).  Plant exactly that
+    corpus and require merged == direct."""
+    import sys
+
+    import pandas as pd
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    ts = pd.to_datetime(
+        ["2025-06-01"] * 40 + ["2031-06-01"] * 40
+    ).astype("datetime64[us]")
+    pd.DataFrame({
+        "ts": ts,
+        "user_id": list(range(40)) + list(range(20, 60)),  # 60 distinct
+        "event_type": ["click"] * 80,
+    }).to_parquet(tmp_path / "events.parquet")
+    row = entrymod._q_hll_range_merge(spark, str(tmp_path)).collect()[0]
+    assert row["est_merged"] == row["est_direct"]
