@@ -911,6 +911,57 @@ WHERE a.planted OR b.planted
 """
 
 
+def _q_lsh_multiprobe_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH-scoped dedup tier with the multiprobe recall dial ON
+    (weakest-bit-flip neighbor buckets, operators/pairs.py
+    lsh_scoped_matches(multiprobe=1)) as a HASH-CHECKED row: planted
+    exact copies ('d<id>' of 'u<id>') at final_threshold=0.999, output
+    = match pairs with a planted side.
+
+    SQL-derivable for the same reason as lsh_incremental_planted: at
+    0.999 the match relation on this data is curve equality (the one
+    natural shift-equal pair u128~u68 involves no planted side), exact
+    copies collide deterministically in every band (identical spectra
+    => identical signatures, and multiprobe only ADDS buckets), so the
+    expected answer is all curve-equality-class pairs with >= 1
+    planted side — independent of the probe count.  What the query
+    checks on top of the base tier: probe-set score-once ownership
+    (min (band, sig) of the intersection) emits each pair exactly once
+    even though planted pairs now collide in 2x the buckets."""
+    _utc(spark)
+    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+    from peakmatch_xcorr_spark.operators.features import conversation_features
+    from peakmatch_xcorr_spark.operators.pairs import lsh_scoped_matches
+
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
+    )
+    copies = events.filter(
+        F.col("user_id").isin(*_PLANTED_DEDUP_USERS)
+    ).select(
+        F.concat(F.lit("d"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
+    )
+    conf = EngineConf(
+        peakmatch=PeakmatchConf(expected_len=256, final_threshold=0.999),
+        rollup=RollupConf(activity_curve_len=256),
+    )
+    feats = conversation_features(
+        base.unionByName(copies), conf.peakmatch,
+        bucket=conf.rollup.activity_bucket,
+        curve_len=conf.rollup.activity_curve_len,
+    )
+    matches = lsh_scoped_matches(
+        feats, conf.peakmatch, n_planes=32, bands=8, multiprobe=1
+    )
+    return matches.filter(
+        F.col("id_a").startswith("d") | F.col("id_b").startswith("d")
+    ).select("id_a", "id_b")
+
+
+_SQL_LSH_MULTIPROBE_PLANTED = _SQL_LSH_INCREMENTAL_PLANTED
+
+
 def _q_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH banding candidates (hash-algorithm-specific; the
     Jaccard truth it approximates is oracle-checked separately)."""
@@ -7518,6 +7569,9 @@ _REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]
     ),
     "lsh_incremental_planted": (
         _q_lsh_incremental_planted, _SQL_LSH_INCREMENTAL_PLANTED
+    ),
+    "lsh_multiprobe_planted": (
+        _q_lsh_multiprobe_planted, _SQL_LSH_MULTIPROBE_PLANTED
     ),
     "pack_roundtrip": (_q_pack_roundtrip, _SQL_PACK_ROUNDTRIP),
     "lsh_near_dups": (_q_lsh_near_dups, _SQL_LSH_NEAR_DUPS),

@@ -201,6 +201,17 @@ def _lsh_tier_bench(spark, sf_dir: str, n_events: int) -> dict:
     from peakmatch_xcorr_spark.operators.pairs import lsh_candidate_pair_stats
 
     pair_stats = lsh_candidate_pair_stats(feats)
+    # the recall dial (multiprobe=1: weakest-bit-flip neighbor buckets)
+    # measured next to the default so BENCH carries the tradeoff —
+    # extra candidates bought vs recall recovered (VERDICT r4 item 7)
+    t0 = time.perf_counter()
+    mp = lsh_scoped_matches(feats, conf.peakmatch, multiprobe=1).cache()
+    n_mp = mp.count()
+    mp_sec = time.perf_counter() - t0
+    mp_hits = mp.select("id_a", "id_b").join(
+        exact.select("id_a", "id_b"), ["id_a", "id_b"]
+    ).count()
+    mp.unpersist()
     feats.unpersist()
     lsh.unpersist()
     exact.unpersist()
@@ -215,6 +226,11 @@ def _lsh_tier_bench(spark, sf_dir: str, n_events: int) -> dict:
         # what the scoped tier's jobs actually wrote to / read from
         # shuffle, end to end
         "measured_shuffle": shuffle,
+        "multiprobe1": {
+            "sec": round(mp_sec, 3),
+            "matches": n_mp,
+            "recall_vs_exact": round(mp_hits / n_exact, 4) if n_exact else None,
+        },
     }
 
 

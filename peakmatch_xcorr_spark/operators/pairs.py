@@ -301,7 +301,11 @@ def fused_prune_verify(
 
 
 def _spectral_band_sigs(
-    features: DataFrame, spec_bins: int, n_planes: int, bands: int
+    features: DataFrame,
+    spec_bins: int,
+    n_planes: int,
+    bands: int,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """(conv_id, band, sig): SRP-LSH band signatures of the activity
     curve's per-vector-centered log-magnitude spectrum.
@@ -323,7 +327,18 @@ def _spectral_band_sigs(
     scaling efficiency at 0.52 on the r3 sweep.  One linear batched
     pass, no shuffle.  Hyperplanes are the same per-plane PCG draws as
     similarity._hyperplane (independent planes; an LCG chain
-    correlates them and silently costs recall)."""
+    correlates them and silently costs recall).
+
+    ``multiprobe`` > 0 is the recall dial (VERDICT r4 item 7): each
+    conversation additionally joins, per band, the ``multiprobe``
+    buckets reached by flipping its weakest projection bits — the
+    bits whose |margin| is smallest are the likeliest to disagree
+    between true near-duplicates, so probing those neighbor buckets
+    recovers exactly the borderline pairs banding loses (measured
+    bucket recall 1.0 at 2.9x candidates on the 18.5M-turn stress
+    corpus, BENCH/STRESS.md).  Emits ``1 + multiprobe`` rows per
+    (conversation, band); the default 0 keeps the one-row-per-band
+    contract unchanged."""
     import numpy as np
 
     from peakmatch_xcorr_spark.operators.similarity import _hyperplane
@@ -334,6 +349,12 @@ def _spectral_band_sigs(
             "trailing planes would be computed but silently unused"
         )
     rows_per_band = n_planes // bands
+    if not 0 <= multiprobe < rows_per_band:
+        raise ValueError(
+            f"multiprobe ({multiprobe}) must be in [0, rows/band = "
+            f"{rows_per_band})"
+        )
+    probes = 1 + multiprobe
     planes = np.stack(
         [np.asarray(_hyperplane(spec_bins, p)) for p in range(n_planes)]
     )
@@ -359,12 +380,26 @@ def _spectral_band_sigs(
                 # exactly spec_bins wide
                 lg = np.pad(lg, ((0, 0), (0, spec_bins - lg.shape[1])))
             n = len(lg)
-            bits = (lg @ planes.T) > 0  # n x n_planes
-            sigs = bits.reshape(n, bands, rows_per_band).astype(np.int64) @ weights
+            proj = lg @ planes.T  # n x n_planes
+            bits = proj > 0
+            base = bits.reshape(n, bands, rows_per_band).astype(np.int64) @ weights
+            if probes == 1:
+                all_sigs = base[:, :, None]  # n x bands x 1
+            else:
+                # weakest-bit flips: per band, the multiprobe smallest
+                # |margin| bits, flipped one at a time off the base sig
+                margins = np.abs(proj).reshape(n, bands, rows_per_band)
+                weakest = np.argsort(margins, axis=2)[:, :, :multiprobe]
+                flips = base[:, :, None] ^ (
+                    np.int64(1) << weakest.astype(np.int64)
+                )
+                all_sigs = np.concatenate([base[:, :, None], flips], axis=2)
             yield pd.DataFrame({
-                "conv_id": np.repeat(pdf["conv_id"].to_numpy(), bands),
-                "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                "sig": sigs.reshape(-1),
+                "conv_id": np.repeat(pdf["conv_id"].to_numpy(), bands * probes),
+                "band": np.tile(
+                    np.repeat(np.arange(bands, dtype=np.int32), probes), n
+                ),
+                "sig": all_sigs.reshape(-1),
             })
 
     return features.select("conv_id", "series").mapInPandas(
@@ -378,6 +413,7 @@ def _lsh_bucket_frames(
     bands: int,
     max_bucket: int,
     spec_bins: int,
+    multiprobe: int = 0,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Shared LSH bucketing front half: returns ``(bucketed, counts,
     all_counts, esigs)``.
@@ -411,7 +447,12 @@ def _lsh_bucket_frames(
     # truncation every reference re-derives the spectral-FFT +
     # 128-plane subtree and plan analysis multiplies (measured: minutes
     # for a 30-row input).  Lazy localCheckpoint computes it once.
-    sigs = _spectral_band_sigs(features, spec_bins, n_planes, bands)
+    # with multiprobe, a conversation holds 1 + multiprobe sigs per
+    # band (base + weakest-bit flips); the esigs vector is band-major
+    # with exactly that many slots per band, so every downstream
+    # consumer (ownership scorer, star filter) slices per band instead
+    # of assuming one slot
+    sigs = _spectral_band_sigs(features, spec_bins, n_planes, bands, multiprobe)
     bucketed = sigs.localCheckpoint(eager=False)
     all_counts = bucketed.groupBy("band", "sig").count()
     counts = all_counts.filter(
@@ -551,12 +592,17 @@ def _make_bucket_scorer(
     final_t: float,
     prune_pair_knee: int,
     new_only: bool = False,
+    probes: int = 1,
 ):
     """Build the per-bucket Arrow UDF that scores the bucket's OWNED
     candidate pairs (see ``lsh_scoped_matches`` for the ownership
     rule).  ``new_only=True`` is the incremental-index variant: rows
     carry an ``is_new`` flag and only pairs with at least one new
-    member are scored (old×old verdicts are already persisted)."""
+    member are scored (old×old verdicts are already persisted).
+    ``probes`` > 1 (multiprobe) means the esigs vector holds that many
+    slots per band and a pair may share SEVERAL scorable sigs within
+    one band, so ownership tie-breaks on the minimum (band, sig) of
+    the full intersection, not just the minimum agreeing band."""
 
     def compute(key, pdf):
         import numpy as np
@@ -593,19 +639,47 @@ def _make_bucket_scorer(
             [np.asarray(pdf["esigs"].iloc[i], dtype=np.int64) for i in order]
         )
         n = len(ids)
-        # task-local ownership: min band whose scorable (-1 = not)
-        # slots agree.  Every pair here agrees at `band` (same bucket,
-        # in-cap), so own <= band everywhere on the upper triangle; a
-        # pair is this task's iff no LOWER band already claims it.
-        own = np.full((n, n), n_bands, dtype=np.int32)
-        for b in range(n_bands - 1, -1, -1):
-            col = S[:, b]
-            eq = (col[:, None] == col[None, :]) & (col[:, None] != -1)
-            own[eq] = b
+        if probes == 1:
+            # task-local ownership: min band whose scorable (-1 = not)
+            # slots agree.  Every pair here agrees at `band` (same
+            # bucket, in-cap), so own <= band everywhere on the upper
+            # triangle; a pair is this task's iff no LOWER band already
+            # claims it.  (One sig per band, so the agreeing sig at the
+            # min band is necessarily THIS bucket's sig — no tie-break.)
+            own = np.full((n, n), n_bands, dtype=np.int32)
+            for b in range(n_bands - 1, -1, -1):
+                col = S[:, b]
+                eq = (col[:, None] == col[None, :]) & (col[:, None] != -1)
+                own[eq] = b
+            mask = own == band
+        else:
+            # multiprobe ownership: a pair may share several scorable
+            # sigs in one band (a's flip == b's base AND vice versa),
+            # so the owner is the lexicographic-min (band, sig) over
+            # the intersection of the two conversations' per-band
+            # probe-sig sets — still decided task-locally from the
+            # vectors, still exactly one owner per pair.
+            sig = key[1]
+            Sb = S.reshape(n, n_bands, probes)
+            INF = np.iinfo(np.int64).max
+            best_band = np.full((n, n), n_bands, dtype=np.int32)
+            best_sig = np.full((n, n), INF, dtype=np.int64)
+            for b in range(n_bands - 1, -1, -1):
+                m_ = np.full((n, n), INF, dtype=np.int64)
+                for p in range(probes):
+                    a = Sb[:, b, p][:, None]
+                    for q in range(probes):
+                        c = Sb[:, b, q][None, :]
+                        eq = (a == c) & (a != -1)
+                        np.minimum(m_, np.where(eq, a, INF), out=m_)
+                has = m_ < INF
+                best_band[has] = b
+                best_sig[has] = m_[has]
+            mask = (best_band == band) & (best_sig == sig)
         # ids sorted ascending and mask upper-triangular, so ii < jj —
         # the canonical orientation (lexicographic min is the shifted
         # 'a' side, matching the fused blocked path)
-        mask = (own == band) & np.triu(np.ones((n, n), dtype=bool), 1)
+        mask &= np.triu(np.ones((n, n), dtype=bool), 1)
         # tile ownership within the bucket: one side in chunk tile_i,
         # the other in tile_j (an off-diagonal tile's task holds both
         # chunks' rows but intra-chunk pairs belong to the diagonal
@@ -647,6 +721,7 @@ def _make_partition_scorer(
     final_t: float,
     prune_pair_knee: int,
     new_only: bool = False,
+    probes: int = 1,
 ):
     """Partition-level wrapper around ``_make_bucket_scorer`` for
     ``mapInPandas`` over rows sorted by (band, sig) within each
@@ -660,7 +735,7 @@ def _make_partition_scorer(
     import pandas as pd
 
     compute = _make_bucket_scorer(
-        n_bands, stride, cand_t, final_t, prune_pair_knee, new_only
+        n_bands, stride, cand_t, final_t, prune_pair_knee, new_only, probes
     )
 
     def run(batches):
@@ -711,6 +786,7 @@ def _score_buckets(
     final_t: float,
     prune_pair_knee: int,
     new_only: bool = False,
+    probes: int = 1,
 ) -> DataFrame:
     """Score the owned pairs of every (band, sig, ti, tj) bucket TILE
     in ``members`` (rows carry conv_id, esigs, chunk/ti/tj from
@@ -719,7 +795,7 @@ def _score_buckets(
     tiles land on different cores — then partition-local group
     iteration."""
     run = _make_partition_scorer(
-        n_bands, stride, cand_t, final_t, prune_pair_knee, new_only
+        n_bands, stride, cand_t, final_t, prune_pair_knee, new_only, probes
     )
     return (
         members.repartition("band", "sig", "ti", "tj")
@@ -739,6 +815,7 @@ def lsh_scoped_matches(
     spec_bins: int = 64,
     prune_pair_knee: int = 250_000,
     tile_chunk: int = LSH_TILE_CHUNK,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """The 10^9-conversation tier above blocking (DESIGN.md §3):
     bound the pair universe FIRST with signed-random-projection LSH
@@ -791,12 +868,24 @@ def lsh_scoped_matches(
       buckets at the default tile size — tiles sit below the knee, so
       every in-cap pair is exact-FFT-verified, which is the r4 recall
       decision taken to its conclusion.
+
+    ``multiprobe`` (r5, VERDICT r4 item 7) is the recall dial for
+    recall-critical dedup: each conversation additionally joins, per
+    band, the ``multiprobe`` buckets reached by flipping its weakest
+    projection bits (smallest |margin| — the bits likeliest to differ
+    between true near-dups).  Measured on the 18.5M-turn stress corpus:
+    bucket recall 1.0 at 2.9× the candidate pairs (BENCH/STRESS.md).
+    Score-once ownership is preserved — with several scorable sigs per
+    band the owner is the lexicographic-min (band, sig) of the two
+    conversations' probe-set intersection, still decided task-locally.
+    Default 0 = exact r4 behavior.
     """
     # spec vectors are padded to exactly spec_bins inside the UDF, so
     # the hyperplane dim never depends on the (possibly differing)
     # conf.expected_len vs actual curve length
+    probes = 1 + multiprobe
     bucketed, counts, all_counts, esigs = _lsh_bucket_frames(
-        features, n_planes, bands, max_bucket, spec_bins
+        features, n_planes, bands, max_bucket, spec_bins, multiprobe
     )
     cand_t = conf.candidate_threshold
     final_t = conf.final_threshold
@@ -811,14 +900,18 @@ def lsh_scoped_matches(
     # the rows are still payload-free, THEN join the payload once.
     slim = (
         esigs.select(
-            "conv_id", "esigs", F.posexplode("esigs").alias("band", "sig")
+            "conv_id", "esigs", F.posexplode("esigs").alias("pos", "sig")
         )
         .filter(F.col("sig") != -1)
+        # band-major vector: slot pos = band * probes + probe_rank
+        .withColumn("band", (F.col("pos") / probes).cast("int"))
+        .drop("pos")
     )
     members = _tile_members(slim, counts, tile_chunk).join(features, "conv_id")
 
     out = _score_buckets(
-        members, bands, stride, cand_t, final_t, prune_pair_knee
+        members, bands, stride, cand_t, final_t, prune_pair_knee,
+        probes=probes,
     )
 
     # Overfull buckets are NOT simply dropped: a uniform duplicate
@@ -854,12 +947,24 @@ def lsh_scoped_matches(
             esigs.select(F.col("conv_id").alias("id_b"), F.col("esigs").alias("eb")),
             "id_b",
         )
+        # "shares a scorable sig in some band": with multiprobe the
+        # matching sigs may sit at different slots within the band
+        # (a's flip == b's base), so compare per-band SLICES by
+        # intersection rather than slot-aligned equality
         .filter(
             ~F.exists(
-                F.zip_with(
-                    "ea", "eb", lambda x, y: (x == y) & (x != F.lit(-1))
-                ),
-                lambda v: v,
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.size(
+                    F.array_intersect(
+                        F.array_remove(
+                            F.slice("ea", b * probes + 1, probes), -1
+                        ),
+                        F.array_remove(
+                            F.slice("eb", b * probes + 1, probes), -1
+                        ),
+                    )
+                )
+                > 0,
             )
         )
         .select("id_a", "id_b")

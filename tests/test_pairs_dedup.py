@@ -538,3 +538,71 @@ def test_simhash_handles_non_ascii_text(spark):
     assert len(out) == 3  # every doc fingerprinted
     assert out.loc[1].simhash == out.loc[2].simhash
     assert out.loc[3].simhash != out.loc[1].simhash
+
+
+def test_lsh_multiprobe_superset_and_score_once(spark, feats, synth):
+    """multiprobe=k (weakest-bit-flip neighbor buckets, VERDICT r4
+    item 7) may only ADD candidate coverage: the match set is a
+    superset of multiprobe=0's, planted pairs stay recovered, every
+    xcorr still agrees with the exact kernel, and the score-once
+    invariant holds even though a pair can now collide at several
+    sigs within one band."""
+    from peakmatch_xcorr_spark.operators.pairs import (
+        lsh_scoped_matches,
+        peakmatch_scores,
+    )
+
+    base = lsh_scoped_matches(
+        feats, CONF.peakmatch, n_planes=16, bands=8
+    ).toPandas()
+    probed = lsh_scoped_matches(
+        feats, CONF.peakmatch, n_planes=16, bands=8, multiprobe=1
+    ).toPandas()
+    keys_b = set(zip(base.id_a, base.id_b))
+    keys_p = list(zip(probed.id_a, probed.id_b))
+    assert len(keys_p) == len(set(keys_p)), "multiprobe broke score-once"
+    assert keys_b <= set(keys_p), "multiprobe lost a base match"
+    for pair in synth.dup_pairs:
+        assert pair in set(keys_p)
+    exact = (
+        peakmatch_scores(feats, CONF.peakmatch, n_blocks=4, exact=True)
+        .filter(F.col("score") > CONF.peakmatch.final_threshold)
+        .toPandas()
+    )
+    exact_map = {(r.id_a, r.id_b): r.score for r in exact.itertuples()}
+    for r in probed.itertuples():
+        assert (r.id_a, r.id_b) in exact_map
+        assert r.xcorr == pytest.approx(exact_map[(r.id_a, r.id_b)], rel=1e-12)
+
+
+def test_lsh_multiprobe_signatures_flip_weakest_bits(spark, feats):
+    """Each probe signature differs from the base by exactly one bit,
+    probes are distinct within a band, and every (conv, band) emits
+    exactly 1 + multiprobe rows."""
+    from peakmatch_xcorr_spark.operators.pairs import _spectral_band_sigs
+
+    m = 2
+    sigs = _spectral_band_sigs(
+        feats, spec_bins=16, n_planes=16, bands=4, multiprobe=m
+    ).toPandas()
+    grp = sigs.groupby(["conv_id", "band"])["sig"].apply(list)
+    for (conv, band), vals in grp.items():
+        assert len(vals) == 1 + m, f"{conv}/{band}: {vals}"
+        assert len(set(vals)) == 1 + m
+        base = vals[0]
+        for probe in vals[1:]:
+            diff = int(base) ^ int(probe)
+            assert diff != 0 and (diff & (diff - 1)) == 0, (
+                f"probe {probe:x} differs from base {base:x} by "
+                f"{bin(diff)} (not one bit)"
+            )
+
+
+def test_lsh_multiprobe_validates_range(spark, feats):
+    from peakmatch_xcorr_spark.operators.pairs import _spectral_band_sigs
+
+    with pytest.raises(ValueError, match="multiprobe"):
+        # rows_per_band = 16/8 = 2, so multiprobe=2 is out of range
+        _spectral_band_sigs(
+            feats, spec_bins=16, n_planes=16, bands=8, multiprobe=2
+        )
