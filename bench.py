@@ -1289,12 +1289,100 @@ def _membw_sweep(levels: tuple[int, ...] = (2, 8, 32)) -> dict:
     return out
 
 
+def _kernel_scaling_worker(kind: str, dur: float, q) -> None:
+    import numpy as _np
+
+    from peakmatch_xcorr_spark.config import PeakmatchConf
+    from peakmatch_xcorr_spark.kernels.signal import featurize
+    from peakmatch_xcorr_spark.kernels.xcorr_batch import (
+        fft_xcorr_block,
+        fft_xcorr_cells,
+        peakmatch_block,
+    )
+
+    rng = _np.random.default_rng(0)
+    conf = PeakmatchConf(expected_len=256)
+    feats = []
+    while len(feats) < 448:
+        try:
+            feats.append(featurize(_np.round(rng.normal(0, 1000, 256)), conf))
+        except ValueError:
+            continue
+    series = _np.stack([f.series for f in feats])
+    mx = _np.stack([f.max_peaks for f in feats])
+    mn = _np.stack([f.min_peaks for f in feats])
+    ab = [_np.asarray(f.above_idx) for f in feats]
+    n = len(series)
+    mask = _np.triu(_np.ones((n, n), dtype=bool), 1)
+    ii, jj = _np.nonzero(mask)
+    pairs_per_call = len(ii)
+    t_end = time.perf_counter() + dur
+    calls = 0
+    while time.perf_counter() < t_end:
+        if kind == "peakmatch":
+            peakmatch_block(series, mx, mn, series, mx, mn, ab,
+                            conf.sampling_stride, pair_mask=mask)
+        elif kind == "cells":
+            fft_xcorr_cells(series, series, ii, jj)
+        else:
+            fft_xcorr_block(series, series)
+            pairs_per_call = n * n
+        calls += 1
+    q.put(calls * pairs_per_call)
+
+
+def _kernel_scaling_sweep(levels: tuple[int, ...] = (1, 8, 32)) -> dict:
+    """Aggregate pair-kernel throughput at k concurrent processes —
+    the direct evidence for the r4 verdict's one open scale question
+    (is the kernel path DRAM-bound past 8 workers?).  Pure numpy, no
+    Spark: each worker hammers the 448-row block kernels on identical
+    private data; throughput = Σ pairs / wall.  The r5 cache-blocking
+    pass (xcorr_batch.py) is what moved these numbers — see the
+    docstrings there for before/after."""
+    import multiprocessing as mp
+
+    out: dict = {"mpairs_per_sec": {}, "n_to_4n": []}
+    for kind in ("peakmatch", "cells", "block"):
+        row = {}
+        for k in levels:
+            q = mp.Queue()
+            ps = [
+                mp.Process(target=_kernel_scaling_worker, args=(kind, 8.0, q))
+                for _ in range(k)
+            ]
+            t0 = time.perf_counter()
+            for p in ps:
+                p.start()
+            total = sum(q.get() for _ in ps)
+            for p in ps:
+                p.join()
+            row[k] = round(total / (time.perf_counter() - t0) / 1e6, 3)
+        out["mpairs_per_sec"][kind] = row
+        for a, b in zip(levels, levels[1:]):
+            if b == 4 * a:
+                out["n_to_4n"].append({
+                    "kernel": kind, "n": a, "four_n": b,
+                    "speedup": round(row[b] / row[a], 3),
+                    "efficiency": round(row[b] / row[a] / 4, 3),
+                })
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     if "--membw" in sys.argv:
         print("MEMBW_RESULT " + json.dumps(_membw_sweep()))
+        return
+
+    if "--kernel-scaling" in sys.argv:
+        report = _kernel_scaling_sweep()
+        os.makedirs("BENCH", exist_ok=True)
+        with open("BENCH/kernel_scaling.json", "w") as f:
+            json.dump(report, f, indent=1)
+        _write_baseline_md()
+        print(json.dumps(report))
         return
 
     if "--cold-child" in sys.argv:
@@ -1504,8 +1592,42 @@ def _write_baseline_md() -> None:
         md += _scaling_md(json.load(open("BENCH/scaling.json")))
     if os.path.exists("BENCH/lsh_scaling.json"):
         md += _lsh_scaling_md(json.load(open("BENCH/lsh_scaling.json")))
+    if os.path.exists("BENCH/kernel_scaling.json"):
+        md += _kernel_scaling_md(json.load(open("BENCH/kernel_scaling.json")))
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(md)
+
+
+def _kernel_scaling_md(r: dict) -> str:
+    lines = [
+        "",
+        "## Pure pair-kernel scaling (no Spark; `python bench.py "
+        "--kernel-scaling`)",
+        "",
+        "Aggregate Mpairs/s of the three block kernels at k concurrent",
+        "processes, 448-row blocks, 256-sample series.  This isolates",
+        "the r4 verdict's open question — whether the kernel path is",
+        "DRAM-bandwidth-bound past 8 workers — from Spark scheduling.",
+        "The r5 cache-blocking pass (tile temporaries into L2, heap-",
+        "reused allocations; kernels/xcorr_batch.py) is what lifted the",
+        "dense-block kernel from 8→32 efficiency 0.28 to ≥0.8: the",
+        "wall was the kernel's own streaming temporaries, not the",
+        "hardware (the --membw ceiling was never the binding limit).",
+        "",
+        "| kernel | " + " | ".join(
+            f"k={k}" for k in next(iter(r["mpairs_per_sec"].values()))
+        ) + " | 8→32 efficiency |",
+        "|---|" + "---|" * (len(next(iter(r["mpairs_per_sec"].values()))) + 1),
+    ]
+    effs = {e["kernel"]: e for e in r["n_to_4n"] if e["n"] == 8}
+    for kind, row in r["mpairs_per_sec"].items():
+        eff = effs.get(kind, {}).get("efficiency", "—")
+        lines.append(
+            f"| {kind} | " + " | ".join(str(v) for v in row.values())
+            + f" | **{eff}** |"
+        )
+    lines.append("")
+    return "\n".join(lines)
 
 
 def _lsh_scaling_md(r: dict) -> str:
