@@ -1026,17 +1026,29 @@ def exact_pair_scores(
 
         from peakmatch_xcorr_spark.kernels.xcorr import JAVA_DOUBLE_MIN_VALUE
 
+        # tile the Arrow batch (r5 cache-blocking, kernels/xcorr_batch
+        # rationale): a full 10k-row batch stacks ~160 MB of complex
+        # temporaries and streams them through DRAM once per step; 32
+        # pairs keep every temporary inside one core's L2 with the
+        # allocations heap-reused
+        chunk = 32
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             n = int(pdf["padded_len"].iloc[0])
-            fa = np.stack(pdf["a_re"].to_numpy()) + 1j * np.stack(pdf["a_im"].to_numpy())
-            fb = np.stack(pdf["b_re"].to_numpy()) + 1j * np.stack(pdf["b_im"].to_numpy())
-            xc = np.fft.irfft(fa * fb, n, axis=1)
-            best = np.maximum(xc.max(axis=1), JAVA_DOUBLE_MIN_VALUE)
-            yield pd.DataFrame(
-                {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "xcorr": best}
-            )
+            best = np.empty(len(pdf))
+            a_re, a_im = pdf["a_re"].to_numpy(), pdf["a_im"].to_numpy()
+            b_re, b_im = pdf["b_re"].to_numpy(), pdf["b_im"].to_numpy()
+            for k0 in range(0, len(pdf), chunk):
+                k1 = min(len(pdf), k0 + chunk)
+                fa = np.stack(a_re[k0:k1]) + 1j * np.stack(a_im[k0:k1])
+                fb = np.stack(b_re[k0:k1]) + 1j * np.stack(b_im[k0:k1])
+                xc = np.fft.irfft(fa * fb, n, axis=1)
+                best[k0:k1] = xc.max(axis=1)
+            yield pd.DataFrame({
+                "id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                "xcorr": np.maximum(best, JAVA_DOUBLE_MIN_VALUE),
+            })
 
     return joined.mapInPandas(
         verify, schema="id_a string, id_b string, xcorr double"
