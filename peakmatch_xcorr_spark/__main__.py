@@ -33,8 +33,9 @@ re-expressed as engine jobs:
 completing the reference's 9-mode dispatch (PLOT1D/PLOT2D are debug
 console formatters; PLOT2D exists as spectrogram_table).
 
-Build the artifact:  cd repo && zip -r pxs.zip peakmatch_xcorr_spark
-Run on a cluster:    spark-submit --py-files pxs.zip run_job.py rollup ...
+Build the artifact:  python tools/package.py   (deterministic dist/pxs.zip;
+                     tests/test_package_zip.py proves run-from-zip)
+Run on a cluster:    spark-submit --py-files dist/pxs.zip run_job.py rollup ...
 (run_job.py = ``from peakmatch_xcorr_spark.__main__ import main; main()``)
 """
 
