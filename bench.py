@@ -1705,16 +1705,21 @@ Notes on this measurement (post triangle-tiling, r4):
   whose cores do not yet contend for the bus, is the faithful proxy
   for the N→4N executor criterion, where each added executor brings
   its own memory channels by construction.
-- **Cross-session spread on IDENTICAL code paths** (five full
-  sweeps, r4 sessions 2, 3, 4, 7, 8): local[2] wall
-  496 → 400 → 326 → 437 → 509 s with the blocked 2→8 efficiency
-  reading 1.04, 0.73, 0.897, 0.817, 0.769 across them
-  (mean ≈ 0.85, three of five ≥ 0.8), low-parallelism levels faster
-  on the days high-parallelism levels are slower — the signature of
-  a contended shared host, matching the --membw evidence above.  No
-  single session's ratio is meaningful on its own; the across-session
-  mean at the stable 2→8 pair, plus the small scaling input's
-  isolated-pass 0.798, is the honest basis for the ≥0.8 claim.
+- **Cross-session spread on IDENTICAL code paths** (six full
+  sweeps: r4 sessions 2, 3, 4, 7, 8 + the r5 sweep whose tables are
+  above): local[2] wall 496 → 400 → 326 → 437 → 509 → 516 s with the
+  blocked 2→8 efficiency reading 1.04, 0.73, 0.897, 0.817, 0.769,
+  0.925 across them (mean ≈ 0.86, four of six ≥ 0.8),
+  low-parallelism levels faster on the days high-parallelism levels
+  are slower — the signature of a contended shared host, matching
+  the --membw evidence above.  The stress-tier 2→8 number shows the
+  same swing: 0.897 (r4, quiet box) vs 0.681 (r5 sweep above, run at
+  loadavg 26 with 284 host processes — see
+  `BENCH/lsh_scaling.json` telemetry).  No single session's ratio is
+  meaningful on its own; the across-session mean at the stable 2→8
+  pair, plus the small scaling input's isolated-pass 0.798 and this
+  round's isolated pure-kernel sweep (8→32 ≥ 0.87, table below), is
+  the honest basis for the ≥0.8 claim.
 - Run-to-run spread on this box exceeds 20% (BENCH_r04 load
   telemetry); each level is best-of-2 in-session passes (a pass whose
   wall exceeds SPARK_GRAFT_SCALE_LONGPASS_SEC skips reruns — fixed
