@@ -740,6 +740,48 @@ FROM events GROUP BY 1, 2
 _PLANTED_DEDUP_USERS = (0, 3, 15, 43, 48, 66, 77, 87, 94, 132)
 
 
+def _planted_conv_inputs(spark: SparkSession, sf_dir: str):
+    """Shared setup for the planted-copy dedup queries: returns
+    ``(base, copies, conf)`` where ``base`` is every events-derived
+    conversation as turn rows ('u<id>', ts), ``copies`` duplicates the
+    ``_PLANTED_DEDUP_USERS`` conversations as 'd<id>', and ``conf`` is
+    the 256-bucket curve config at final_threshold=0.999 (only
+    exact-equal curves match).  The three planted queries
+    (dedup_components / lsh_incremental / lsh_multiprobe) share one
+    SQL truth (curve-equality classes), so their inputs must be built
+    in exactly one place or they silently diverge from it."""
+    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
+
+    events = _t(spark, sf_dir, "events")
+    base = events.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"),
+        "ts",
+    )
+    copies = events.filter(
+        F.col("user_id").isin(*_PLANTED_DEDUP_USERS)
+    ).select(
+        F.concat(F.lit("d"), F.col("user_id").cast("string")).alias("conv_id"),
+        "ts",
+    )
+    conf = EngineConf(
+        peakmatch=PeakmatchConf(expected_len=256, final_threshold=0.999),
+        rollup=RollupConf(activity_curve_len=256),
+    )
+    return base, copies, conf
+
+
+def _planted_conv_features(spark: SparkSession, turns, conf):
+    """Activity-curve features for a planted-corpus turn frame under
+    the shared planted conf (curve geometry in ONE place)."""
+    from peakmatch_xcorr_spark.operators.features import conversation_features
+
+    return conversation_features(
+        turns, conf.peakmatch,
+        bucket=conf.rollup.activity_bucket,
+        curve_len=conf.rollup.activity_curve_len,
+    )
+
+
 def _q_dedup_components_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL peakmatch->FFT-verify->connected-components dedup path
     as a HASH-CHECKED row: transcripts are the events-derived convs
@@ -757,25 +799,12 @@ def _q_dedup_components_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     kernels stay in the pipeline; only the expected answer is
     equality-join-derivable."""
     _utc(spark)
-    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
     from peakmatch_xcorr_spark.operators.dedup import connected_components
     from peakmatch_xcorr_spark.operators.pipeline import (
         find_duplicate_conversations,
     )
 
-    events = _t(spark, sf_dir, "events")
-    base = events.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
-    )
-    copies = events.filter(
-        F.col("user_id").isin(*_PLANTED_DEDUP_USERS)
-    ).select(
-        F.concat(F.lit("d"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
-    )
-    conf = EngineConf(
-        peakmatch=PeakmatchConf(expected_len=256, final_threshold=0.999),
-        rollup=RollupConf(activity_curve_len=256),
-    )
+    base, copies, conf = _planted_conv_inputs(spark, sf_dir)
     matches = find_duplicate_conversations(
         base.unionByName(copies), conf, n_blocks=4
     )
@@ -838,34 +867,12 @@ def _q_lsh_incremental_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     _utc(spark)
-    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
-    from peakmatch_xcorr_spark.operators.features import conversation_features
     from peakmatch_xcorr_spark.operators.lsh_index import lsh_index_refresh
     from peakmatch_xcorr_spark.sources.warehouse import WarehouseTable
 
-    events = _t(spark, sf_dir, "events")
-    base = events.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
-    )
-    copies = events.filter(
-        F.col("user_id").isin(*_PLANTED_DEDUP_USERS)
-    ).select(
-        F.concat(F.lit("d"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
-    )
-    conf = EngineConf(
-        peakmatch=PeakmatchConf(expected_len=256, final_threshold=0.999),
-        rollup=RollupConf(activity_curve_len=256),
-    )
-    f_base = conversation_features(
-        base, conf.peakmatch,
-        bucket=conf.rollup.activity_bucket,
-        curve_len=conf.rollup.activity_curve_len,
-    )
-    f_all = conversation_features(
-        base.unionByName(copies), conf.peakmatch,
-        bucket=conf.rollup.activity_bucket,
-        curve_len=conf.rollup.activity_curve_len,
-    )
+    base, copies, conf = _planted_conv_inputs(spark, sf_dir)
+    f_base = _planted_conv_features(spark, base, conf)
+    f_all = _planted_conv_features(spark, base.unionByName(copies), conf)
     wh = tempfile.mkdtemp(prefix="pxs_lsh_idx_")
     index = WarehouseTable(wh, "lsh_index")
     saved = WarehouseTable(wh, "lsh_matches")
@@ -929,28 +936,10 @@ def _q_lsh_multiprobe_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     (min (band, sig) of the intersection) emits each pair exactly once
     even though planted pairs now collide in 2x the buckets."""
     _utc(spark)
-    from peakmatch_xcorr_spark.config import EngineConf, PeakmatchConf, RollupConf
-    from peakmatch_xcorr_spark.operators.features import conversation_features
     from peakmatch_xcorr_spark.operators.pairs import lsh_scoped_matches
 
-    events = _t(spark, sf_dir, "events")
-    base = events.select(
-        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
-    )
-    copies = events.filter(
-        F.col("user_id").isin(*_PLANTED_DEDUP_USERS)
-    ).select(
-        F.concat(F.lit("d"), F.col("user_id").cast("string")).alias("conv_id"), "ts"
-    )
-    conf = EngineConf(
-        peakmatch=PeakmatchConf(expected_len=256, final_threshold=0.999),
-        rollup=RollupConf(activity_curve_len=256),
-    )
-    feats = conversation_features(
-        base.unionByName(copies), conf.peakmatch,
-        bucket=conf.rollup.activity_bucket,
-        curve_len=conf.rollup.activity_curve_len,
-    )
+    base, copies, conf = _planted_conv_inputs(spark, sf_dir)
+    feats = _planted_conv_features(spark, base.unionByName(copies), conf)
     matches = lsh_scoped_matches(
         feats, conf.peakmatch, n_planes=32, bands=8, multiprobe=1
     )

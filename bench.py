@@ -1353,7 +1353,23 @@ def _kernel_scaling_sweep(levels: tuple[int, ...] = (1, 8, 32)) -> dict:
             t0 = time.perf_counter()
             for p in ps:
                 p.start()
-            total = sum(q.get() for _ in ps)
+            # bounded q.get: a worker that dies before its put (OOM
+            # kill, import error) must fail the sweep loudly, not hang
+            # it forever at the blocking get
+            import queue as _queue
+
+            total = 0
+            for _ in ps:
+                try:
+                    total += q.get(timeout=8.0 * 20)
+                except _queue.Empty:
+                    for p in ps:
+                        p.terminate()
+                    raise RuntimeError(
+                        f"kernel-scaling worker (kind={kind}, k={k}) "
+                        "died before reporting; see exit codes "
+                        f"{[p.exitcode for p in ps]}"
+                    )
             for p in ps:
                 p.join()
             row[k] = round(total / (time.perf_counter() - t0) / 1e6, 3)

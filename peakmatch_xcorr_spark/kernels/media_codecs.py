@@ -37,9 +37,13 @@ def is_wav(payload: bytes) -> bool:
 def decode_png_gray(payload: bytes) -> np.ndarray:
     """Decode a PNG payload to a grayscale uint8 (height, width) array.
 
-    RGB(A) is reduced with the ITU-R 601 integer luma PIL's
-    ``convert("L")`` uses — ``(299 R + 587 G + 114 B) // 1000`` — so
-    stdlib and PIL paths agree bit-for-bit on color images."""
+    RGB(A) is reduced with the exact integer luma PIL's
+    ``convert("L")`` computes (ImagingConvert.c: ``(19595 R + 38470 G
+    + 7471 B) >> 16``, the >>16 fixed-point form of ITU-R 601) — NOT
+    the ``// 1000`` decimal form, which differs by 1 on ~9k of the
+    16.7M RGB triples — so stdlib and PIL paths agree bit-for-bit on
+    color images and strict-mode features hash identically on
+    PIL-equipped clusters and in this sandbox."""
     if not is_png(payload):
         raise ValueError("not a PNG payload (bad signature)")
     pos = 8
@@ -119,7 +123,7 @@ def decode_png_gray(payload: bytes) -> np.ndarray:
     r = px[:, :, 0].astype(np.int32)
     g = px[:, :, 1].astype(np.int32)
     b = px[:, :, 2].astype(np.int32)
-    return ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+    return ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(np.uint8)
 
 
 def encode_png_gray(img: np.ndarray) -> bytes:

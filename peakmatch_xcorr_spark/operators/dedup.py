@@ -75,8 +75,10 @@ def connected_components(
     # bounded size probe: limit-then-count reads at most the threshold,
     # not the whole (possibly billion-edge) list
     if driver_max_edges and sym.limit(driver_max_edges + 1).count() <= driver_max_edges:
-        out = _driver_union_find(sym)
-        drop_checkpoint(sym)
+        try:
+            out = _driver_union_find(sym)
+        finally:
+            drop_checkpoint(sym)
         return out
     # init with min(id, min neighbour): star components converge at
     # init, saving one full propagate round (≈3 jobs) on the loop path
@@ -86,50 +88,67 @@ def connected_components(
         .select(F.col("u").alias("id"), F.least("u", "mv").alias("component"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
-        # candidate label per vertex: min over neighbours' labels …
-        neigh = (
-            sym.join(labels, sym.v == labels.id)
-            .select(F.col("u").alias("id"), F.col("component"))
-        )
-        # … plus pointer jumping (component-of-component), which
-        # collapses long chains in O(log diameter) rounds instead of
-        # O(diameter)
-        jump = (
-            labels.alias("a")
-            .join(
-                labels.select(
-                    F.col("id").alias("component"),
-                    F.col("component").alias("cc"),
-                ).alias("b"),
-                "component",
+    # a mid-loop failure (or the no-fixpoint raise below) must still
+    # drop the live checkpoint states (sym + current labels), or they
+    # leak for the session lifetime — same class as the kmeans_fit /
+    # pagerank fix (r4 advice); if an iteration threw before the
+    # `labels = new_labels` swap, `labels` still names the prior
+    # (undropped) state, so the except arm's drops are exact
+    try:
+        for _ in range(max_iter):
+            # candidate label per vertex: min over neighbours' labels …
+            neigh = (
+                sym.join(labels, sym.v == labels.id)
+                .select(F.col("u").alias("id"), F.col("component"))
             )
-            .select(F.col("id"), F.col("cc").alias("component"))
-        )
-        new_labels = (
-            labels.select("id", "component")
-            .union(neigh)
-            .union(jump)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        # the changed-count was the old labels' last reader; drop its
-        # checkpoint blocks so storage stays O(1) in rounds (the
-        # pagerank lesson, ADVICE r4) — checkpoints here are eager, so
-        # new_labels' blocks never depend on the old ones
+            # … plus pointer jumping (component-of-component), which
+            # collapses long chains in O(log diameter) rounds instead
+            # of O(diameter)
+            jump = (
+                labels.alias("a")
+                .join(
+                    labels.select(
+                        F.col("id").alias("component"),
+                        F.col("component").alias("cc"),
+                    ).alias("b"),
+                    "component",
+                )
+                .select(F.col("id"), F.col("cc").alias("component"))
+            )
+            new_labels = (
+                labels.select("id", "component")
+                .union(neigh)
+                .union(jump)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+                .localCheckpoint()
+            )
+            try:
+                changed = (
+                    new_labels.alias("n")
+                    .join(labels.alias("o"), "id")
+                    .filter(F.col("n.component") != F.col("o.component"))
+                    .count()
+                )
+            except BaseException:
+                drop_checkpoint(new_labels)
+                raise
+            # the changed-count was the old labels' last reader; drop
+            # its checkpoint blocks so storage stays O(1) in rounds
+            # (the pagerank lesson, ADVICE r4) — checkpoints here are
+            # eager, so new_labels' blocks never depend on the old ones
+            drop_checkpoint(labels)
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components: no fixpoint in {max_iter} iters"
+            )
+    except BaseException:
         drop_checkpoint(labels)
-        labels = new_labels
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} iters")
+        drop_checkpoint(sym)
+        raise
     drop_checkpoint(sym)
     return labels
 

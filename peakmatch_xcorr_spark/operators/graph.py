@@ -93,33 +93,44 @@ def pagerank(
         F.coalesce("deg", F.lit(1)).cast("long").alias("deg"),
         F.lit(PAGERANK_SCALE).cast("long").alias("r"),
     ).localCheckpoint(eager=True)
-    for _ in range(iterations):
-        contrib = (
-            edges.join(
-                ranks.select(F.col("node").alias("src"), "r", "deg"), "src"
+    # on a mid-loop failure (task loss, interrupt) the one live
+    # checkpoint state must still be dropped, or it leaks for the
+    # session lifetime — the kmeans_fit lesson (r4 advice); if the new
+    # frame's checkpoint itself threw, `ranks` still names the prior
+    # (undropped) state, so dropping `ranks` is exact either way
+    try:
+        for _ in range(iterations):
+            contrib = (
+                edges.join(
+                    ranks.select(F.col("node").alias("src"), "r", "deg"),
+                    "src",
+                )
+                .select("dst", F.expr("r DIV deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
             )
-            .select("dst", F.expr("r DIV deg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        prev = ranks
-        ranks = (
-            ranks.join(
-                contrib.withColumnRenamed("dst", "node"), "node", "left"
+            prev = ranks
+            ranks = (
+                ranks.join(
+                    contrib.withColumnRenamed("dst", "node"), "node", "left"
+                )
+                .select(
+                    "node",
+                    "deg",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_num} * coalesce(s, 0))"
+                            f" DIV {damping_den}"
+                        )
+                    ).cast("long").alias("r"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .select(
-                "node",
-                "deg",
-                (
-                    F.lit(base)
-                    + F.expr(
-                        f"({damping_num} * coalesce(s, 0)) DIV {damping_den}"
-                    )
-                ).cast("long").alias("r"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        _drop_checkpoint(prev)
+            _drop_checkpoint(prev)
+    except BaseException:
+        _drop_checkpoint(ranks)
+        raise
     return ranks.select(
         "node",
         F.col("r").alias("rank_scaled"),

@@ -64,9 +64,12 @@ def _decode_image(payload: bytes, width: int, height: int, strict: bool):
             if strict and not mc.is_png(payload):
                 raise
     if mc.is_png(payload):
+        # broad except: a corrupt IDAT raises zlib.error and a
+        # truncated chunk header raises struct.error, not just
+        # ValueError — lax mode must fall back on all of them
         try:
             return mc.decode_png_gray(payload)
-        except ValueError:
+        except Exception:
             if strict:
                 raise
     elif strict:

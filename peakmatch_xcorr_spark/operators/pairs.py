@@ -306,6 +306,7 @@ def _spectral_band_sigs(
     n_planes: int,
     bands: int,
     multiprobe: int = 0,
+    with_probe: bool = False,
 ) -> DataFrame:
     """(conv_id, band, sig): SRP-LSH band signatures of the activity
     curve's per-vector-centered log-magnitude spectrum.
@@ -338,7 +339,10 @@ def _spectral_band_sigs(
     bucket recall 1.0 at 2.9x candidates on the 18.5M-turn stress
     corpus, BENCH/STRESS.md).  Emits ``1 + multiprobe`` rows per
     (conversation, band); the default 0 keeps the one-row-per-band
-    contract unchanged."""
+    contract unchanged.  ``with_probe`` adds an int ``probe`` column
+    (0 = base signature, 1.. = flip rank) so the bucketing layer can
+    tell base fills from probe inflation; off by default so the
+    persisted incremental-index schema (lsh_index.py) is untouched."""
     import numpy as np
 
     from peakmatch_xcorr_spark.operators.similarity import _hyperplane
@@ -394,17 +398,23 @@ def _spectral_band_sigs(
                     np.int64(1) << weakest.astype(np.int64)
                 )
                 all_sigs = np.concatenate([base[:, :, None], flips], axis=2)
-            yield pd.DataFrame({
+            cols = {
                 "conv_id": np.repeat(pdf["conv_id"].to_numpy(), bands * probes),
                 "band": np.tile(
                     np.repeat(np.arange(bands, dtype=np.int32), probes), n
                 ),
                 "sig": all_sigs.reshape(-1),
-            })
+            }
+            if with_probe:
+                cols["probe"] = np.tile(
+                    np.arange(probes, dtype=np.int32), n * bands
+                )
+            yield pd.DataFrame(cols)
 
-    return features.select("conv_id", "series").mapInPandas(
-        run, schema="conv_id string, band int, sig long"
-    )
+    schema = "conv_id string, band int, sig long"
+    if with_probe:
+        schema += ", probe int"
+    return features.select("conv_id", "series").mapInPandas(run, schema)
 
 
 def _lsh_bucket_frames(
@@ -423,6 +433,12 @@ def _lsh_bucket_frames(
     conv's band-*b* signature when bucket ``(b, sig)`` is scorable
     (2 ≤ count ≤ ``max_bucket``) and -1 otherwise (singleton bucket —
     no pairs — or over-cap bucket, which the star branch handles).
+    With ``multiprobe`` > 0 the vector is band-major with
+    ``1 + multiprobe`` slots per band, over-cap is decided from the
+    BASE fill (so the bucket partition matches multiprobe=0 and the
+    dial can only ADD scorable pairs), and a base-in-cap bucket keeps
+    its flip members only while total fill ≤ probes·max_bucket (see
+    the inline rationale below).
 
     The vector is what makes cross-band score-once ownership a
     TASK-LOCAL decision: inside bucket ``(band, sig)`` a pair is
@@ -452,17 +468,67 @@ def _lsh_bucket_frames(
     # with exactly that many slots per band, so every downstream
     # consumer (ownership scorer, star filter) slices per band instead
     # of assuming one slot
-    sigs = _spectral_band_sigs(features, spec_bins, n_planes, bands, multiprobe)
+    sigs = _spectral_band_sigs(
+        features, spec_bins, n_planes, bands, multiprobe,
+        with_probe=multiprobe > 0,
+    )
     bucketed = sigs.localCheckpoint(eager=False)
-    all_counts = bucketed.groupBy("band", "sig").count()
-    counts = all_counts.filter(
-        (F.col("count") > 1) & (F.col("count") <= max_bucket)
-    )
-    flagged = bucketed.join(
-        counts.select("band", "sig", F.lit(True).alias("in_cap")),
-        ["band", "sig"],
-        "left",
-    )
+    if multiprobe == 0:
+        all_counts = bucketed.groupBy("band", "sig").count()
+        counts = all_counts.filter(
+            (F.col("count") > 1) & (F.col("count") <= max_bucket)
+        )
+        flagged = bucketed.join(
+            counts.select("band", "sig", F.lit(True).alias("in_cap")),
+            ["band", "sig"],
+            "left",
+        )
+    else:
+        # Multiprobe cap semantics (r5 review fix): flip rows inflate
+        # bucket fills, and deciding in-cap from the INFLATED count
+        # would demote buckets that were scorable at multiprobe=0 to
+        # the star path — the "recall dial" would LOSE base matches.
+        # Instead:
+        #   * over-cap (star branch) is decided from the BASE fill
+        #     only — identical bucket set to multiprobe=0;
+        #   * a base-in-cap bucket keeps its flip members only while
+        #     the total stays under probes*max_bucket (the uniform
+        #     inflation bound); past that the bucket keeps its BASE
+        #     members only, so work stays bounded and every
+        #     multiprobe=0 pair remains scorable — flips are strictly
+        #     additive.
+        probes_ = 1 + multiprobe
+        cap_total = max_bucket * probes_
+        stats = bucketed.groupBy("band", "sig").agg(
+            F.count(F.lit(1)).alias("count"),
+            F.sum((F.col("probe") == 0).cast("long")).alias("base_count"),
+        ).withColumn(
+            "eff_count",
+            F.when(F.col("count") <= cap_total, F.col("count")).otherwise(
+                F.col("base_count")
+            ),
+        )
+        # star branch reads `count` as the over-cap criterion: base
+        # fill, to match the multiprobe=0 bucket partition
+        all_counts = stats.select(
+            "band", "sig", F.col("base_count").alias("count")
+        )
+        counts = stats.filter(
+            (F.col("base_count") <= max_bucket) & (F.col("eff_count") > 1)
+        ).select("band", "sig", F.col("eff_count").alias("count"))
+        flagged = bucketed.join(
+            stats.select(
+                "band", "sig", "base_count", "eff_count",
+                F.col("count").alias("total_count"),
+            ),
+            ["band", "sig"],
+            "left",
+        ).withColumn(
+            "in_cap",
+            (F.col("base_count") <= max_bucket)
+            & (F.col("eff_count") > 1)
+            & ((F.col("probe") == 0) | (F.col("total_count") <= cap_total)),
+        )
     esigs = (
         flagged.groupBy("conv_id")
         .agg(

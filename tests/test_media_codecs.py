@@ -81,7 +81,8 @@ def test_png_all_filters_all_colortypes(color, ch):
         r = truth[:, :, 0].astype(np.int32)
         g = truth[:, :, 1].astype(np.int32)
         b = truth[:, :, 2].astype(np.int32)
-        expect = ((r * 299 + g * 587 + b * 114) // 1000).astype(np.uint8)
+        # PIL's convert("L") fixed-point luma (ImagingConvert.c)
+        expect = ((r * 19595 + g * 38470 + b * 7471) >> 16).astype(np.uint8)
     assert np.array_equal(got, expect)
 
 

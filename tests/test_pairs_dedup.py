@@ -606,3 +606,60 @@ def test_lsh_multiprobe_validates_range(spark, feats):
         _spectral_band_sigs(
             feats, spec_bins=16, n_planes=16, bands=8, multiprobe=2
         )
+
+
+def test_lsh_multiprobe_cap_demotion_guard(spark, feats, synth):
+    """Flip rows inflate bucket fills, and deciding in-cap from the
+    INFLATED count demotes buckets that were scorable at multiprobe=0
+    to the star path — the recall dial would LOSE base matches (r5
+    review).  Over-cap must be decided from the BASE fill: with a cap
+    small enough that probe inflation crosses it, (a) every base
+    membership of a base-in-cap bucket stays scorable in the esigs
+    vector, and (b) the end-to-end match set is still a superset of
+    multiprobe=0's with score-once intact."""
+    from peakmatch_xcorr_spark.operators.pairs import (
+        _lsh_bucket_frames,
+        lsh_scoped_matches,
+    )
+
+    # 2-bit band sigs over 16 convs: base fills sit right at a cap of
+    # 4, so multiprobe doubling the memberships crosses it — exactly
+    # the regime where inflated-count capping demoted base buckets
+    for cap in (3, 4):
+        base = lsh_scoped_matches(
+            feats, CONF.peakmatch, n_planes=16, bands=8, max_bucket=cap
+        ).toPandas()
+        probed = lsh_scoped_matches(
+            feats, CONF.peakmatch, n_planes=16, bands=8, max_bucket=cap,
+            multiprobe=1,
+        ).toPandas()
+        keys_b = set(zip(base.id_a, base.id_b))
+        keys_p = list(zip(probed.id_a, probed.id_b))
+        assert len(keys_p) == len(set(keys_p)), "multiprobe broke score-once"
+        assert keys_b <= set(keys_p), f"cap={cap}: multiprobe lost a base match"
+
+    # internal invariant, checked directly: a bucket whose BASE fill
+    # is in [2, cap] keeps every base membership scorable no matter
+    # how many flips land on it
+    cap, probes = 4, 2
+    bucketed, counts, all_counts, esigs = _lsh_bucket_frames(
+        feats, 16, 8, cap, 64, multiprobe=1
+    )
+    b = bucketed.toPandas()
+    evec = esigs.toPandas().set_index("conv_id")["esigs"]
+    base_rows = b[b.probe == 0]
+    base_fill = base_rows.groupby(["band", "sig"]).size()
+    checked = 0
+    for (band, sig), fill in base_fill.items():
+        if not 2 <= fill <= cap:
+            continue
+        members = base_rows[(base_rows.band == band) & (base_rows.sig == sig)]
+        total = len(b[(b.band == band) & (b.sig == sig)])
+        for conv in members.conv_id:
+            band_slice = list(evec[conv][band * probes:(band + 1) * probes])
+            assert sig in band_slice, (
+                f"bucket ({band}, {sig}): base fill {fill} <= cap {cap} "
+                f"(total {total}) but conv {conv}'s base slot was demoted"
+            )
+            checked += 1
+    assert checked > 0, "fixture produced no base-in-cap buckets to check"

@@ -254,6 +254,35 @@ def test_multimodal_strict_real_image_decode(spark):
     assert out.mean_intensity.iloc[0] == pytest.approx(120.0)
 
 
+def test_multimodal_lax_corrupt_png_falls_back(spark):
+    """A payload with a valid PNG signature but a corrupt IDAT stream
+    raises zlib.error (not ValueError) from the stdlib codec; default
+    lax mode must fall back to the deterministic fake instead of
+    crashing the task (r5 review — the image path caught only
+    ValueError where the audio path caught Exception)."""
+    import pandas as pd
+
+    from peakmatch_xcorr_spark.kernels.media_codecs import encode_png_gray
+    from peakmatch_xcorr_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        image_features,
+    )
+
+    good = bytearray(encode_png_gray(np.full((8, 8), 7, dtype=np.uint8)))
+    # corrupt the IDAT payload bytes (keep signature + chunk headers)
+    idat = bytes(good).index(b"IDAT")
+    good[idat + 4:idat + 12] = b"\xff" * 8
+    media = spark.createDataFrame(
+        pd.DataFrame([
+            {"media_id": "bad0", "kind": "image", "payload": bytes(good),
+             "width": 8, "height": 8, "sample_rate": 0, "n_frames": 0}
+        ]),
+        schema=MEDIA_SCHEMA,
+    )
+    out = image_features(media, strict=False).toPandas()
+    assert len(out) == 1  # fake-decoded, not crashed
+
+
 def test_multimodal_strict_real_audio_decode(spark):
     """Strict mode decodes a real 16-bit PCM WAV — in-sandbox via the
     stdlib ``wave`` codec, via soundfile where it exists — and the
