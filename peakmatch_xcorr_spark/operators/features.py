@@ -24,7 +24,6 @@ from peakmatch_xcorr_spark.config import PeakmatchConf
 from peakmatch_xcorr_spark.operators.rollup import (
     bucket_seconds,
     epoch_seconds,
-    tumbling_rollup,
 )
 
 FEATURE_SCHEMA = (
@@ -51,17 +50,20 @@ def activity_curves(
     truncated to ``curve_len`` (reference: fixed expected-file-line-count,
     BasicEvent.java:40-56 — truncate/zero-pad semantics).
 
-    One rollup shuffle + one repartition; the curve scatter is a
-    vectorized numpy pass over change-point runs (the pack_tier
-    pattern).  The previous JVM-side form rebuilt each curve with
-    ``transform(sequence, element_at(map))`` — an O(|map|) INTERPRETED
-    lookup per slot, ~1500 s of hidden CPU at 8.7M rolled rows (hidden
-    because count() prunes the curve column; any consumer paid it).
+    ONE exchange total: the raw turns are slimmed to (conv, bucket
+    ordinal) JVM-side, hash-repartitioned by conversation, sorted
+    within partitions, and both the per-bucket counting and the curve
+    scatter happen in a single vectorized bincount per Arrow batch.
+    The previous two-exchange form (tumbling_rollup's groupBy on
+    (conv, window) + a repartition(conv) of the rolled rows) shuffled
+    the corpus twice for almost no map-side reduction — at ~2 turns
+    per (conv, minute) slot spread over many input partitions,
+    partial_count barely shrinks the first shuffle, so folding the
+    count into the conv-partitioned pass halves the shuffled bytes.
     Sorting each conversation contiguous also makes the run's first
     bucket its minimum, so no window-min shuffle is needed.
     """
     step = bucket_seconds(bucket)
-    rolled = tumbling_rollup(transcripts, [conv_col], ts_col, None, bucket)
 
     def assemble(batches):
         import numpy as np
@@ -69,25 +71,27 @@ def activity_curves(
 
         def emit(pdf):
             convs = pdf[conv_col].to_numpy()
-            ts = pdf["bs"].to_numpy()
-            turns = pdf["turns"].astype("float64").to_numpy()
+            b = pdf["b"].to_numpy()
             change = np.zeros(len(pdf), dtype=bool)
             change[0] = True
             change[1:] = convs[1:] != convs[:-1]
             starts = np.nonzero(change)[0]
-            ends = np.concatenate((starts[1:], [len(pdf)]))
-            out_conv, out_curve = [], []
-            for s, e in zip(starts, ends):
-                idx = (ts[s:e] - ts[s]) // step
-                # truncate, as the reference does; idx < 0 can only
-                # come from a non-monotonic epoch mapping (NTZ in a
-                # DST-ambiguous session TZ) — never wrap-write
-                keep = (idx >= 0) & (idx < curve_len)
-                curve = np.zeros(curve_len)
-                curve[idx[keep]] = turns[s:e][keep]
-                out_conv.append(convs[s])
-                out_curve.append(curve)
-            return pd.DataFrame({conv_col: out_conv, "curve": out_curve})
+            run_of_row = np.cumsum(change) - 1
+            # bucket index relative to the conversation's first
+            # (minimum, since sorted) bucket; truncate to curve_len as
+            # the reference does.  idx < 0 can only come from a
+            # non-monotonic epoch mapping (NTZ in a DST-ambiguous
+            # session TZ) — never wrap-write.
+            idx = b - b[starts][run_of_row]
+            keep = (idx >= 0) & (idx < curve_len)
+            flat = run_of_row[keep] * curve_len + idx[keep]
+            counts = np.bincount(
+                flat, minlength=len(starts) * curve_len
+            ).astype(np.float64)
+            return pd.DataFrame({
+                conv_col: convs[starts],
+                "curve": list(counts.reshape(len(starts), curve_len)),
+            })
 
         carry = None
         for pdf in batches:
@@ -108,13 +112,17 @@ def activity_curves(
     # epoch seconds are derived JVM-SIDE: pandas converts instant
     # timestamps to naive session-local datetimes, which goes
     # non-monotonic across DST in a non-UTC session (the refresh
-    # module documents the same trap for manifest bounds)
+    # module documents the same trap for manifest bounds); the floor
+    # to a grid-aligned bucket ordinal matches F.window's tumbling
+    # math (epoch modulo, session TZ pinned UTC)
     slim = (
-        rolled.select(
-            conv_col, epoch_seconds("bucket_start").alias("bs"), "turns"
+        transcripts.select(
+            conv_col,
+            F.floor(epoch_seconds(ts_col) / F.lit(step))
+            .cast("long").alias("b"),
         )
         .repartition(conv_col)
-        .sortWithinPartitions(conv_col, "bs")
+        .sortWithinPartitions(conv_col, "b")
     )
     return slim.mapInPandas(
         assemble, schema=f"{conv_col} string, curve array<double>"
