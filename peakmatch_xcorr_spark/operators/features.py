@@ -2,17 +2,19 @@
 P1-P7 and S9: the reference's BasicEvent construction and FFT
 precache, re-expressed over tables).
 
-Dense curve assembly is a change-point mapInPandas scatter over
-conversation-sorted rollup rows (see ``activity_curves``); numeric
+Dense curve assembly is a change-point mapInPandas bincount over
+conversation-sorted raw turns (see ``activity_curves``); numeric
 featurization is a second Arrow-batched mapInPandas calling the numpy
-kernels.  Both are narrow stages over the single rollup shuffle.
+kernels.  Both are narrow stages over the single conv-hash shuffle.
 
 Scale notes: curves are one row per conversation (10^12 turns →
-~10^8-10^9 convs); the rollup shuffle is the only wide stage; the
-featurize map is embarrassingly parallel.  Salting is unnecessary
-here because the activity rollup output is already one row per
-(conv, bucket) — the giant-conversation skew collapses at that
-aggregation (bounded by curve_len rows per conv).
+~10^8-10^9 convs); the conv repartition is the only wide stage, and
+it ships exactly (conv_id, bucket-ordinal long) per turn; the
+featurize map is embarrassingly parallel.  A pathologically giant
+conversation lands whole on one task, but its curve work is bounded:
+the bincount writes at most curve_len slots per conversation
+regardless of its turn count, so the skewed task streams rows at
+memcpy speed rather than building per-turn state.
 """
 
 from __future__ import annotations
