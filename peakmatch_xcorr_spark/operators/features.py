@@ -40,6 +40,78 @@ FFT_SCHEMA = (
 )
 
 
+def _slim_buckets(
+    transcripts: DataFrame, step: int, conv_col: str, ts_col: str
+) -> DataFrame:
+    """(conv, bucket ordinal) slimmed JVM-side, hash-repartitioned by
+    conversation, sorted within partitions — the curve family's ONLY
+    wide stage over the raw turns.
+
+    Epoch seconds are derived JVM-SIDE: pandas converts instant
+    timestamps to naive session-local datetimes, which goes
+    non-monotonic across DST in a non-UTC session (the refresh module
+    documents the same trap for manifest bounds); the floor to a
+    grid-aligned bucket ordinal matches F.window's tumbling math
+    (epoch modulo, session TZ pinned UTC)."""
+    return (
+        transcripts.select(
+            conv_col,
+            F.floor(epoch_seconds(ts_col) / F.lit(step))
+            .cast("long").alias("b"),
+        )
+        .repartition(conv_col)
+        .sortWithinPartitions(conv_col, "b")
+    )
+
+
+def _curve_groups(batches, conv_col: str, curve_len: int):
+    """Yield (conv_ids, curves 2-D float64 ndarray) per run of COMPLETE
+    conversations from conv-sorted (conv, b) Arrow batches, carrying a
+    possibly-split trailing conversation across chunk boundaries (the
+    rollup.pack_tier pattern).  Both the per-bucket counting and the
+    curve scatter are one vectorized bincount over run-relative flat
+    indices — no per-conversation Python loop."""
+    import numpy as np
+    import pandas as pd
+
+    def emit(pdf):
+        convs = pdf[conv_col].to_numpy()
+        b = pdf["b"].to_numpy()
+        change = np.zeros(len(pdf), dtype=bool)
+        change[0] = True
+        change[1:] = convs[1:] != convs[:-1]
+        starts = np.nonzero(change)[0]
+        run_of_row = np.cumsum(change) - 1
+        # bucket index relative to the conversation's first (minimum,
+        # since sorted) bucket; truncate to curve_len as the reference
+        # does.  idx < 0 can only come from a non-monotonic epoch
+        # mapping (NTZ in a DST-ambiguous session TZ) — never
+        # wrap-write.
+        idx = b - b[starts][run_of_row]
+        keep = (idx >= 0) & (idx < curve_len)
+        flat = run_of_row[keep] * curve_len + idx[keep]
+        counts = np.bincount(
+            flat, minlength=len(starts) * curve_len
+        ).astype(np.float64)
+        return convs[starts], counts.reshape(len(starts), curve_len)
+
+    carry = None
+    for pdf in batches:
+        if carry is not None:
+            pdf = pd.concat([carry, pdf], ignore_index=True)
+        if len(pdf) == 0:
+            carry = None
+            continue
+        arr = pdf[conv_col].to_numpy()
+        last = arr == arr[-1]
+        split = len(pdf) - int(last[::-1].argmin() or len(pdf))
+        complete, carry = pdf.iloc[:split], pdf.iloc[split:]
+        if len(complete):
+            yield emit(complete)
+    if carry is not None and len(carry):
+        yield emit(carry)
+
+
 def activity_curves(
     transcripts: DataFrame,
     bucket: str = "1 minute",
@@ -52,11 +124,8 @@ def activity_curves(
     truncated to ``curve_len`` (reference: fixed expected-file-line-count,
     BasicEvent.java:40-56 — truncate/zero-pad semantics).
 
-    ONE exchange total: the raw turns are slimmed to (conv, bucket
-    ordinal) JVM-side, hash-repartitioned by conversation, sorted
-    within partitions, and both the per-bucket counting and the curve
-    scatter happen in a single vectorized bincount per Arrow batch.
-    The previous two-exchange form (tumbling_rollup's groupBy on
+    ONE exchange total (``_slim_buckets`` + ``_curve_groups``).  The
+    previous two-exchange form (tumbling_rollup's groupBy on
     (conv, window) + a repartition(conv) of the rolled rows) shuffled
     the corpus twice for almost no map-side reduction — at ~2 turns
     per (conv, minute) slot spread over many input partitions,
@@ -68,65 +137,12 @@ def activity_curves(
     step = bucket_seconds(bucket)
 
     def assemble(batches):
-        import numpy as np
         import pandas as pd
 
-        def emit(pdf):
-            convs = pdf[conv_col].to_numpy()
-            b = pdf["b"].to_numpy()
-            change = np.zeros(len(pdf), dtype=bool)
-            change[0] = True
-            change[1:] = convs[1:] != convs[:-1]
-            starts = np.nonzero(change)[0]
-            run_of_row = np.cumsum(change) - 1
-            # bucket index relative to the conversation's first
-            # (minimum, since sorted) bucket; truncate to curve_len as
-            # the reference does.  idx < 0 can only come from a
-            # non-monotonic epoch mapping (NTZ in a DST-ambiguous
-            # session TZ) — never wrap-write.
-            idx = b - b[starts][run_of_row]
-            keep = (idx >= 0) & (idx < curve_len)
-            flat = run_of_row[keep] * curve_len + idx[keep]
-            counts = np.bincount(
-                flat, minlength=len(starts) * curve_len
-            ).astype(np.float64)
-            return pd.DataFrame({
-                conv_col: convs[starts],
-                "curve": list(counts.reshape(len(starts), curve_len)),
-            })
+        for convs, curves in _curve_groups(batches, conv_col, curve_len):
+            yield pd.DataFrame({conv_col: convs, "curve": list(curves)})
 
-        carry = None
-        for pdf in batches:
-            if carry is not None:
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-            if len(pdf) == 0:
-                carry = None
-                continue
-            arr = pdf[conv_col].to_numpy()
-            last = arr == arr[-1]
-            split = len(pdf) - int(last[::-1].argmin() or len(pdf))
-            complete, carry = pdf.iloc[:split], pdf.iloc[split:]
-            if len(complete):
-                yield emit(complete)
-        if carry is not None and len(carry):
-            yield emit(carry)
-
-    # epoch seconds are derived JVM-SIDE: pandas converts instant
-    # timestamps to naive session-local datetimes, which goes
-    # non-monotonic across DST in a non-UTC session (the refresh
-    # module documents the same trap for manifest bounds); the floor
-    # to a grid-aligned bucket ordinal matches F.window's tumbling
-    # math (epoch modulo, session TZ pinned UTC)
-    slim = (
-        transcripts.select(
-            conv_col,
-            F.floor(epoch_seconds(ts_col) / F.lit(step))
-            .cast("long").alias("b"),
-        )
-        .repartition(conv_col)
-        .sortWithinPartitions(conv_col, "b")
-    )
-    return slim.mapInPandas(
+    return _slim_buckets(transcripts, step, conv_col, ts_col).mapInPandas(
         assemble, schema=f"{conv_col} string, curve array<double>"
     )
 
@@ -145,49 +161,60 @@ def featurize_curves(
     across thousands of pad zeros."""
 
     def run(batches):
-        import numpy as np
-        import pandas as pd
-
-        from peakmatch_xcorr_spark.kernels.signal import featurize
-
         for pdf in batches:
-            out = {
-                "conv_id": [], "series": [], "max_peaks": [],
-                "min_peaks": [], "above_idx": [], "peak_amp": [],
-                "n_peaks": [], "ok": [],
-            }
-            for conv, curve in zip(pdf["conv_id"], pdf["curve"]):
-                arr = np.asarray(curve, dtype=np.float64)
-                try:
-                    # the int-cast quirk applies (or not) independently
-                    # of padding: the curve IS the fixed-length series
-                    f = featurize(
-                        arr, conf,
-                        pre_ingested=not conf.int_cast_ingest,
-                        series_len=(
-                            series_len if series_len is not None else len(arr)
-                        ),
-                    )
-                    out["series"].append(f.series)
-                    out["max_peaks"].append(f.max_peaks)
-                    out["min_peaks"].append(f.min_peaks)
-                    out["above_idx"].append(f.above_idx)
-                    out["peak_amp"].append(f.peak_amp)
-                    out["n_peaks"].append(f.n_peaks)
-                    out["ok"].append(True)
-                except ValueError:
-                    out["series"].append(np.zeros(0))
-                    out["max_peaks"].append(np.zeros(0, np.int32))
-                    out["min_peaks"].append(np.zeros(0, np.int32))
-                    out["above_idx"].append(np.zeros(0, np.int32))
-                    out["peak_amp"].append(float("nan"))
-                    out["n_peaks"].append(0)
-                    out["ok"].append(False)
-                out["conv_id"].append(conv)
-            if out["conv_id"]:  # empty frames mistype array columns
-                yield pd.DataFrame(out)
+            out = _featurize_rows(
+                pdf["conv_id"], pdf["curve"], conf, series_len
+            )
+            if out is not None:  # empty frames mistype array columns
+                yield out
 
     return curves.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def _featurize_rows(conv_ids, curve_arrays, conf, series_len):
+    """Featurize one batch of (conv_id, curve) pairs into a
+    FEATURE_SCHEMA pandas frame (None when the batch is empty).
+    Convs with too few peaks get ok=false (the reference's
+    continue-on-error policy, Util.java:176-177)."""
+    import numpy as np
+    import pandas as pd
+
+    from peakmatch_xcorr_spark.kernels.signal import featurize
+
+    out = {
+        "conv_id": [], "series": [], "max_peaks": [],
+        "min_peaks": [], "above_idx": [], "peak_amp": [],
+        "n_peaks": [], "ok": [],
+    }
+    for conv, curve in zip(conv_ids, curve_arrays):
+        arr = np.asarray(curve, dtype=np.float64)
+        try:
+            # the int-cast quirk applies (or not) independently
+            # of padding: the curve IS the fixed-length series
+            f = featurize(
+                arr, conf,
+                pre_ingested=not conf.int_cast_ingest,
+                series_len=(
+                    series_len if series_len is not None else len(arr)
+                ),
+            )
+            out["series"].append(f.series)
+            out["max_peaks"].append(f.max_peaks)
+            out["min_peaks"].append(f.min_peaks)
+            out["above_idx"].append(f.above_idx)
+            out["peak_amp"].append(f.peak_amp)
+            out["n_peaks"].append(f.n_peaks)
+            out["ok"].append(True)
+        except ValueError:
+            out["series"].append(np.zeros(0))
+            out["max_peaks"].append(np.zeros(0, np.int32))
+            out["min_peaks"].append(np.zeros(0, np.int32))
+            out["above_idx"].append(np.zeros(0, np.int32))
+            out["peak_amp"].append(float("nan"))
+            out["n_peaks"].append(0)
+            out["ok"].append(False)
+        out["conv_id"].append(conv)
+    return pd.DataFrame(out) if out["conv_id"] else None
 
 
 def conversation_features(
@@ -196,11 +223,31 @@ def conversation_features(
     bucket: str = "1 minute",
     curve_len: int = 256,
 ) -> DataFrame:
-    """transcripts → featurized activity curves (ok rows only)."""
-    return featurize_curves(
-        activity_curves(transcripts, bucket, curve_len), conf,
-        series_len=curve_len,
-    ).filter(F.col("ok"))
+    """transcripts → featurized activity curves (ok rows only).
+
+    FUSED: curve assembly and numeric featurization run in ONE
+    mapInPandas over the single conv-hash exchange.  The composed form
+    (``featurize_curves(activity_curves(...))``) plans two chained
+    PythonRunner phases in the same task, so every task holds TWO
+    concurrent Python workers — 2× oversubscription at full
+    parallelism (measured on the 18.5M-turn stress corpus at
+    local[32]: chained 30-54 s vs ~11 s split/fused) — and pays an
+    extra Arrow round-trip of every curve.  Identical rows to the
+    composed form by construction (same ``_curve_groups`` +
+    ``_featurize_rows`` helpers)."""
+    step = bucket_seconds(bucket)
+
+    def run(batches):
+        for convs, curves in _curve_groups(batches, "conv_id", curve_len):
+            out = _featurize_rows(convs, curves, conf, curve_len)
+            if out is not None:
+                yield out
+
+    return (
+        _slim_buckets(transcripts, step, "conv_id", "ts")
+        .mapInPandas(run, schema=FEATURE_SCHEMA)
+        .filter(F.col("ok"))
+    )
 
 
 def fft_precache(features: DataFrame) -> DataFrame:
