@@ -1721,23 +1721,25 @@ Notes on this measurement (post triangle-tiling, r4):
   whose cores do not yet contend for the bus, is the faithful proxy
   for the N→4N executor criterion, where each added executor brings
   its own memory channels by construction.
-- **Cross-session spread on IDENTICAL code paths** (seven full
-  sweeps: r4 sessions 2, 3, 4, 7, 8 + two r5 sweeps, the last being
-  the one whose tables are above): local[2] wall
-  496 → 400 → 326 → 437 → 509 → 516 → 477 s with the blocked 2→8
-  efficiency reading 1.04, 0.73, 0.897, 0.817, 0.769, 0.925, 0.863
-  across them (mean ≈ 0.86, five of seven ≥ 0.8),
+- **Cross-session spread on IDENTICAL pipeline shape** (eight full
+  sweeps: r4 sessions 2, 3, 4, 7, 8 + three r5 sweeps, the last —
+  the one whose tables are above — on the fused one-exchange
+  featurize path): local[2] wall
+  496 → 400 → 326 → 437 → 509 → 516 → 477 → 547 s with the blocked
+  2→8 efficiency reading
+  1.04, 0.73, 0.897, 0.817, 0.769, 0.925, 0.863, 0.903
+  across them (mean ≈ 0.87, six of eight ≥ 0.8),
   low-parallelism levels faster on the days high-parallelism levels
   are slower — the signature of a contended shared host, matching
   the --membw evidence above.  The stress-tier 2→8 number shows the
   same swing: 0.897 (r4, quiet box), 0.681 (an r5 sweep at loadavg
-  26 with 284 host processes), 0.725 (the r5 sweep above, on a
-  quieter box whose local[2] best wall — 321 s, 25% faster than
-  r4's — lifts the denominator; featurize scales cleanly 2→8 at
-  0.93 while the score phase reads 0.70, and at local[32] featurize
-  ANTI-scales 11.5 → 38 s — a mapInPandas stage whose 32-way
-  Python-worker spin-up and Arrow init is a per-job fixed cost a
-  warm long-lived cluster does not pay).
+  26 with 284 host processes), 0.725 (an r5 sweep on a quieter box
+  whose local[2] best wall — 321 s, 25% faster than r4's — lifts
+  the denominator), 0.795 (the sweep above, after fusing curve
+  assembly + featurization into ONE mapInPandas stage: featurize
+  2→8 still scales at 0.74 of ideal and local[32] featurize still
+  pays a 31 s 32-way Python-worker spin-up + Arrow init fixed cost
+  a warm long-lived cluster does not pay).
   No single session's ratio is
   meaningful on its own; the across-session mean at the stable 2→8
   pair, plus the small scaling input's isolated-pass 0.798 and this
