@@ -1592,6 +1592,22 @@ def _compact_report(report: dict) -> dict:
         "cold_passes": report.get("cold_passes"),
         "full_report": "BENCH/bench_full.json",
     }
+    # North-rule evidence inline: N->4N efficiency per committed sweep
+    # artifact (full context + spread history in BENCH/BASELINE.md).
+    scaling = {}
+    for fname, key in (("BENCH/scaling.json", "blocked"),
+                       ("BENCH/lsh_scaling.json", "lsh_stress")):
+        try:
+            with open(fname) as fh:
+                pairs = json.load(fh).get("n_to_4n") or []
+        except (OSError, ValueError):
+            continue
+        scaling[key] = {
+            f"{p['n']}->{p['four_n']}": p.get("efficiency")
+            for p in pairs if "efficiency" in p
+        }
+    if scaling:
+        compact["n_to_4n_efficiency"] = scaling
     line = json.dumps(compact)
     if len(line) > 1500:  # hard cap: drop optional keys, keep contract
         compact = {k: compact[k] for k in
