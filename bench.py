@@ -1755,7 +1755,12 @@ Notes on this measurement (post triangle-tiling, r4):
   assembly + featurization into ONE mapInPandas stage: featurize
   2→8 still scales at 0.74 of ideal and local[32] featurize still
   pays a 31 s 32-way Python-worker spin-up + Arrow init fixed cost
-  a warm long-lived cluster does not pay).
+  a warm long-lived cluster does not pay), and 0.666 (a later r5
+  re-run that started on an idle box and was then hit by other
+  tenants mid-sweep — its own telemetry records loadavg ~20 with
+  280 host processes and its local[32] level reads 263 s, 2.3×
+  SLOWER than its local[8]; kept in this history as a contention
+  data point, not in the tables, per the delta-vs-spread rule).
   No single session's ratio is
   meaningful on its own; the across-session mean at the stable 2→8
   pair, plus the small scaling input's isolated-pass 0.798 and this
