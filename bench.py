@@ -1177,6 +1177,8 @@ def _lsh_scaling_workload(spark, workdir: str) -> dict:
     lsh_final = None
     passes = max(1, int(os.environ.get("SPARK_GRAFT_LSH_PASSES", "2")))
     longpass = float(os.environ.get("SPARK_GRAFT_SCALE_LONGPASS_SEC", "180"))
+    from peakmatch_xcorr_spark.metrics import measure_job
+
     for pass_i in range(passes):
         _fresh_pass(spark, transcripts)
         t0 = time.perf_counter()
@@ -1189,7 +1191,9 @@ def _lsh_scaling_workload(spark, workdir: str) -> dict:
         t_feat = time.perf_counter() - t0
         t1 = time.perf_counter()
         lsh = lsh_scoped_matches(feats, conf.peakmatch).cache()
-        n_lsh = lsh.count()
+        n_lsh, score_telemetry = measure_job(
+            spark, lsh.count, "lsh stress score"
+        )
         t_lsh = time.perf_counter() - t1
         wall = time.perf_counter() - t0
         print(f"lsh-stress pass {pass_i}: wall={wall:.2f}s "
@@ -1201,6 +1205,13 @@ def _lsh_scaling_workload(spark, workdir: str) -> dict:
                 "featurize_sec": round(t_feat, 2),
                 "score_sec": round(t_lsh, 2),
                 "matches": n_lsh,
+                # dominant-stage busy-core evidence: separates "slots
+                # idle" (stragglers) from "tasks slower" (contention)
+                # when reading N->4N ratios
+                "score_telemetry": {
+                    "executor_run_sec": score_telemetry["executor_run_sec"],
+                    "top_stage": score_telemetry.get("top_stage"),
+                },
             }
         if wall > longpass:
             break
@@ -1221,6 +1232,7 @@ def _lsh_scaling_workload(spark, workdir: str) -> dict:
         "score_sec": best["score_sec"],
         "matches": best["matches"],
         "recall_planted": lsh_recall,
+        "score_telemetry": best.get("score_telemetry"),
     }
 
 

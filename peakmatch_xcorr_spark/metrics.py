@@ -54,7 +54,9 @@ def measure_job(
         "shuffle_read_bytes": 0,
         "shuffle_write_records": 0,
         "shuffle_read_records": 0,
+        "executor_run_sec": 0.0,
     }
+    top_stage: dict[str, Any] | None = None
     for jid in tracker.getJobIdsForGroup(group):
         ji = tracker.getJobInfo(jid)
         if ji is None:
@@ -73,4 +75,46 @@ def measure_job(
             out["shuffle_read_bytes"] += sd.shuffleReadBytes()
             out["shuffle_write_records"] += sd.shuffleWriteRecords()
             out["shuffle_read_records"] += sd.shuffleReadRecords()
+            run_sec = sd.executorRunTime() / 1000.0
+            out["executor_run_sec"] += run_sec
+            if top_stage is None or run_sec > top_stage["executor_run_sec"]:
+                top_stage = {
+                    "stage_id": sid,
+                    "tasks": sd.numCompleteTasks(),
+                    "executor_run_sec": run_sec,
+                    "stage_wall_sec": _stage_wall_sec(sd),
+                }
+    out["executor_run_sec"] = round(out["executor_run_sec"], 3)
+    if top_stage is not None:
+        top_stage["executor_run_sec"] = round(top_stage["executor_run_sec"], 3)
+        # Slot utilization of the dominant stage: busy-core-seconds over
+        # the stage's wall x available slots.  Low utilization at high N
+        # means stragglers / scheduling gaps (parallelism problem); high
+        # utilization with inflated run time means each task itself got
+        # slower (shared-resource contention, e.g. the DRAM ceiling) —
+        # the two attributions BENCH/BASELINE.md's 8->32 analysis needs
+        # to separate.
+        wall = top_stage["stage_wall_sec"]
+        if wall:
+            top_stage["slot_utilization"] = round(
+                top_stage["executor_run_sec"]
+                / (wall * sc.defaultParallelism), 3
+            )
+        out["top_stage"] = top_stage
     return result, out
+
+
+def _stage_wall_sec(sd: Any) -> float | None:
+    """Wall seconds from first task launch to stage completion, or
+    None while the stage is missing either timestamp (py4j surfaces the
+    underlying scala ``Option[Date]``)."""
+    try:
+        start = sd.firstTaskLaunchedTime()
+        end = sd.completionTime()
+        if start.isDefined() and end.isDefined():
+            return round(
+                (end.get().getTime() - start.get().getTime()) / 1000.0, 3
+            )
+    except Exception:
+        pass
+    return None

@@ -24,6 +24,26 @@ def test_measure_job_counts_shuffle_bytes(spark):
     assert m["shuffle_write_records"] == m["shuffle_read_records"] > 0
 
 
+def test_measure_job_reports_busy_core_telemetry(spark):
+    # enough rows that the dominant stage's executor run time is
+    # reliably nonzero on the status-store clock
+    df = (
+        spark.range(0, 2_000_000)
+        .select((F.col("id") % 1000).alias("k"), F.col("id").alias("v"))
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+    )
+    _, m = measure_job(spark, df.count, "busy cores")
+    assert m["executor_run_sec"] > 0
+    top = m["top_stage"]
+    assert top["tasks"] > 0
+    assert top["executor_run_sec"] > 0
+    # wall can be None only if the store lost a timestamp; when present
+    # utilization is busy-core-seconds / (wall x slots) and bounded
+    if top["stage_wall_sec"] is not None:
+        assert 0 < top["slot_utilization"] <= 1.5
+
+
 def test_measure_job_scopes_to_its_group(spark):
     # traffic from an UNmeasured job must not leak into the measurement
     # (note: even df.count() shuffles its per-partition partials, so the
