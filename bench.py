@@ -1842,7 +1842,7 @@ Notes on this measurement (post triangle-tiling, r4):
   further 1.8×, while the 2→8 inflation stays a modest 1.23× even
   under that load — by this direct measurement too, the 2→8 pair
   is the faithful proxy for executors that bring their own memory
-  channels.
+  channels.  Raw artifact: BENCH/lsh_scaling_contended.json.
   No single session's ratio is
   meaningful on its own; the across-session mean at the stable 2→8
   pair, plus the small scaling input's isolated-pass 0.798 and this
