@@ -1063,7 +1063,11 @@ def _scaling_workload(spark, workdir: str) -> dict:
         phases: dict[str, float] = {}
         t0 = time.perf_counter()
         matches = find_duplicate_conversations(transcripts, conf, n_blocks=64)
-        n_matches = matches.count()
+        from peakmatch_xcorr_spark.metrics import measure_job
+
+        n_matches, pv_telemetry = measure_job(
+            spark, matches.count, "scaling prune+verify"
+        )
         phases["prune_verify"] = round(time.perf_counter() - t0, 2)
         t1 = time.perf_counter()
         deduped = dedup_transcripts(transcripts, matches).cache()
@@ -1078,7 +1082,11 @@ def _scaling_workload(spark, workdir: str) -> dict:
               file=sys.stderr)
         if best is None or wall < best["wall"]:
             best = {"wall": wall, "phases": phases,
-                    "n_matches": n_matches, "out_rows": out_rows}
+                    "n_matches": n_matches, "out_rows": out_rows,
+                    "pv_telemetry": {
+                        "executor_run_sec": pv_telemetry["executor_run_sec"],
+                        "top_stage": pv_telemetry.get("top_stage"),
+                    }}
         if wall > longpass:
             break
     wall, phases = best["wall"], best["phases"]
@@ -1134,6 +1142,7 @@ def _scaling_workload(spark, workdir: str) -> dict:
         "lsh_turns_per_sec": round(n_turns / lsh_wall),
         "lsh_matches": n_lsh,
         "lsh_recall_planted": lsh_recall,
+        "pv_telemetry": best.get("pv_telemetry"),
     }
 
 
@@ -1674,8 +1683,8 @@ def _kernel_scaling_md(r: dict) -> str:
     return "\n".join(lines)
 
 
-def _score_telemetry_md(levels: dict) -> str:
-    """Busy-core attribution table for the score phase, when the sweep
+def _busy_core_md(levels: dict, key: str, label: str, artifact: str) -> str:
+    """Busy-core attribution table for a sweep phase, when the sweep
     captured it (measure_job's top_stage).  Separates the two readings
     of a low N->4N ratio: slots idle (stragglers / scheduling — a
     parallelism defect the engine should fix) vs slots busy but each
@@ -1683,16 +1692,16 @@ def _score_telemetry_md(levels: dict) -> str:
     artifact of co-located workers that added executors do not share).
     """
     have = {
-        name: v["score_telemetry"]["top_stage"]
+        name: v[key]["top_stage"]
         for name, v in levels.items()
-        if v.get("score_telemetry") and v["score_telemetry"].get("top_stage")
+        if v.get(key) and v[key].get("top_stage")
     }
     if not have:
         return ""
     lines = [
         "",
-        "Score-phase busy-core telemetry (dominant stage, measured from",
-        "the AppStatusStore — `score_telemetry` in lsh_scaling.json):",
+        f"{label} busy-core telemetry (dominant stage, measured from",
+        f"the AppStatusStore — `{key}` in {artifact}):",
         "",
         "| parallelism | tasks | busy-core-sec | stage wall (s) "
         "| slot utilization |",
@@ -1737,7 +1746,9 @@ def _lsh_scaling_md(r: dict) -> str:
         f"**{p['efficiency']}** |"
         for p in r["n_to_4n"]
     )
-    tel_section = _score_telemetry_md(r["levels"])
+    tel_section = _busy_core_md(
+        r["levels"], "score_telemetry", "Score-phase", "lsh_scaling.json"
+    )
     return f"""
 ## LSH tier at stress scale ({any_level['n_turns']:,} turns)
 
@@ -1878,6 +1889,9 @@ def _scaling_md(r: dict) -> str:
         f"{p.get('lsh_speedup', '—')}× | **{p.get('lsh_efficiency', '—')}** |"
         for p in r["n_to_4n"]
     )
+    pv_section = _busy_core_md(
+        r["levels"], "pv_telemetry", "Prune+verify", "scaling.json"
+    )
     return f"""# BENCH — scaling evidence (north rule)
 
 Identical job — peakmatch-pruned + FFT-verified near-duplicate
@@ -1905,7 +1919,7 @@ near-duplicate pairs:
 | N → 4N | blocked speedup | blocked efficiency (≥ 0.8) | lsh speedup | lsh efficiency |
 |---|---|---|---|---|
 {pair_rows}
-
+{pv_section}
 Notes
 - The pair stage is numpy-gather-heavy; on this single 32-core box,
   memory bandwidth (shared across all threads) saturates above ~16
