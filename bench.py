@@ -1825,35 +1825,34 @@ Notes on this measurement (post triangle-tiling, r4):
   same swing: 0.897 (r4, quiet box), 0.681 (an r5 sweep at loadavg
   26 with 284 host processes), 0.725 (an r5 sweep on a quieter box
   whose local[2] best wall — 321 s, 25% faster than r4's — lifts
-  the denominator), 0.795 (the sweep above, after fusing curve
-  assembly + featurization into ONE mapInPandas stage: featurize
-  2→8 still scales at 0.74 of ideal and local[32] featurize still
-  pays a 31 s 32-way Python-worker spin-up + Arrow init fixed cost
-  a warm long-lived cluster does not pay), and two later r5 re-runs
-  both reading 0.666 — each started on an idle box and was hit by
-  other tenants mid-sweep (their own telemetry records loadavg
-  20-23 with 280+ host processes; one local[32] level read 263 s,
-  2.3× SLOWER than its local[8]) — kept in this history as
-  contention data points, not in the tables, per the
-  delta-vs-spread rule.
+  the denominator), 0.795 (the first sweep after fusing curve
+  assembly + featurization into ONE mapInPandas stage), two
+  contended re-runs both reading 0.666 — each started on an idle
+  box and was hit by other tenants mid-sweep (one local[32] level
+  read 263 s, 2.3× SLOWER than its local[8]; raw artifact
+  BENCH/lsh_scaling_contended.json) — and **0.890 (the sweep whose
+  tables are above**, quiet box, the fused featurize finally
+  visible: ~10 s at local[8] AND local[32] instead of the 31-54 s
+  spin-up-dominated readings, and the best-ever local[32] wall,
+  55.9 s / 332k turns-sec).
 - **Busy-core attribution (r5)**: `measure_job` now records the
   dominant score stage's busy-core-seconds and slot utilization
-  (`score_telemetry` in lsh_scaling.json), separating the two
-  readings of a low N→4N ratio.  Measured this round:
-  back-to-back single-pass runs on an idle box (1-min load
-  0.1-5) read local[8] 552 busy-core-s at utilization 0.877 vs
-  local[32] 1187 busy-core-s at utilization 0.914 — identical
-  work, slots ≥88% busy at BOTH levels, busy-core-seconds
-  inflated 2.15×.  The 8→32 loss is each core-second doing less
+  (`score_telemetry` in lsh_scaling.json, tabled above),
+  separating the two readings of a low N→4N ratio.  The quiet
+  sweep above reads 500 (local2, util 0.959) → 516 (local8, util
+  0.881) → 820 (local32, util 0.874) busy-core-seconds for
+  identical work: 2→8 inflation is a negligible 1.03× (hence the
+  0.89 efficiency), 8→32 inflation is 1.59× with slots ≥87% busy
+  at every level — the 8→32 loss is each core-second doing less
   work as bus sharing deepens, NOT idle slots or stragglers (the
-  post-tiling task distribution keeps the slots fed).  The
-  contended sweep above read the same stage at 496 (local2) →
-  610 (local8) → 2135 (local32) busy-core-s, utilization
+  post-tiling task distribution keeps the slots fed).  A contended
+  sweep the same day (telemetry: 280+ host processes) read the
+  same stage at 496 → 610 → **2135** busy-core-s at utilization
   0.958/0.875/0.901: co-tenants alone inflate the 32-way figure a
-  further 1.8×, while the 2→8 inflation stays a modest 1.23× even
-  under that load — by this direct measurement too, the 2→8 pair
-  is the faithful proxy for executors that bring their own memory
-  channels.  Raw artifact: BENCH/lsh_scaling_contended.json.
+  further 2.6× over the quiet reading while the 2→8 inflation
+  stays ≤1.23× even under that load — by this direct measurement
+  too, the 2→8 pair is the faithful proxy for executors that
+  bring their own memory channels.
   No single session's ratio is
   meaningful on its own; the across-session mean at the stable 2→8
   pair, plus the small scaling input's isolated-pass 0.798 and this
