@@ -1715,20 +1715,34 @@ def _busy_core_md(levels: dict, key: str, label: str, artifact: str) -> str:
     runs = {name: t["executor_run_sec"] for name, t in have.items()}
     if "local8" in runs and "local32" in runs and runs["local8"]:
         infl = runs["local32"] / runs["local8"]
-        lines += [
-            "",
-            f"Busy-core-seconds for the SAME work inflate {infl:.2f}× "
-            "from local[8] to",
-            "local[32] while slot utilization stays high: the 8→32 "
-            "ratio is lost to",
-            "each core-second doing less work under shared-DRAM "
-            "contention, not to",
-            "idle slots — added cluster executors bring their own "
-            "memory channels",
-            "and do not reproduce this, which is why the 2→8 pair is "
-            "the faithful",
-            "N→4N proxy.",
-        ]
+        if infl >= 1.3:
+            lines += [
+                "",
+                f"Busy-core-seconds for the SAME work inflate "
+                f"{infl:.2f}× from local[8] to",
+                "local[32] while slot utilization stays high: the "
+                "8→32 ratio is lost to",
+                "each core-second doing less work under shared-DRAM "
+                "contention, not to",
+                "idle slots — added cluster executors bring their own "
+                "memory channels",
+                "and do not reproduce this, which is why the 2→8 pair "
+                "is the faithful",
+                "N→4N proxy.",
+            ]
+        else:
+            lines += [
+                "",
+                f"Busy-core-seconds for the SAME work stay nearly flat "
+                f"({infl:.2f}×) from",
+                "local[8] to local[32]: per-core slowdown is no longer "
+                "the binding",
+                "limit on this phase; what remains of the 8→32 gap is "
+                "slot-utilization",
+                "droop (task-tail granularity) plus per-job fixed "
+                "cost, both of which",
+                "a real cluster's per-executor task queues amortize.",
+            ]
     lines.append("")
     return "\n".join(lines)
 
@@ -1811,14 +1825,14 @@ Notes on this measurement (post triangle-tiling, r4):
   whose cores do not yet contend for the bus, is the faithful proxy
   for the N→4N executor criterion, where each added executor brings
   its own memory channels by construction.
-- **Cross-session spread on IDENTICAL pipeline shape** (eight full
-  sweeps: r4 sessions 2, 3, 4, 7, 8 + three r5 sweeps, the last —
+- **Cross-session spread on IDENTICAL pipeline shape** (nine full
+  sweeps: r4 sessions 2, 3, 4, 7, 8 + four r5 sweeps, the last —
   the one whose tables are above — on the fused one-exchange
-  featurize path): local[2] wall
-  496 → 400 → 326 → 437 → 509 → 516 → 477 → 547 s with the blocked
-  2→8 efficiency reading
-  1.04, 0.73, 0.897, 0.817, 0.769, 0.925, 0.863, 0.903
-  across them (mean ≈ 0.87, six of eight ≥ 0.8),
+  featurize path with busy-core telemetry): local[2] wall
+  496 → 400 → 326 → 437 → 509 → 516 → 477 → 547 → 480 s with the
+  blocked 2→8 efficiency reading
+  1.04, 0.73, 0.897, 0.817, 0.769, 0.925, 0.863, 0.903, 0.832
+  across them (mean ≈ 0.86, seven of nine ≥ 0.8),
   low-parallelism levels faster on the days high-parallelism levels
   are slower — the signature of a contended shared host, matching
   the --membw evidence above.  The stress-tier 2→8 number shows the
@@ -1921,11 +1935,19 @@ near-duplicate pairs:
 {pv_section}
 Notes
 - The pair stage is numpy-gather-heavy; on this single 32-core box,
-  memory bandwidth (shared across all threads) saturates above ~16
-  workers, which caps the 8→32 ratio.  On a real cluster, 4× the
-  executors brings 4× the memory bandwidth, so the 2→8 pair — where
-  both levels run below the single-box bandwidth ceiling — is the
-  faithful proxy for the N→4N executor criterion.
+  memory bandwidth (shared across all threads) historically
+  saturated above ~16 workers and capped the 8→32 ratio near 0.5.
+  The r5 cache-blocking pass (L2-tiled kernel temporaries) removed
+  most of that: the busy-core table above shows prune+verify
+  inflating only 1.10× from 8 to 32 workers (970 → 1070
+  busy-core-s), and the measured 8→32 efficiency rose to 0.628 —
+  the residual gap is the utilization droop (0.898 → 0.814,
+  task-tail granularity at 64 tasks / 32 slots) plus the
+  non-scaling small phases (cc_dedup + cascade, ~10 s flat).  On a
+  real cluster, 4× the executors brings 4× the memory bandwidth
+  and per-executor task queues, so the 2→8 pair — where both
+  levels run below the single-box ceilings — remains the faithful
+  proxy for the N→4N executor criterion.
 - BLAS/OMP threads are pinned to 1 per worker so cores are attributed
   to Spark parallelism, not to hidden library threading.
 - Each level reports the best of `SPARK_GRAFT_SCALE_PASSES`
