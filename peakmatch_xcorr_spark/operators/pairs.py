@@ -695,14 +695,19 @@ def _make_bucket_scorer(
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         chunk = pdf["chunk"].to_numpy()[order]
-        series = np.stack(
-            [np.asarray(pdf["series"].iloc[i], dtype=np.float64) for i in order]
+        # column-wise ndarray extraction, then one fancy-index + stack:
+        # per-row .iloc here measured 12x slower (16.6 -> 1.4 ms per
+        # 448-member tile), and this prep runs once per bucket tile —
+        # including the tens of thousands of small buckets where it,
+        # not the kernel, was the task's cost
+        series = np.stack(pdf["series"].to_numpy()[order]).astype(
+            np.float64, copy=False
         )
-        mx = np.stack([np.asarray(pdf["max_peaks"].iloc[i]) for i in order])
-        mn = np.stack([np.asarray(pdf["min_peaks"].iloc[i]) for i in order])
-        ab = [np.asarray(pdf["above_idx"].iloc[i]) for i in order]
-        S = np.stack(
-            [np.asarray(pdf["esigs"].iloc[i], dtype=np.int64) for i in order]
+        mx = np.stack(pdf["max_peaks"].to_numpy()[order])
+        mn = np.stack(pdf["min_peaks"].to_numpy()[order])
+        ab = list(pdf["above_idx"].to_numpy()[order])
+        S = np.stack(pdf["esigs"].to_numpy()[order]).astype(
+            np.int64, copy=False
         )
         n = len(ids)
         if probes == 1:
