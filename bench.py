@@ -1848,7 +1848,16 @@ Notes on this measurement (post triangle-tiling, r4):
   tables are above**, quiet box, the fused featurize finally
   visible: ~10 s at local[8] AND local[32] instead of the 31-54 s
   spin-up-dominated readings, and the best-ever local[32] wall,
-  55.9 s / 332k turns-sec).
+  55.9 s / 332k turns-sec).  A final sweep after vectorizing the
+  bucket scorer's per-task prep (column-wise to_numpy replacing
+  per-row .iloc loops) read 0.697 with a contended local[8] level
+  (telemetry: 278 host processes) but BEST-EVER quiet-level
+  readings — local[2] wall 284 s and local[32] score 38.4 s, with
+  score-stage busy-core-seconds down 9-13% vs the tabled sweep
+  (454 vs 500 at local2, 712 vs 820 at local32; raw artifact
+  BENCH/lsh_scaling_vecprep.json) — the prep saving is real at
+  every level, the ratio casualty is the co-tenant hit on the
+  middle level.
 - **Busy-core attribution (r5)**: `measure_job` now records the
   dominant score stage's busy-core-seconds and slot utilization
   (`score_telemetry` in lsh_scaling.json, tabled above),
