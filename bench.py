@@ -1844,31 +1844,33 @@ Notes on this measurement (post triangle-tiling, r4):
   contended re-runs both reading 0.666 — each started on an idle
   box and was hit by other tenants mid-sweep (one local[32] level
   read 263 s, 2.3× SLOWER than its local[8]; raw artifact
-  BENCH/lsh_scaling_contended.json) — and **0.890 (the sweep whose
-  tables are above**, quiet box, the fused featurize finally
-  visible: ~10 s at local[8] AND local[32] instead of the 31-54 s
-  spin-up-dominated readings, and the best-ever local[32] wall,
-  55.9 s / 332k turns-sec).  A final sweep after vectorizing the
-  bucket scorer's per-task prep (column-wise to_numpy replacing
-  per-row .iloc loops) read 0.697 with a contended local[8] level
-  (telemetry: 278 host processes) but BEST-EVER quiet-level
-  readings — local[2] wall 284 s and local[32] score 38.4 s, with
-  score-stage busy-core-seconds down 9-13% vs the tabled sweep
-  (454 vs 500 at local2, 712 vs 820 at local32; raw artifact
-  BENCH/lsh_scaling_vecprep.json) — the prep saving is real at
-  every level, the ratio casualty is the co-tenant hit on the
-  middle level.
+  BENCH/lsh_scaling_contended.json), 0.890 (quiet box,
+  pre-vectorization best: the fused featurize finally visible at
+  ~10 s per level instead of 31-54 s spin-up-dominated readings,
+  local[32] wall 55.9 s / 332k turns-sec), 0.697 (first sweep
+  after vectorizing the bucket scorer's per-task prep — column-wise
+  to_numpy replacing per-row .iloc loops — with a contended
+  local[8] level (telemetry: 278 host processes) but best-ever
+  local[2] wall 284 s and local[32] score 38.4 s; raw artifact
+  BENCH/lsh_scaling_vecprep.json), and **0.827 (the at-HEAD sweep
+  whose tables are above**: best-ever local[8] wall 86.9 s, the
+  prep saving visible as score-stage busy-core-seconds down ~9%
+  at the quiet levels vs the pre-vectorization sweep — 458 vs 500
+  at local2, 471 vs 516 at local8).
 - **Busy-core attribution (r5)**: `measure_job` now records the
   dominant score stage's busy-core-seconds and slot utilization
   (`score_telemetry` in lsh_scaling.json, tabled above),
-  separating the two readings of a low N→4N ratio.  The quiet
-  sweep above reads 500 (local2, util 0.959) → 516 (local8, util
-  0.881) → 820 (local32, util 0.874) busy-core-seconds for
+  separating the two readings of a low N→4N ratio.  The tabled
+  sweep reads 458 (local2, util 0.956) → 471 (local8, util
+  0.868) → 810 (local32, util 0.845) busy-core-seconds for
   identical work: 2→8 inflation is a negligible 1.03× (hence the
-  0.89 efficiency), 8→32 inflation is 1.59× with slots ≥87% busy
+  0.827 efficiency), 8→32 inflation is ~1.7× with slots ≥85% busy
   at every level — the 8→32 loss is each core-second doing less
   work as bus sharing deepens, NOT idle slots or stragglers (the
-  post-tiling task distribution keeps the slots fed).  A contended
+  post-tiling task distribution keeps the slots fed; the best
+  observed 32-way busy-core reading, 712 in
+  BENCH/lsh_scaling_vecprep.json, puts the quiet-floor inflation
+  near 1.5×).  A contended
   sweep the same day (telemetry: 280+ host processes) read the
   same stage at 496 → 610 → **2135** busy-core-s at utilization
   0.958/0.875/0.901: co-tenants alone inflate the 32-way figure a
