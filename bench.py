@@ -1856,7 +1856,15 @@ Notes on this measurement (post triangle-tiling, r4):
   whose tables are above**: best-ever local[8] wall 86.9 s, the
   prep saving visible as score-stage busy-core-seconds down ~9%
   at the quiet levels vs the pre-vectorization sweep — 458 vs 500
-  at local2, 471 vs 516 at local8).
+  at local2, 471 vs 516 at local8).  A final capstone sweep read
+  **0.877 at the criterion pair** with BOTH 2→8 levels at best-ever
+  walls (local[2] 281 s / local[8] 80 s, busy-core 449/428 — a
+  faster-than-ever denominator, so the ratio is not a slow-local[2]
+  artifact) while its local[32] was tenant-hit (util 0.651, the
+  only LOW-utilization reading ever recorded — preemption gaps,
+  not engine skew; raw artifact BENCH/lsh_scaling_best2to8.json).
+  Quiet-sweep 2→8 readings across the project:
+  0.897, 0.890, 0.827, 0.877 (+0.795 moderate-load) — mean ≈ 0.86.
 - **Busy-core attribution (r5)**: `measure_job` now records the
   dominant score stage's busy-core-seconds and slot utilization
   (`score_telemetry` in lsh_scaling.json, tabled above),
