@@ -256,10 +256,15 @@ def ewma_smooth(
             res["ewma"] = out
             yield pd.DataFrame(res)
 
+    # explicit one-partition-per-core exchange: feeds a Python
+    # recursion stage whose per-row cost dwarfs its byte size (see
+    # rollup.pack_tier), so AQE's byte-based coalescing would
+    # serialize it onto one task at small inputs
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     slim = (
         df.filter(F.col(value_col).isNotNull())
         .select(*keys, *order, value_col)
-        .repartition(*keys)
+        .repartition(n_parts, *keys)
         .sortWithinPartitions(*keys, *order)
     )
     return slim.mapInPandas(smooth, schema=schema)
@@ -588,10 +593,15 @@ def holt_smooth(
             res["trend"] = trd
             yield pd.DataFrame(res)
 
+    # explicit one-partition-per-core exchange: feeds a Python
+    # recursion stage whose per-row cost dwarfs its byte size (see
+    # rollup.pack_tier), so AQE's byte-based coalescing would
+    # serialize it onto one task at small inputs
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     slim = (
         df.filter(F.col(value_col).isNotNull())
         .select(*keys, *order, value_col)
-        .repartition(*keys)
+        .repartition(n_parts, *keys)
         .sortWithinPartitions(*keys, *order)
     )
     return slim.mapInPandas(smooth, schema=schema)
@@ -707,10 +717,15 @@ def holt_winters_smooth(
             res["seasonal"] = sea
             yield pd.DataFrame(res)
 
+    # explicit one-partition-per-core exchange: feeds a Python
+    # recursion stage whose per-row cost dwarfs its byte size (see
+    # rollup.pack_tier), so AQE's byte-based coalescing would
+    # serialize it onto one task at small inputs
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     slim = (
         df.filter(F.col(value_col).isNotNull())
         .select(*keys, *order, value_col)
-        .repartition(*keys)
+        .repartition(n_parts, *keys)
         .sortWithinPartitions(*keys, *order)
     )
     return slim.mapInPandas(smooth, schema=schema)
@@ -831,10 +846,15 @@ def holt_winters_forecast(
         res["forecast"] = f_out
         yield pd.DataFrame(res)
 
+    # explicit one-partition-per-core exchange: feeds a Python
+    # recursion stage whose per-row cost dwarfs its byte size (see
+    # rollup.pack_tier), so AQE's byte-based coalescing would
+    # serialize it onto one task at small inputs
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     slim = (
         df.filter(F.col(value_col).isNotNull())
         .select(*keys, *order, value_col)
-        .repartition(*keys)
+        .repartition(n_parts, *keys)
         .sortWithinPartitions(*keys, *order)
     )
     return slim.mapInPandas(run, schema=schema)

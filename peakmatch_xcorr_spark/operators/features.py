@@ -53,13 +53,24 @@ def _slim_buckets(
     documents the same trap for manifest bounds); the floor to a
     grid-aligned bucket ordinal matches F.window's tumbling math
     (epoch modulo, session TZ pinned UTC)."""
+    # explicit partition count: this exchange feeds a Python kernel
+    # stage whose per-ROW cost dwarfs its byte size, so AQE's
+    # byte-based coalescing (keyless repartition is coalescible) is
+    # wrong in both directions — at small inputs it collapses the
+    # featurize to ONE task (measured 1.3 s serial for a curve set
+    # whose bytes fit one advisory partition), and under a cached
+    # parent the plan pins to the raw shuffle-partition count instead.
+    # One partition per core = one wave of Python workers; featurize
+    # cost per conversation is uniform (bounded bincount), so no
+    # skew-smoothing second wave is needed.
+    n_parts = transcripts.sparkSession.sparkContext.defaultParallelism
     return (
         transcripts.select(
             conv_col,
             F.floor(epoch_seconds(ts_col) / F.lit(step))
             .cast("long").alias("b"),
         )
-        .repartition(conv_col)
+        .repartition(n_parts, conv_col)
         .sortWithinPartitions(conv_col, "b")
     )
 

@@ -96,4 +96,6 @@ def funnel_counts(
         )
         for i in range(1, len(steps) + 1)
     ]
-    return spark.createDataFrame(data, "step int, users long, conversion double")
+    from peakmatch_xcorr_spark.plans import small_local_df
+
+    return small_local_df(spark, data, "step int, users long, conversion double")

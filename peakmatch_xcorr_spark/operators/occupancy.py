@@ -149,9 +149,14 @@ def _global_scan(agg: DataFrame, bsec: int, scan_partitions: int) -> DataFrame:
         nxt = stats[i + 1][2] if i + 1 < len(stats) else None
         offsets.append((pid, running, nxt))
         running += tot
+    # single-slice literal frame: the default createDataFrame path
+    # parallelizes P rows into one pickled-RDD slice PER CORE, and the
+    # broadcast build then runs a ~0.2 s Python task per slice
+    from peakmatch_xcorr_spark.plans import small_local_df
+
     off_df = F.broadcast(
-        spark.createDataFrame(
-            offsets, "pid int, offset long, next_part_first_b long"
+        small_local_df(
+            spark, offsets, "pid int, offset long, next_part_first_b long"
         )
     )
     w = Window.partitionBy("pid").orderBy("b")

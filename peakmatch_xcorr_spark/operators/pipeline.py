@@ -44,15 +44,22 @@ def find_duplicate_conversations(
     runs the reference-shaped two-phase plan through the persisted
     event_fft table.  Identical results (tested).
     """
-    # each phase output is cached — the engine's in-memory analogue of
-    # the reference's phase files (xcorr.candidates etc.); without it,
-    # downstream actions re-derive the cogroup/UDF stages per action
+    # each phase output is materialized — the engine's in-memory
+    # analogue of the reference's phase files (xcorr.candidates etc.);
+    # without it, downstream actions re-derive the cogroup/UDF stages
+    # per action.  localCheckpoint, not cache: a plan containing an
+    # InMemoryRelation runs WITHOUT adaptive execution in Spark 4.x
+    # (cached-plan output partitioning is pinned), so every downstream
+    # exchange stays at the raw shuffle-partition count — measured 30+
+    # wasted core-seconds of fixed per-task Python cost on the fused
+    # count at local[32], sf0.1.  A checkpoint-backed frame replans
+    # adaptively and the blocks serve the same phase-file role.
     feats = conversation_features(
         transcripts,
         conf.peakmatch,
         bucket=conf.rollup.activity_bucket,
         curve_len=conf.rollup.activity_curve_len,
-    ).cache()
+    ).localCheckpoint(eager=True)
     if n_blocks is None:
         n_blocks = auto_blocks(feats.count())
     if fused:
@@ -60,7 +67,7 @@ def find_duplicate_conversations(
 
         return fused_prune_verify(feats, conf.peakmatch, n_blocks).select(
             "id_a", "id_b", "xcorr"
-        ).cache()
+        ).localCheckpoint(eager=False)
     cands = peakmatch_candidates(feats, conf.peakmatch, n_blocks).cache()
     ffts = fft_precache(feats).cache()
     return postprocess_verify(cands, ffts, conf.peakmatch).cache()

@@ -454,7 +454,16 @@ class ContinuousAggregate:
             # The meta sidecar records WHICH delta (prev_v, src_v] the
             # file covers, so a coarse tier left >1 delta behind by a
             # crash can chain-union every delta it missed.
-            if delta_rolled is not None and not full_rebuild:
+            # single-tier aggregates have no coarse consumers: the
+            # affected parquet is only ever read by tiers i >= 1 via
+            # _affected_union, so skip its write job (~1.4 s measured
+            # at sf0.1).  If a wider config is ever pointed at the same
+            # root, _affected_union's missing-dir check already falls
+            # back to a full recompute — correct, just not incremental.
+            if (
+                delta_rolled is not None and not full_rebuild
+                and len(self.tier_names) > 1
+            ):
                 affected = delta_rolled.select(*self.keys, "bucket_start").distinct()
                 affected.write.mode("overwrite").parquet(
                     f"{t0.dir}/affected_v{src_v}"

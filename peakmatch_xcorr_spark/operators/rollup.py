@@ -274,10 +274,18 @@ def rollup_cascade(
     """Full cascade raw -> tiers[0] -> tiers[1] -> ... (each tier from
     the previous one).  Tier widths must be multiples of the previous.
 
-    ``cache_tiers=True`` persists each tier before the next derives
-    from it — the in-memory analogue of the warehouse cascade, where
-    every tier is a materialized table: without it, acting on tier k
-    re-runs every finer tier's shuffle."""
+    ``cache_tiers=True`` persists each tier in the CacheManager (the
+    in-memory analogue of the warehouse cascade, where every tier is a
+    materialized table, droppable via clearCache).  The default lazily
+    ``localCheckpoint``s each tier instead: acting on tier k then
+    materializes each finer tier's shuffle exactly ONCE and every
+    later action (including the same tier's) reads the blocks — a
+    plain count per tier becomes one exchange-free job (measured 1.1 s
+    → 0.3 s for the three-tier count sweep at sf0.1), and unlike a
+    cached plan a checkpoint-backed frame keeps adaptive execution
+    alive for downstream queries.  Blocks live until the session (or
+    ``plans.drop_checkpoint``) releases them — the same lifetime the
+    cached variant had."""
     out: dict[str, DataFrame] = {}
     prev = None
     for t in tiers:
@@ -285,8 +293,7 @@ def rollup_cascade(
             cur = tumbling_rollup(df, keys, ts_col, value_col, t)
         else:
             cur = cascade_tier(prev, keys, t, has_values=value_col is not None)
-        if cache_tiers:
-            cur = cur.cache()
+        cur = cur.cache() if cache_tiers else cur.localCheckpoint(eager=False)
         out[t] = cur
         prev = cur
     return out
@@ -480,10 +487,16 @@ def pack_tier(
             yield encode_chunk(carry)
 
     # prune to the packed columns before the shuffle; co-locate each
-    # key on one partition and sort so groups are contiguous runs
+    # key on one partition and sort so groups are contiguous runs.
+    # Explicit one-partition-per-core count: the exchange feeds a
+    # Python encode stage whose per-row cost dwarfs its byte size, so
+    # AQE's byte-based coalescing serializes the whole encode onto one
+    # task at small tier sizes (measured 0.9 s single-task at sf0.1)
+    # while a cached parent would pin it to the raw shuffle count.
+    n_parts = tier.sparkSession.sparkContext.defaultParallelism
     slim = (
         tier.select(*keys, "bucket_start", value_col)
-        .repartition(*keys)
+        .repartition(n_parts, *keys)
         .sortWithinPartitions(*keys, "bucket_start")
     )
     return slim.mapInPandas(pack_stream, schema=schema)
@@ -607,9 +620,12 @@ def pack_count_tier(
         if carry is not None and len(carry):
             yield encode_chunk(carry)
 
+    # same explicit one-partition-per-core exchange as pack_tier (the
+    # Python encode stage must not be byte-coalesced to one task)
+    n_parts = tier.sparkSession.sparkContext.defaultParallelism
     slim = (
         tier.select(*keys, "bucket_start", count_col)
-        .repartition(*keys)
+        .repartition(n_parts, *keys)
         .sortWithinPartitions(*keys, "bucket_start")
     )
     return slim.mapInPandas(pack_stream, schema=schema)

@@ -34,6 +34,22 @@ def plan_report(df: DataFrame) -> dict:
     }
 
 
+def small_local_df(spark, rows, schema) -> DataFrame:
+    """Single-partition DataFrame from a driver-small row list.
+
+    ``spark.createDataFrame(list_of_tuples)`` parallelizes the pickled
+    rows into ``defaultParallelism`` slices, so EVERY downstream action
+    (a count, a broadcast build, a join probe) runs one Python
+    deserializer task per core for a handful of rows — measured ~0.2 s
+    of fixed Python-task cost apiece, ~10 core-seconds per action at
+    local[32] for an 8-row frame.  One slice keeps it one task.  Use
+    for literal result frames and tiny driver-computed side inputs
+    (broadcast offsets, quantile tables), never for real data."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )
+
+
 def drop_checkpoint(df: DataFrame) -> None:
     """Free a localCheckpoint'd frame's executor blocks.  Checkpoint
     blocks are NOT CacheManager entries, so ``DataFrame.unpersist()``

@@ -67,7 +67,9 @@ def _values_equal(got: pd.DataFrame, exp: pd.DataFrame) -> bool:
     return True
 
 
-def run_self_check(sf_dir: str, out_path: str) -> dict:
+def run_self_check(
+    sf_dir: str, out_path: str, only: list[str] | None = None
+) -> dict:
     import __spark_entry__ as entrymod
     from peakmatch_xcorr_spark.session import get_spark
 
@@ -79,6 +81,11 @@ def run_self_check(sf_dir: str, out_path: str) -> dict:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if only:
+        unknown = sorted(set(only) - set(queries))
+        if unknown:
+            raise SystemExit(f"--only: unknown queries {unknown}")
+        queries = {n: queries[n] for n in only}
     results: dict[str, dict] = {}
     t_start = time.time()
     for name in sorted(queries):
@@ -139,11 +146,18 @@ if __name__ == "__main__":
     sf = "/root/testdata/sf0.01"
     if "--sf-dir" in sys.argv:
         sf = sys.argv[sys.argv.index("--sf-dir") + 1]
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "CORRECTNESS_SELF.json",
-    )
-    rep = run_self_check(sf, out)
+    only = None
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+    if only is None:
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_SELF.json",
+        )
+    else:
+        # a filtered run must never overwrite the full-registry artifact
+        out = "/tmp/self_check_only.json"
+    rep = run_self_check(sf, out, only)
     bad = rep["summary"]["n_errors"] + (
         rep["summary"]["n_oracle"] - rep["summary"]["n_value_match"]
     )
