@@ -996,6 +996,16 @@ def lsh_scoped_matches(
     # each other but not the representative are precisely the pairs
     # with discriminative bits, which meet in a tighter band.)
     over = all_counts.filter(F.col("count") > max_bucket).select("band", "sig")
+    # Adaptive empty-branch skip: when NO bucket is over-cap the star
+    # union is vacuously empty, but its subtree (two esigs joins, an
+    # fft_precache and an exact-scores Python stage) still schedules
+    # ~6 jobs of fixed per-task cost — and AQE's empty-relation
+    # propagation cannot fire here because the plan is rooted at a
+    # cached feature table.  One bounded probe job (limit-1 over the
+    # checkpointed bucket counts) decides; corpora that DO have
+    # over-cap buckets (every 10^8+ run) pay only the probe.
+    if over.limit(1).count() == 0:
+        return out
     over_m = bucketed.join(over, ["band", "sig"], "left_semi")
     reps = over_m.groupBy("band", "sig").agg(F.min("conv_id").alias("rep"))
     star = (
