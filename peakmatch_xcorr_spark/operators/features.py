@@ -115,7 +115,10 @@ def _curve_groups(batches, conv_col: str, curve_len: int):
             continue
         arr = pdf[conv_col].to_numpy()
         last = arr == arr[-1]
-        split = len(pdf) - int(last[::-1].argmin() or len(pdf))
+        # all rows belong to the trailing key: carry the whole chunk
+        # (stated explicitly — the argmin-of-all-True-returns-0 idiom
+        # this replaces was correct but fragile under edit)
+        split = 0 if last.all() else len(pdf) - int(last[::-1].argmin())
         complete, carry = pdf.iloc[:split], pdf.iloc[split:]
         if len(complete):
             yield emit(complete)

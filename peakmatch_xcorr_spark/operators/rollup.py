@@ -479,7 +479,10 @@ def pack_tier(
                 arr = pdf[k].to_numpy()
                 last &= arr == arr[-1]
             # rows of the final key form a contiguous sorted suffix
-            split = len(pdf) - int(last[::-1].argmin() or len(pdf))
+            # all rows belong to the trailing key: carry the whole
+            # chunk (stated explicitly — the argmin-of-all-True idiom
+            # this replaces was correct but fragile under edit)
+            split = 0 if last.all() else len(pdf) - int(last[::-1].argmin())
             complete, carry = pdf.iloc[:split], pdf.iloc[split:]
             if len(complete):
                 yield encode_chunk(complete)
@@ -613,7 +616,10 @@ def pack_count_tier(
             for k in keys:
                 arr = pdf[k].to_numpy()
                 last &= arr == arr[-1]
-            split = len(pdf) - int(last[::-1].argmin() or len(pdf))
+            # all rows belong to the trailing key: carry the whole
+            # chunk (stated explicitly — the argmin-of-all-True idiom
+            # this replaces was correct but fragile under edit)
+            split = 0 if last.all() else len(pdf) - int(last[::-1].argmin())
             complete, carry = pdf.iloc[:split], pdf.iloc[split:]
             if len(complete):
                 yield encode_chunk(complete)
