@@ -47,19 +47,19 @@ def find_duplicate_conversations(
     # each phase output is materialized — the engine's in-memory
     # analogue of the reference's phase files (xcorr.candidates etc.);
     # without it, downstream actions re-derive the cogroup/UDF stages
-    # per action.  localCheckpoint, not cache: a plan containing an
-    # InMemoryRelation runs WITHOUT adaptive execution in Spark 4.x
-    # (cached-plan output partitioning is pinned), so every downstream
-    # exchange stays at the raw shuffle-partition count — measured 30+
-    # wasted core-seconds of fixed per-task Python cost on the fused
-    # count at local[32], sf0.1.  A checkpoint-backed frame replans
-    # adaptively and the blocks serve the same phase-file role.
+    # per action.  cache, not localCheckpoint, was MEASURED for the
+    # feature phase: a cached plan pins adaptive execution off, which
+    # wastes ~0.5 s of empty Python tasks on tiny corpora but keeps
+    # the fused kernel exchange at the session's tuned 2-wave
+    # shuffle-partition count — the checkpoint variant let AQE
+    # re-coalesce that exchange and cost ~9% on the 3.7M-turn scaling
+    # input at local[8] (164.6 s vs 180.1 s, 864 vs 1001 core-sec).
     feats = conversation_features(
         transcripts,
         conf.peakmatch,
         bucket=conf.rollup.activity_bucket,
         curve_len=conf.rollup.activity_curve_len,
-    ).localCheckpoint(eager=True)
+    ).cache()
     if n_blocks is None:
         n_blocks = auto_blocks(feats.count())
     if fused:
@@ -67,7 +67,7 @@ def find_duplicate_conversations(
 
         return fused_prune_verify(feats, conf.peakmatch, n_blocks).select(
             "id_a", "id_b", "xcorr"
-        ).localCheckpoint(eager=False)
+        ).cache()
     cands = peakmatch_candidates(feats, conf.peakmatch, n_blocks).cache()
     ffts = fft_precache(feats).cache()
     return postprocess_verify(cands, ffts, conf.peakmatch).cache()

@@ -433,19 +433,24 @@ class ContinuousAggregate:
                 )
             else:
                 delta_raw = self.source.read_diff(spark, prev_v, src_v)
-            if delta_raw is None:
-                delta_rolled = None
-            else:
-                # cached: feeds the affected write, the file-pruning
-                # value collect, and the merge (3 actions)
-                delta_rolled = tumbling_rollup(
-                    delta_raw, self.keys, self.ts_col, self.value_col, self.tiers[0]
-                ).cache()
             existing = (
                 None if full_rebuild
                 else t0.read(spark) if t0.current_version() is not None
                 else None
             )
+            if delta_raw is None:
+                delta_rolled = None
+            else:
+                delta_rolled = tumbling_rollup(
+                    delta_raw, self.keys, self.ts_col, self.value_col, self.tiers[0]
+                )
+                # cache only when a second consumer exists: the
+                # affected write (multi-tier) and the file-pruning
+                # value collect (COW against an existing tier) — a
+                # single-tier first refresh reaches the merge alone,
+                # where the cache write is pure overhead
+                if len(self.tier_names) > 1 or existing is not None:
+                    delta_rolled = delta_rolled.cache()
             if delta_rolled is None:
                 merged = existing
             else:
