@@ -99,13 +99,24 @@ def test_prewarm_runs_once_per_application(spark):
 def test_cascade_checkpoint_equals_cached_variant(spark, events):
     from peakmatch_xcorr_spark.operators.rollup import rollup_cascade
 
+    def canon(rows):
+        # float aggregates compare at the contract's precision: the
+        # declared queries round sums/averages before hashing, because
+        # double accumulation ORDER (partitioning-dependent) is not
+        # part of the contract — checkpointed tiers feed the coarse
+        # sum in block order, the cached variant in plan order
+        out = []
+        for r in rows:
+            out.append(tuple(
+                round(v, 6) if isinstance(v, float) else v for v in r
+            ))
+        return sorted(out)
+
     ck = rollup_cascade(events, ["user_id"], "ts", "value",
                         ("1 minute", "1 hour"))
     ca = rollup_cascade(events, ["user_id"], "ts", "value",
                         ("1 minute", "1 hour"), cache_tiers=True)
     for t in ("1 minute", "1 hour"):
-        a = sorted(map(tuple, ck[t].collect()))
-        b = sorted(map(tuple, ca[t].collect()))
-        assert a == b
+        assert canon(ck[t].collect()) == canon(ca[t].collect())
     for t in ca.values():
         t.unpersist()
