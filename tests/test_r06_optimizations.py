@@ -96,6 +96,46 @@ def test_prewarm_runs_once_per_application(spark):
     assert len(sess._PREWARMED) == before
 
 
+def test_prewarm_imports_engine_modules_on_workers(spark):
+    """The prewarm's touch task imports the operator modules the
+    engine's Arrow-stage closures are pickled against, so reused
+    workers never pay the import chain inside a timed query."""
+
+    def probe(batches):
+        import sys as _sys
+
+        import pandas as _pd
+
+        for _ in batches:
+            pass
+        yield _pd.DataFrame(
+            {
+                "hit": [
+                    int(
+                        "peakmatch_xcorr_spark.operators.features"
+                        in _sys.modules
+                    )
+                ]
+            }
+        )
+
+    n = spark.sparkContext.defaultParallelism
+    rows = spark.range(0, n, 1, n).mapInPandas(probe, "hit int").collect()
+    assert rows and all(r.hit == 1 for r in rows)
+
+
+def test_prewarm_leaves_no_tempdir(spark):
+    """The synthetic-parquet warm job cleans up its temp dir before
+    the session is handed out."""
+    import glob
+    import tempfile
+
+    leftovers = glob.glob(
+        os.path.join(tempfile.gettempdir(), "pxs_prewarm_*")
+    )
+    assert leftovers == []
+
+
 def test_cascade_checkpoint_equals_cached_variant(spark, events):
     from peakmatch_xcorr_spark.operators.rollup import rollup_cascade
 
